@@ -1,0 +1,32 @@
+"""libnyquist_tpu: TPU-native audio decoding framework.
+
+A ground-up rebuild of dafx/libnyquist for TPU: host CPU handles container
+demux and entropy decoding; batched JAX/Pallas kernels handle every dense
+transform (IMDCT, filterbanks, LPC synthesis, sample conversion, SRC).
+"""
+
+from .audio_data import AudioData, PCMFormat
+from .errors import (
+    DecodeError,
+    LoadBufferNotImplementedError,
+    LoadPathNotImplementedError,
+    NyquistError,
+    TruncatedDataError,
+    UnsupportedExtensionError,
+)
+from .io import NyquistIO, is_file_supported, load
+
+__version__ = "0.1.0"
+__all__ = [
+    "AudioData",
+    "PCMFormat",
+    "NyquistIO",
+    "load",
+    "is_file_supported",
+    "NyquistError",
+    "DecodeError",
+    "TruncatedDataError",
+    "UnsupportedExtensionError",
+    "LoadPathNotImplementedError",
+    "LoadBufferNotImplementedError",
+]
