@@ -1,0 +1,1706 @@
+"""CELT decoder (host side): entropy decoding through denormalised spectra.
+
+Re-implementation of the CELT decode path for the 48 kHz static mode
+(reference: third_party/opus/celt/celt_decoder_clean.c:353-724 and its
+callees in quant_bands.c, rate.c, bands.c, vq.c, cwrs.c, laplace.c).
+
+Architecture split (SURVEY.md §7): everything here is byte-serial, branchy
+integer work — range decoding, bit allocation, PVQ index decoding — which
+stays on the host CPU. The outputs are per-frame dense tensors
+(denormalised MDCT spectra + postfilter parameters) that feed the batched
+TPU synthesis ops (ops/imdct.py etc.). A NumPy reference synthesis is
+included for oracle tests.
+
+All bit-allocation decisions are pure integer arithmetic and match the
+reference exactly (they must — the range decoder state depends on them);
+floating-point only affects sample values, where float64 here vs the
+reference's float32 keeps us well inside the 1e-4 accuracy target.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .celt_tables import (
+    COMB_GAINS,
+    LOG2_FRAC_TABLE,
+    SPREAD_ICDF,
+    TAPSET_ICDF,
+    TRIM_ICDF,
+    mode48000,
+)
+from .range_coder import BITRES, RangeDecoder, ilog
+
+# Constants (reference: celt/celt.h, celt/rate.h, celt/bands.h)
+DECODE_BUFFER_SIZE = 2048
+COMBFILTER_MAXPERIOD = 1024
+COMBFILTER_MINPERIOD = 15
+MAX_FINE_BITS = 8
+FINE_OFFSET = 21
+QTHETA_OFFSET = 4
+QTHETA_OFFSET_TWOPHASE = 16
+LOG_MAX_PSEUDO = 6
+SPREAD_NONE, SPREAD_LIGHT, SPREAD_NORMAL, SPREAD_AGGRESSIVE = 0, 1, 2, 3
+ALLOC_STEPS = 6
+EPSILON = 1e-15
+VERY_SMALL = 1e-30
+CELT_SIG_SCALE = 32768.0
+
+SMALL_ENERGY_ICDF = [2, 1, 0]
+TF_SELECT_TABLE = [
+    [0, -1, 0, -1, 0, -1, 0, -1],
+    [0, -1, 0, -2, 1, 0, 1, -1],
+    [0, -2, 0, -3, 2, 0, 1, -1],
+    [0, -2, 0, -3, 3, 0, 1, -1],
+]
+BIT_INTERLEAVE_TABLE = [0, 1, 1, 1, 2, 3, 3, 3, 2, 3, 3, 3, 2, 3, 3, 3]
+BIT_DEINTERLEAVE_TABLE = [
+    0x00, 0x03, 0x0C, 0x0F, 0x30, 0x33, 0x3C, 0x3F,
+    0xC0, 0xC3, 0xCC, 0xCF, 0xF0, 0xF3, 0xFC, 0xFF,
+]
+ORDERY_TABLE = {
+    2: [1, 0],
+    4: [3, 0, 2, 1],
+    8: [7, 0, 4, 3, 6, 1, 5, 2],
+    16: [15, 0, 8, 7, 12, 3, 11, 4, 14, 1, 9, 6, 13, 2, 10, 5],
+}
+
+
+def cdiv(a: int, b: int) -> int:
+    """C-style integer division (truncation toward zero). Python's //
+    floors, which differs for negative operands — and the reference's
+    allocation math divides negative ints in several places."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def celt_lcg_rand(seed: int) -> int:
+    return (1664525 * seed + 1013904223) & 0xFFFFFFFF
+
+
+def _frac_mul16(a: int, b: int) -> int:
+    return (16384 + _i16(a) * _i16(b)) >> 15
+
+
+def _i16(x: int) -> int:
+    x &= 0xFFFF
+    return x - 0x10000 if x >= 0x8000 else x
+
+
+def bitexact_cos(x: int) -> int:
+    """Bit-exact cos approximation (reference: bands.c:68-78)."""
+    tmp = (4096 + x * x) >> 13
+    x2 = tmp
+    x2 = (32767 - x2) + _frac_mul16(
+        x2, -7651 + _frac_mul16(x2, 8277 + _frac_mul16(-626, x2))
+    )
+    return 1 + x2
+
+
+def bitexact_log2tan(isin: int, icos: int) -> int:
+    lc = ilog(icos)
+    ls = ilog(isin)
+    icos <<= 15 - lc
+    isin <<= 15 - ls
+    return (
+        (ls - lc) * (1 << 11)
+        + _frac_mul16(isin, _frac_mul16(isin, -2597) + 7932)
+        - _frac_mul16(icos, _frac_mul16(icos, -2597) + 7932)
+    )
+
+
+# --------------------------------------------------------------------------
+# Laplace decoder (reference: celt/laplace.c)
+# --------------------------------------------------------------------------
+LAPLACE_LOG_MINP = 0
+LAPLACE_MINP = 1 << LAPLACE_LOG_MINP
+LAPLACE_NMIN = 16
+
+
+def _laplace_get_freq1(fs0: int, decay: int) -> int:
+    ft = 32768 - LAPLACE_MINP * (2 * LAPLACE_NMIN) - fs0
+    return (ft * (16384 - decay)) >> 15
+
+
+def laplace_decode(dec: RangeDecoder, fs: int, decay: int) -> int:
+    val = 0
+    fm = dec.decode_bin(15)
+    fl = 0
+    if fm >= fs:
+        val += 1
+        fl = fs
+        fs = _laplace_get_freq1(fs, decay) + LAPLACE_MINP
+        while fs > LAPLACE_MINP and fm >= fl + 2 * fs:
+            fs *= 2
+            fl += fs
+            fs = ((fs - 2 * LAPLACE_MINP) * decay) >> 15
+            fs += LAPLACE_MINP
+            val += 1
+        if fs <= LAPLACE_MINP:
+            di = (fm - fl) >> (LAPLACE_LOG_MINP + 1)
+            val += di
+            fl += 2 * di * LAPLACE_MINP
+        if fm < fl + fs:
+            val = -val
+        else:
+            fl += fs
+    dec.update(fl, min(fl + fs, 32768), 32768)
+    return val
+
+
+# --------------------------------------------------------------------------
+# Energy envelope (reference: celt/quant_bands.c)
+# --------------------------------------------------------------------------
+PRED_COEF = [29440 / 32768.0, 26112 / 32768.0, 21248 / 32768.0, 16384 / 32768.0]
+BETA_COEF = [30147 / 32768.0, 22282 / 32768.0, 12124 / 32768.0, 6554 / 32768.0]
+BETA_INTRA = 4915 / 32768.0
+
+
+def unquant_coarse_energy(mode, start, end, oldEBands, intra, dec, C, LM):
+    prob_model = mode.e_prob_model[LM][1 if intra else 0]
+    if intra:
+        coef, beta = 0.0, BETA_INTRA
+    else:
+        coef, beta = PRED_COEF[LM], BETA_COEF[LM]
+    prev = [0.0, 0.0]
+    budget = dec.storage * 8
+    for i in range(start, end):
+        for c in range(C):
+            tell = dec.tell()
+            if budget - tell >= 15:
+                pi = 2 * min(i, 20)
+                qi = laplace_decode(
+                    dec, int(prob_model[pi]) << 7, int(prob_model[pi + 1]) << 6
+                )
+            elif budget - tell >= 2:
+                qi = dec.dec_icdf(SMALL_ENERGY_ICDF, 2)
+                qi = (qi >> 1) ^ -(qi & 1)
+            elif budget - tell >= 1:
+                qi = -dec.dec_bit_logp(1)
+            else:
+                qi = -1
+            q = float(qi)
+            oldEBands[c, i] = max(-9.0, oldEBands[c, i])
+            tmp = coef * oldEBands[c, i] + prev[c] + q
+            oldEBands[c, i] = tmp
+            prev[c] = prev[c] + q - beta * q
+
+
+def unquant_fine_energy(mode, start, end, oldEBands, fine_quant, dec, C):
+    for i in range(start, end):
+        if fine_quant[i] <= 0:
+            continue
+        for c in range(C):
+            q2 = dec.dec_bits(fine_quant[i])
+            offset = (q2 + 0.5) * (1 << (14 - fine_quant[i])) / 16384.0 - 0.5
+            oldEBands[c, i] += offset
+
+
+def unquant_energy_finalise(
+    mode, start, end, oldEBands, fine_quant, fine_priority, bits_left, dec, C
+):
+    for prio in range(2):
+        i = start
+        while i < end and bits_left >= C:
+            if fine_quant[i] >= MAX_FINE_BITS or fine_priority[i] != prio:
+                i += 1
+                continue
+            for c in range(C):
+                q2 = dec.dec_bits(1)
+                offset = (q2 - 0.5) * (1 << (14 - fine_quant[i] - 1)) / 16384.0
+                oldEBands[c, i] += offset
+                bits_left -= 1
+            i += 1
+
+
+# --------------------------------------------------------------------------
+# tf_decode (reference: celt_decoder_clean.c:314-351)
+# --------------------------------------------------------------------------
+def tf_decode(start, end, isTransient, tf_res, LM, dec):
+    budget = dec.storage * 8
+    tell = dec.tell()
+    logp = 2 if isTransient else 4
+    tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+    budget -= tf_select_rsv
+    tf_changed = curr = 0
+    for i in range(start, end):
+        if tell + logp <= budget:
+            curr ^= dec.dec_bit_logp(logp)
+            tell = dec.tell()
+            tf_changed |= curr
+        tf_res[i] = curr
+        logp = 4 if isTransient else 5
+    tf_select = 0
+    base = 4 * (1 if isTransient else 0)
+    if tf_select_rsv and (
+        TF_SELECT_TABLE[LM][base + 0 + tf_changed]
+        != TF_SELECT_TABLE[LM][base + 2 + tf_changed]
+    ):
+        tf_select = dec.dec_bit_logp(1)
+    for i in range(start, end):
+        tf_res[i] = TF_SELECT_TABLE[LM][base + 2 * tf_select + tf_res[i]]
+
+
+# --------------------------------------------------------------------------
+# Allocation (reference: celt/rate.c)
+# --------------------------------------------------------------------------
+def get_pulses(i: int) -> int:
+    return i if i < 8 else (8 + (i & 7)) << ((i >> 3) - 1)
+
+
+def _band_cache(mode, band, LM):
+    idx = mode.cache_index[(LM + 1) * mode.nbEBands + band]
+    return mode.cache_bits[idx:]
+
+
+def bits2pulses(mode, band, LM, bits):
+    cache = _band_cache(mode, band, LM)
+    lo, hi = 0, int(cache[0])
+    bits -= 1
+    for _ in range(LOG_MAX_PSEUDO):
+        mid = (lo + hi + 1) >> 1
+        if int(cache[mid]) >= bits:
+            hi = mid
+        else:
+            lo = mid
+    if bits - (-1 if lo == 0 else int(cache[lo])) <= int(cache[hi]) - bits:
+        return lo
+    return hi
+
+
+def pulses2bits(mode, band, LM, pulses):
+    cache = _band_cache(mode, band, LM)
+    return 0 if pulses == 0 else int(cache[pulses]) + 1
+
+
+def init_caps(mode, LM, C):
+    cap = [0] * mode.nbEBands
+    for i in range(mode.nbEBands):
+        N = (mode.eBands[i + 1] - mode.eBands[i]) << LM
+        cap[i] = (
+            int(mode.cache_caps[mode.nbEBands * (2 * LM + C - 1) + i]) + 64
+        ) * C * N >> 2
+    return cap
+
+
+def _interp_bits2pulses(
+    mode, start, end, skip_start, bits1, bits2, thresh, cap, total, skip_rsv,
+    intensity_rsv, dual_stereo_rsv, C, LM, dec,
+):
+    eBands = mode.eBands
+    alloc_floor = C << BITRES
+    stereo = 1 if C > 1 else 0
+    logM = LM << BITRES
+    bits = [0] * mode.nbEBands
+    ebits = [0] * mode.nbEBands
+    fine_priority = [0] * mode.nbEBands
+
+    lo, hi = 0, 1 << ALLOC_STEPS
+    for _ in range(ALLOC_STEPS):
+        mid = (lo + hi) >> 1
+        psum, done = 0, False
+        for j in range(end - 1, start - 1, -1):
+            tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS)
+            if tmp >= thresh[j] or done:
+                done = True
+                psum += min(tmp, cap[j])
+            elif tmp >= alloc_floor:
+                psum += alloc_floor
+        if psum > total:
+            hi = mid
+        else:
+            lo = mid
+    psum, done = 0, False
+    for j in range(end - 1, start - 1, -1):
+        tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS)
+        if tmp < thresh[j] and not done:
+            tmp = alloc_floor if tmp >= alloc_floor else 0
+        else:
+            done = True
+        tmp = min(tmp, cap[j])
+        bits[j] = tmp
+        psum += tmp
+
+    codedBands = end
+    while True:
+        j = codedBands - 1
+        if j <= skip_start:
+            total += skip_rsv
+            break
+        left = total - psum
+        percoeff = cdiv(left, int(eBands[codedBands] - eBands[start]))
+        left -= (eBands[codedBands] - eBands[start]) * percoeff
+        rem = max(left - (eBands[j] - eBands[start]), 0)
+        band_width = int(eBands[codedBands] - eBands[j])
+        band_bits = bits[j] + percoeff * band_width + rem
+        if band_bits >= max(thresh[j], alloc_floor + (1 << BITRES)):
+            if dec.dec_bit_logp(1):
+                break
+            psum += 1 << BITRES
+            band_bits -= 1 << BITRES
+        psum -= bits[j] + intensity_rsv
+        if intensity_rsv > 0:
+            intensity_rsv = LOG2_FRAC_TABLE[j - start]
+        psum += intensity_rsv
+        if band_bits >= alloc_floor:
+            psum += alloc_floor
+            bits[j] = alloc_floor
+        else:
+            bits[j] = 0
+        codedBands -= 1
+
+    if intensity_rsv > 0:
+        intensity = start + dec.dec_uint(codedBands + 1 - start)
+    else:
+        intensity = 0
+    if intensity <= start:
+        total += dual_stereo_rsv
+        dual_stereo_rsv = 0
+    dual_stereo = dec.dec_bit_logp(1) if dual_stereo_rsv > 0 else 0
+
+    left = total - psum
+    percoeff = cdiv(left, int(eBands[codedBands] - eBands[start]))
+    left -= (eBands[codedBands] - eBands[start]) * percoeff
+    for j in range(start, codedBands):
+        bits[j] += percoeff * (eBands[j + 1] - eBands[j])
+    for j in range(start, codedBands):
+        tmp = min(left, int(eBands[j + 1] - eBands[j]))
+        bits[j] += tmp
+        left -= tmp
+
+    balance = 0
+    j = start
+    for j in range(start, codedBands):
+        N0 = int(eBands[j + 1] - eBands[j])
+        N = N0 << LM
+        bit = bits[j] + balance
+        if N > 1:
+            excess = max(bit - cap[j], 0)
+            bits[j] = bit - excess
+            den = C * N + (
+                1 if (C == 2 and N > 2 and not dual_stereo and j < intensity)
+                else 0
+            )
+            NClogN = den * (int(mode.logN[j]) + logM)
+            offset = (NClogN >> 1) - den * FINE_OFFSET
+            if N == 2:
+                offset += den << BITRES >> 2
+            if bits[j] + offset < (den * 2) << BITRES:
+                offset += NClogN >> 2
+            elif bits[j] + offset < (den * 3) << BITRES:
+                offset += NClogN >> 3
+            ebits[j] = max(
+                0, cdiv(bits[j] + offset + (den << (BITRES - 1)),
+                        den << BITRES)
+            )
+            if C * ebits[j] > (bits[j] >> BITRES):
+                ebits[j] = bits[j] >> stereo >> BITRES
+            ebits[j] = min(ebits[j], MAX_FINE_BITS)
+            fine_priority[j] = int(
+                ebits[j] * (den << BITRES) >= bits[j] + offset
+            )
+            bits[j] -= C * ebits[j] << BITRES
+        else:
+            excess = max(0, bit - (C << BITRES))
+            bits[j] = bit - excess
+            ebits[j] = 0
+            fine_priority[j] = 1
+        if excess > 0:
+            extra_fine = min(excess >> (stereo + BITRES),
+                             MAX_FINE_BITS - ebits[j])
+            ebits[j] += extra_fine
+            extra_bits = extra_fine * C << BITRES
+            fine_priority[j] = int(extra_bits >= excess - balance)
+            excess -= extra_bits
+        balance = excess
+
+    for j in range(codedBands, end):
+        ebits[j] = bits[j] >> stereo >> BITRES
+        bits[j] = 0
+        fine_priority[j] = int(ebits[j] < 1)
+    return codedBands, balance, bits, ebits, fine_priority, intensity, dual_stereo
+
+
+def compute_allocation(
+    mode, start, end, offsets, cap, alloc_trim, total, C, LM, dec
+):
+    eBands = mode.eBands
+    total = max(total, 0)
+    length = mode.nbEBands
+    skip_start = start
+    skip_rsv = (1 << BITRES) if total >= (1 << BITRES) else 0
+    total -= skip_rsv
+    intensity_rsv = dual_stereo_rsv = 0
+    if C == 2:
+        intensity_rsv = LOG2_FRAC_TABLE[end - start]
+        if intensity_rsv > total:
+            intensity_rsv = 0
+        else:
+            total -= intensity_rsv
+            dual_stereo_rsv = (1 << BITRES) if total >= (1 << BITRES) else 0
+            total -= dual_stereo_rsv
+
+    thresh = [0] * length
+    trim_offset = [0] * length
+    bits1 = [0] * length
+    bits2 = [0] * length
+    for j in range(start, end):
+        thresh[j] = max(
+            C << BITRES,
+            (3 * (eBands[j + 1] - eBands[j]) << LM << BITRES) >> 4,
+        )
+        trim_offset[j] = (
+            C * (eBands[j + 1] - eBands[j])
+            * (alloc_trim - 5 - LM) * (end - j - 1)
+            * (1 << (LM + BITRES))
+        ) >> 6
+        if (eBands[j + 1] - eBands[j]) << LM == 1:
+            trim_offset[j] -= C << BITRES
+
+    lo, hi = 1, mode.nbAllocVectors - 1
+    while lo <= hi:
+        done = False
+        psum = 0
+        mid = (lo + hi) >> 1
+        for j in range(end - 1, start - 1, -1):
+            N = int(eBands[j + 1] - eBands[j])
+            bitsj = C * N * int(mode.allocVectors[mid, j]) << LM >> 2
+            if bitsj > 0:
+                bitsj = max(0, bitsj + trim_offset[j])
+            bitsj += offsets[j]
+            if bitsj >= thresh[j] or done:
+                done = True
+                psum += min(bitsj, cap[j])
+            elif bitsj >= C << BITRES:
+                psum += C << BITRES
+        if psum > total:
+            hi = mid - 1
+        else:
+            lo = mid + 1
+    hi = lo
+    lo -= 1
+    for j in range(start, end):
+        N = int(eBands[j + 1] - eBands[j])
+        bits1j = C * N * int(mode.allocVectors[lo, j]) << LM >> 2
+        bits2j = (
+            cap[j] if hi >= mode.nbAllocVectors
+            else C * N * int(mode.allocVectors[hi, j]) << LM >> 2
+        )
+        if bits1j > 0:
+            bits1j = max(0, bits1j + trim_offset[j])
+        if bits2j > 0:
+            bits2j = max(0, bits2j + trim_offset[j])
+        if lo > 0:
+            bits1j += offsets[j]
+        bits2j += offsets[j]
+        if offsets[j] > 0:
+            skip_start = j
+        bits2j = max(0, bits2j - bits1j)
+        bits1[j] = bits1j
+        bits2[j] = bits2j
+    return _interp_bits2pulses(
+        mode, start, end, skip_start, bits1, bits2, thresh, cap, total,
+        skip_rsv, intensity_rsv, dual_stereo_rsv, C, LM, dec,
+    )
+
+
+# --------------------------------------------------------------------------
+# PVQ codeword decoding (reference: celt/cwrs.c). Python bignums make the
+# U(N,K) combinatorics trivial compared to the reference's u32 row tables.
+# --------------------------------------------------------------------------
+_U_CACHE: dict = {}
+
+
+def pvq_u(n: int, k: int) -> int:
+    """U(N,K): PVQ codewords of size N, K pulses, first pulse positive-ish."""
+    if n < 0 or k < 0:
+        return 0
+    a, b = (n, k) if n <= k else (k, n)
+    key = (a, b)
+    v = _U_CACHE.get(key)
+    if v is not None:
+        return v
+    # Base cases per the reference table (cwrs.c CELT_PVQ_U_DATA rows
+    # N=0: 1,0,0,...  N=1: 1,1,1,...): U(0,0)=1, U(0,K>0)=0, U(N>0,0)=0.
+    if n == 0 and k == 0:
+        v = 1
+    elif n == 0 or k == 0:
+        v = 0
+    else:
+        v = pvq_u(n - 1, k) + pvq_u(n, k - 1) + pvq_u(n - 1, k - 1)
+    _U_CACHE[key] = v
+    return v
+
+
+def pvq_v(n: int, k: int) -> int:
+    return pvq_u(n, k) + pvq_u(n, k + 1)
+
+
+def cwrsi(n: int, k: int, i: int):
+    """Index -> pulse vector (reference: cwrs.c cwrsi)."""
+    y = []
+    while n > 2:
+        if k >= n:
+            p = pvq_u(n, k + 1)
+            s = 1 if i >= p else 0
+            if s:
+                i -= p
+            k0 = k
+            q = pvq_u(n, n)
+            if q > i:
+                k = n
+                while True:
+                    k -= 1
+                    p = pvq_u(k, n)
+                    if p <= i:
+                        break
+            else:
+                p = pvq_u(n, k)
+                while p > i:
+                    k -= 1
+                    p = pvq_u(n, k)
+            i -= p
+            val = k0 - k
+            y.append(-val if s else val)
+        else:
+            p = pvq_u(k, n)
+            q = pvq_u(k + 1, n)
+            if p <= i < q:
+                i -= p
+                y.append(0)
+            else:
+                s = 1 if i >= q else 0
+                if s:
+                    i -= q
+                k0 = k
+                while True:
+                    k -= 1
+                    p = pvq_u(k, n)
+                    if p <= i:
+                        break
+                i -= p
+                val = k0 - k
+                y.append(-val if s else val)
+        n -= 1
+    # n == 2
+    p = 2 * k + 1
+    s = 1 if i >= p else 0
+    if s:
+        i -= p
+    k0 = k
+    k = (i + 1) >> 1
+    if k:
+        i -= 2 * k - 1
+    val = k0 - k
+    y.append(-val if s else val)
+    # n == 1
+    s = 1 if i > 0 else 0
+    y.append(-k if s else k)
+    return y
+
+
+def decode_pulses(n: int, k: int, dec: RangeDecoder):
+    return cwrsi(n, k, dec.dec_uint(pvq_v(n, k)))
+
+
+# --------------------------------------------------------------------------
+# VQ: spreading rotation + PVQ shape decode (reference: celt/vq.c)
+# --------------------------------------------------------------------------
+SPREAD_FACTOR = [15, 10, 5]
+
+
+def _exp_rotation1(X, length, stride, c, s):
+    for i in range(length - stride):
+        x1 = X[i]
+        x2 = X[i + stride]
+        X[i + stride] = c * x2 + s * x1
+        X[i] = c * x1 - s * x2
+    for i in range(length - 2 * stride - 1, -1, -1):
+        x1 = X[i]
+        x2 = X[i + stride]
+        X[i + stride] = c * x2 + s * x1
+        X[i] = c * x1 - s * x2
+
+
+def exp_rotation(X, length, direction, stride, K, spread):
+    if 2 * K >= length or spread == SPREAD_NONE:
+        return
+    factor = SPREAD_FACTOR[spread - 1]
+    gain = 1.0 * length / (length + factor * K)
+    theta = 0.5 * gain * gain
+    c = math.cos(0.5 * math.pi * theta)
+    s = math.cos(0.5 * math.pi * (1.0 - theta))
+    stride2 = 0
+    if length >= 8 * stride:
+        stride2 = 1
+        while (stride2 * stride2 + stride2) * stride + (stride >> 2) < length:
+            stride2 += 1
+    length //= stride
+    for i in range(stride):
+        seg = X[i * length : (i + 1) * length]
+        if direction < 0:
+            if stride2:
+                _exp_rotation1(seg, length, stride2, s, c)
+            _exp_rotation1(seg, length, 1, c, s)
+        else:
+            _exp_rotation1(seg, length, 1, c, -s)
+            if stride2:
+                _exp_rotation1(seg, length, stride2, s, -c)
+
+
+def extract_collapse_mask(iy, N, B):
+    if B <= 1:
+        return 1
+    N0 = N // B
+    mask = 0
+    for i in range(B):
+        sub = 0
+        for j in range(N0):
+            sub |= iy[i * N0 + j]
+        mask |= (1 if sub != 0 else 0) << i
+    return mask
+
+
+def alg_unquant(X, N, K, spread, B, dec, gain):
+    iy = decode_pulses(N, K, dec)
+    Ryy = float(sum(v * v for v in iy))
+    g = gain / math.sqrt(Ryy)
+    for j in range(N):
+        X[j] = g * iy[j]
+    exp_rotation(X, N, -1, B, K, spread)
+    return extract_collapse_mask(iy, N, B)
+
+
+def renormalise_vector(X, N, gain):
+    E = EPSILON + float(np.sum(X[:N] * X[:N]))
+    g = gain / math.sqrt(E)
+    X[:N] *= g
+
+
+# --------------------------------------------------------------------------
+# Band decoding (reference: celt/bands.c quant_* functions)
+# --------------------------------------------------------------------------
+def _haar1(X, n0, stride):
+    n0 >>= 1
+    s = math.sqrt(0.5)
+    for i in range(stride):
+        for j in range(n0):
+            a = stride * 2 * j + i
+            b = stride * (2 * j + 1) + i
+            t1 = s * X[a]
+            t2 = s * X[b]
+            X[a] = t1 + t2
+            X[b] = t1 - t2
+
+
+def _deinterleave_hadamard(X, N0, stride, hadamard):
+    N = N0 * stride
+    tmp = np.empty(N, dtype=X.dtype)
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        for i in range(stride):
+            for j in range(N0):
+                tmp[ordery[i] * N0 + j] = X[j * stride + i]
+    else:
+        for i in range(stride):
+            for j in range(N0):
+                tmp[i * N0 + j] = X[j * stride + i]
+    X[:N] = tmp
+
+
+def _interleave_hadamard(X, N0, stride, hadamard):
+    N = N0 * stride
+    tmp = np.empty(N, dtype=X.dtype)
+    if hadamard:
+        ordery = ORDERY_TABLE[stride]
+        for i in range(stride):
+            for j in range(N0):
+                tmp[j * stride + i] = X[ordery[i] * N0 + j]
+    else:
+        for i in range(stride):
+            for j in range(N0):
+                tmp[j * stride + i] = X[i * N0 + j]
+    X[:N] = tmp
+
+
+def compute_qn(N, b, offset, pulse_cap, stereo):
+    exp2_table8 = [16384, 17866, 19483, 21247, 23170, 25267, 27554, 30048]
+    N2 = 2 * N - 1
+    if stereo and N == 2:
+        N2 -= 1
+    qb = min(b - pulse_cap - (4 << BITRES), cdiv(b + N2 * offset, N2))
+    qb = min(8 << BITRES, qb)
+    if qb < (1 << BITRES >> 1):
+        qn = 1
+    else:
+        qn = exp2_table8[qb & 0x7] >> (14 - (qb >> BITRES))
+        qn = ((qn + 1) >> 1) << 1
+    return qn
+
+
+@dataclass
+class BandCtx:
+    mode: object
+    i: int = 0
+    intensity: int = 0
+    spread: int = 0
+    tf_change: int = 0
+    dec: RangeDecoder = None
+    remaining_bits: int = 0
+    seed: int = 0
+
+
+@dataclass
+class SplitCtx:
+    inv: int = 0
+    imid: int = 0
+    iside: int = 0
+    delta: int = 0
+    itheta: int = 0
+    qalloc: int = 0
+
+
+def compute_theta(ctx: BandCtx, X, Y, N, b, B, B0, LM, stereo, fill):
+    """Returns (sctx, b, fill)."""
+    dec = ctx.dec
+    mode = ctx.mode
+    i = ctx.i
+    sctx = SplitCtx()
+    pulse_cap = int(mode.logN[i]) + LM * (1 << BITRES)
+    offset = (pulse_cap >> 1) - (
+        QTHETA_OFFSET_TWOPHASE if (stereo and N == 2) else QTHETA_OFFSET
+    )
+    qn = compute_qn(N, b, offset, pulse_cap, stereo)
+    if stereo and i >= ctx.intensity:
+        qn = 1
+    itheta = 0
+    inv = 0
+    tell = dec.tell_frac()
+    if qn != 1:
+        if stereo and N > 2:
+            p0 = 3
+            x0 = qn // 2
+            ft = p0 * (x0 + 1) + x0
+            fs = dec.decode(ft)
+            if fs < (x0 + 1) * p0:
+                x = fs // p0
+            else:
+                x = x0 + 1 + (fs - (x0 + 1) * p0)
+            dec.update(
+                p0 * x if x <= x0 else (x - 1 - x0) + (x0 + 1) * p0,
+                p0 * (x + 1) if x <= x0 else (x - x0) + (x0 + 1) * p0,
+                ft,
+            )
+            itheta = x
+        elif B0 > 1 or stereo:
+            itheta = dec.dec_uint(qn + 1)
+        else:
+            ft = ((qn >> 1) + 1) * ((qn >> 1) + 1)
+            fm = dec.decode(ft)
+            if fm < ((qn >> 1) * ((qn >> 1) + 1) >> 1):
+                itheta = (math.isqrt(8 * fm + 1) - 1) >> 1
+                fs = itheta + 1
+                fl = itheta * (itheta + 1) >> 1
+            else:
+                itheta = (2 * (qn + 1) - math.isqrt(8 * (ft - fm - 1) + 1)) >> 1
+                fs = qn + 1 - itheta
+                fl = ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1)
+            dec.update(fl, fl + fs, ft)
+        itheta = itheta * 16384 // qn
+    elif stereo:
+        if b > 2 << BITRES and ctx.remaining_bits > 2 << BITRES:
+            inv = dec.dec_bit_logp(2)
+        itheta = 0
+    qalloc = dec.tell_frac() - tell
+    b -= qalloc
+
+    if itheta == 0:
+        imid, iside = 32767, 0
+        fill &= (1 << B) - 1
+        delta = -16384
+    elif itheta == 16384:
+        imid, iside = 0, 32767
+        fill &= ((1 << B) - 1) << B
+        delta = 16384
+    else:
+        imid = bitexact_cos(itheta)
+        iside = bitexact_cos(16384 - itheta)
+        delta = _frac_mul16((N - 1) << 7, bitexact_log2tan(iside, imid))
+
+    sctx.inv = inv
+    sctx.imid = imid
+    sctx.iside = iside
+    sctx.delta = delta
+    sctx.itheta = itheta
+    sctx.qalloc = qalloc
+    return sctx, b, fill
+
+
+def quant_band_n1(ctx: BandCtx, X, Y, b, lowband_out):
+    dec = ctx.dec
+    stereo = Y is not None
+    for x in ([X, Y] if stereo else [X]):
+        sign = 0
+        if ctx.remaining_bits >= 1 << BITRES:
+            sign = dec.dec_bits(1)
+            ctx.remaining_bits -= 1 << BITRES
+            b -= 1 << BITRES
+        x[0] = -1.0 if sign else 1.0
+    if lowband_out is not None:
+        lowband_out[0] = X[0]
+    return 1
+
+
+def quant_partition(ctx: BandCtx, X, N, b, B, lowband, LM, gain, fill):
+    mode = ctx.mode
+    i = ctx.i
+    dec = ctx.dec
+    B0 = B
+    cache = _band_cache(mode, i, LM)
+    if LM != -1 and b > int(cache[int(cache[0])]) + 12 and N > 2:
+        N >>= 1
+        Y = X[N:]
+        LM -= 1
+        if B == 1:
+            fill = (fill & 1) | (fill << 1)
+        B = (B + 1) >> 1
+        sctx, b, fill = compute_theta(ctx, X, Y, N, b, B, B0, LM, 0, fill)
+        imid, iside = sctx.imid, sctx.iside
+        delta, itheta, qalloc = sctx.delta, sctx.itheta, sctx.qalloc
+        mid = imid / 32768.0
+        side = iside / 32768.0
+        if B0 > 1 and (itheta & 0x3FFF):
+            if itheta > 8192:
+                delta -= delta >> (4 - LM)
+            else:
+                delta = min(0, delta + (N << BITRES >> (5 - LM)))
+        mbits = max(0, min(b, cdiv(b - delta, 2)))
+        sbits = b - mbits
+        ctx.remaining_bits -= qalloc
+        next_lowband2 = lowband[N:] if lowband is not None else None
+        rebalance = ctx.remaining_bits
+        if mbits >= sbits:
+            cm = quant_partition(
+                ctx, X, N, mbits, B, lowband, LM, gain * mid, fill
+            )
+            rebalance = mbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 0:
+                sbits += rebalance - (3 << BITRES)
+            cm |= quant_partition(
+                ctx, Y, N, sbits, B, next_lowband2, LM, gain * side,
+                fill >> B,
+            ) << (B0 >> 1)
+        else:
+            cm = quant_partition(
+                ctx, Y, N, sbits, B, next_lowband2, LM, gain * side,
+                fill >> B,
+            ) << (B0 >> 1)
+            rebalance = sbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 16384:
+                mbits += rebalance - (3 << BITRES)
+            cm |= quant_partition(
+                ctx, X, N, mbits, B, lowband, LM, gain * mid, fill
+            )
+    else:
+        q = bits2pulses(mode, i, LM, b)
+        curr_bits = pulses2bits(mode, i, LM, q)
+        ctx.remaining_bits -= curr_bits
+        while ctx.remaining_bits < 0 and q > 0:
+            ctx.remaining_bits += curr_bits
+            q -= 1
+            curr_bits = pulses2bits(mode, i, LM, q)
+            ctx.remaining_bits -= curr_bits
+        if q != 0:
+            K = get_pulses(q)
+            cm = alg_unquant(X, N, K, ctx.spread, B, dec, gain)
+        else:
+            cm_mask = (1 << B) - 1
+            fill &= cm_mask
+            if not fill:
+                X[:N] = 0.0
+                cm = 0
+            else:
+                if lowband is None:
+                    for j in range(N):
+                        ctx.seed = celt_lcg_rand(ctx.seed)
+                        v = ctx.seed
+                        X[j] = float(
+                            np.int32(np.uint32(v)).item() >> 20
+                        )
+                    cm = cm_mask
+                else:
+                    for j in range(N):
+                        ctx.seed = celt_lcg_rand(ctx.seed)
+                        tmp = 1.0 / 256
+                        tmp = tmp if (ctx.seed & 0x8000) else -tmp
+                        X[j] = lowband[j] + tmp
+                    cm = fill
+                renormalise_vector(X, N, gain)
+    return cm
+
+
+def quant_band(
+    ctx: BandCtx, X, N, b, B, lowband, LM, lowband_out, gain,
+    lowband_scratch, fill,
+):
+    N0 = N
+    N_B = N
+    B0 = B
+    time_divide = 0
+    recombine = 0
+    longBlocks = B0 == 1
+    tf_change = ctx.tf_change
+
+    N_B //= B
+
+    if N == 1:
+        return quant_band_n1(ctx, X, None, b, lowband_out)
+
+    if tf_change > 0:
+        recombine = tf_change
+    if lowband_scratch is not None and lowband is not None and (
+        recombine or ((N_B & 1) == 0 and tf_change < 0) or B0 > 1
+    ):
+        lowband_scratch[:N] = lowband[:N]
+        lowband = lowband_scratch
+
+    fill = int(fill)
+    for k in range(recombine):
+        _haar1_lowband = lowband
+        if lowband is not None:
+            _haar1(lowband, N >> k, 1 << k)
+        fill = (
+            BIT_INTERLEAVE_TABLE[fill & 0xF]
+            | BIT_INTERLEAVE_TABLE[fill >> 4] << 2
+        )
+    B >>= recombine
+    N_B <<= recombine
+
+    while (N_B & 1) == 0 and tf_change < 0:
+        if lowband is not None:
+            _haar1(lowband, N_B, B)
+        fill |= fill << B
+        B <<= 1
+        N_B >>= 1
+        time_divide += 1
+        tf_change += 1
+    B0 = B
+    N_B0 = N_B
+
+    if B0 > 1 and lowband is not None:
+        _deinterleave_hadamard(
+            lowband, N_B >> recombine, B0 << recombine, longBlocks
+        )
+
+    cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill)
+
+    # Resynthesis (decoder always resynthesizes).
+    if B0 > 1:
+        _interleave_hadamard(X, N_B >> recombine, B0 << recombine, longBlocks)
+    N_B = N_B0
+    B = B0
+    for _ in range(time_divide):
+        B >>= 1
+        N_B <<= 1
+        cm |= cm >> B
+        _haar1(X, N_B, B)
+    for k in range(recombine):
+        cm = BIT_DEINTERLEAVE_TABLE[cm]
+        _haar1(X, N0 >> k, 1 << k)
+    B <<= recombine
+
+    if lowband_out is not None:
+        n = math.sqrt(N0)
+        for j in range(N0):
+            lowband_out[j] = n * X[j]
+    cm &= (1 << B) - 1
+    return cm
+
+
+def quant_band_stereo(
+    ctx: BandCtx, X, Y, N, b, B, lowband, LM, lowband_out,
+    lowband_scratch, fill,
+):
+    dec = ctx.dec
+    if N == 1:
+        return quant_band_n1(ctx, X, Y, b, lowband_out)
+    orig_fill = fill
+    sctx, b, fill = compute_theta(ctx, X, Y, N, b, B, B, LM, 1, fill)
+    inv = sctx.inv
+    imid, iside = sctx.imid, sctx.iside
+    delta, itheta, qalloc = sctx.delta, sctx.itheta, sctx.qalloc
+    mid = imid / 32768.0
+    side = iside / 32768.0
+
+    if N == 2:
+        mbits = b
+        sbits = 0
+        if itheta != 0 and itheta != 16384:
+            sbits = 1 << BITRES
+        mbits -= sbits
+        c = 1 if itheta > 8192 else 0
+        ctx.remaining_bits -= qalloc + sbits
+        x2 = Y if c else X
+        y2 = X if c else Y
+        sign = 0
+        if sbits:
+            sign = dec.dec_bits(1)
+        sign = 1 - 2 * sign
+        cm = quant_band(
+            ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
+            lowband_scratch, orig_fill,
+        )
+        y2[0] = -sign * x2[1]
+        y2[1] = sign * x2[0]
+        X[0] *= mid
+        X[1] *= mid
+        Y[0] *= side
+        Y[1] *= side
+        tmp = X[0]
+        X[0] = tmp - Y[0]
+        Y[0] = tmp + Y[0]
+        tmp = X[1]
+        X[1] = tmp - Y[1]
+        Y[1] = tmp + Y[1]
+    else:
+        mbits = max(0, min(b, cdiv(b - delta, 2)))
+        sbits = b - mbits
+        ctx.remaining_bits -= qalloc
+        rebalance = ctx.remaining_bits
+        if mbits >= sbits:
+            cm = quant_band(
+                ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                lowband_scratch, fill,
+            )
+            rebalance = mbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 0:
+                sbits += rebalance - (3 << BITRES)
+            cm |= quant_band(
+                ctx, Y, N, sbits, B, None, LM, None, side, None, fill >> B
+            )
+        else:
+            cm = quant_band(
+                ctx, Y, N, sbits, B, None, LM, None, side, None, fill >> B
+            )
+            rebalance = sbits - (rebalance - ctx.remaining_bits)
+            if rebalance > 3 << BITRES and itheta != 16384:
+                mbits += rebalance - (3 << BITRES)
+            cm |= quant_band(
+                ctx, X, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                lowband_scratch, fill,
+            )
+
+    if N != 2:
+        _stereo_merge(X, Y, mid, N)
+    if inv:
+        Y[:N] = -Y[:N]
+    return cm
+
+
+def _stereo_merge(X, Y, mid, N):
+    xp = float(np.dot(Y[:N], X[:N]))
+    side = float(np.dot(Y[:N], Y[:N]))
+    xp *= mid
+    mid2 = mid
+    El = mid2 * mid2 + side - 2 * xp
+    Er = mid2 * mid2 + side + 2 * xp
+    if Er < 6e-4 or El < 6e-4:
+        Y[:N] = X[:N]
+        return
+    lgain = 1.0 / math.sqrt(El)
+    rgain = 1.0 / math.sqrt(Er)
+    for j in range(N):
+        l = mid * X[j]
+        r = Y[j]
+        X[j] = lgain * (l - r)
+        Y[j] = rgain * (l + r)
+
+
+def quant_all_bands(
+    mode, start, end, X_, Y_, collapse_masks, pulses, shortBlocks, spread,
+    dual_stereo, intensity, tf_res, total_bits, balance, dec, LM,
+    codedBands, seed,
+):
+    eBands = mode.eBands
+    M = 1 << LM
+    B = M if shortBlocks else 1
+    C = 2 if Y_ is not None else 1
+    norm_offset = M * int(eBands[start])
+    norm_len = M * int(eBands[mode.nbEBands - 1]) - norm_offset
+    norm = np.zeros(norm_len, dtype=np.float64)
+    norm2 = np.zeros(norm_len, dtype=np.float64) if C == 2 else norm
+    scratch = np.zeros(M * int(eBands[mode.nbEBands]), dtype=np.float64)
+
+    lowband_offset = 0
+    update_lowband = True
+    ctx = BandCtx(mode=mode, intensity=intensity, spread=spread, dec=dec,
+                  seed=seed)
+
+    for i in range(start, end):
+        ctx.i = i
+        last = i == end - 1
+        X = X_[M * int(eBands[i]):]
+        Y = Y_[M * int(eBands[i]):] if Y_ is not None else None
+        N = M * int(eBands[i + 1]) - M * int(eBands[i])
+        tell = dec.tell_frac()
+
+        if i != start:
+            balance -= tell
+        remaining_bits = total_bits - tell - 1
+        ctx.remaining_bits = remaining_bits
+        if i <= codedBands - 1:
+            curr_balance = cdiv(balance, min(3, codedBands - i))
+            b = max(0, min(16383, min(remaining_bits + 1,
+                                      pulses[i] + curr_balance)))
+        else:
+            b = 0
+
+        if (M * int(eBands[i]) - N >= M * int(eBands[start])
+                and (update_lowband or lowband_offset == 0)):
+            lowband_offset = i
+
+        tf_change = tf_res[i]
+        ctx.tf_change = tf_change
+        lowband_scratch = scratch
+        if i == end - 1:
+            lowband_scratch = None
+
+        effective_lowband = -1
+        if lowband_offset != 0 and (
+            spread != SPREAD_AGGRESSIVE or B > 1 or tf_change < 0
+        ):
+            effective_lowband = max(
+                0, M * int(eBands[lowband_offset]) - norm_offset - N
+            )
+            fold_start = lowband_offset
+            while M * int(eBands[fold_start - 1]) > (
+                effective_lowband + norm_offset
+            ):
+                fold_start -= 1
+            fold_start -= 1
+            fold_end = lowband_offset - 1
+            while True:
+                fold_end += 1
+                if M * int(eBands[fold_end]) >= (
+                    effective_lowband + norm_offset + N
+                ):
+                    break
+            x_cm = y_cm = 0
+            for fold_i in range(fold_start, fold_end):
+                x_cm |= collapse_masks[fold_i * C + 0]
+                y_cm |= collapse_masks[fold_i * C + C - 1]
+        else:
+            x_cm = y_cm = (1 << B) - 1
+
+        if dual_stereo and i == intensity:
+            dual_stereo = 0
+            for j in range(M * int(eBands[i]) - norm_offset):
+                norm[j] = 0.5 * (norm[j] + norm2[j])
+
+        if dual_stereo:
+            x_cm = quant_band(
+                ctx, X, N, b // 2, B,
+                norm[effective_lowband:] if effective_lowband != -1 else None,
+                LM,
+                None if last else norm[M * int(eBands[i]) - norm_offset:],
+                1.0, lowband_scratch, x_cm,
+            )
+            y_cm = quant_band(
+                ctx, Y, N, b // 2, B,
+                norm2[effective_lowband:] if effective_lowband != -1 else None,
+                LM,
+                None if last else norm2[M * int(eBands[i]) - norm_offset:],
+                1.0, lowband_scratch, y_cm,
+            )
+        else:
+            if Y is not None:
+                x_cm = quant_band_stereo(
+                    ctx, X, Y, N, b, B,
+                    norm[effective_lowband:]
+                    if effective_lowband != -1 else None,
+                    LM,
+                    None if last else norm[M * int(eBands[i]) - norm_offset:],
+                    lowband_scratch, x_cm | y_cm,
+                )
+            else:
+                x_cm = quant_band(
+                    ctx, X, N, b, B,
+                    norm[effective_lowband:]
+                    if effective_lowband != -1 else None,
+                    LM,
+                    None if last else norm[M * int(eBands[i]) - norm_offset:],
+                    1.0, lowband_scratch, x_cm | y_cm,
+                )
+            y_cm = x_cm
+        collapse_masks[i * C + 0] = x_cm & 0xFF
+        collapse_masks[i * C + C - 1] = y_cm & 0xFF
+        balance += pulses[i] + tell
+        update_lowband = b > (N << BITRES)
+
+    return ctx.seed
+
+
+# --------------------------------------------------------------------------
+# anti-collapse + denormalise (reference: bands.c:258-351, 192-256)
+# --------------------------------------------------------------------------
+def anti_collapse(
+    mode, X_, collapse_masks, LM, C, size, start, end, logE, prev1logE,
+    prev2logE, pulses, seed,
+):
+    for i in range(start, end):
+        N0 = int(mode.eBands[i + 1] - mode.eBands[i])
+        depth = (1 + pulses[i]) // (N0 << LM)
+        thresh = 0.5 * math.pow(2.0, -0.125 * depth)
+        sqrt_1 = 1.0 / math.sqrt(N0 << LM)
+        for c in range(C):
+            prev1 = prev1logE[c * mode.nbEBands + i]
+            prev2 = prev2logE[c * mode.nbEBands + i]
+            if C == 1:
+                prev1 = max(prev1, prev1logE[mode.nbEBands + i])
+                prev2 = max(prev2, prev2logE[mode.nbEBands + i])
+            Ediff = max(0.0, logE[c * mode.nbEBands + i] - min(prev1, prev2))
+            r = 2.0 * math.pow(2.0, -Ediff)
+            if LM == 3:
+                r *= 1.41421356
+            r = min(thresh, r)
+            r = r * sqrt_1
+            X = X_[c * size + (int(mode.eBands[i]) << LM):]
+            renormalize = False
+            for k in range(1 << LM):
+                if not (collapse_masks[i * C + c] & (1 << k)):
+                    for j in range(N0):
+                        seed = celt_lcg_rand(seed)
+                        X[(j << LM) + k] = r if (seed & 0x8000) else -r
+                    renormalize = True
+            if renormalize:
+                renormalise_vector(X, N0 << LM, 1.0)
+    return seed
+
+
+def denormalise_bands(mode, X, freq, bandLogE_row, start, end, M):
+    """One channel: X [N] unit bands -> freq [N] scaled spectra."""
+    N = M * mode.shortMdctSize
+    freq[: M * int(mode.eBands[start])] = 0.0
+    for i in range(start, end):
+        j0 = M * int(mode.eBands[i])
+        j1 = M * int(mode.eBands[i + 1])
+        lg = bandLogE_row[i] + mode.eMeans[i]
+        g = math.exp(0.6931471805599453094 * lg)
+        freq[j0:j1] = X[j0:j1] * g
+    freq[M * int(mode.eBands[end]):N] = 0.0
+
+
+# --------------------------------------------------------------------------
+# Decoder state + frame decode
+# --------------------------------------------------------------------------
+@dataclass
+class CeltDecoderState:
+    channels: int
+    stream_channels: int = 0
+    start: int = 0
+    end: int = 0
+    downsample: int = 1
+    rng: int = 0
+    # energy memories [2, nbEBands]
+    oldEBands: np.ndarray = None
+    oldLogE: np.ndarray = None
+    oldLogE2: np.ndarray = None
+    backgroundLogE: np.ndarray = None
+    # postfilter
+    postfilter_period: int = 0
+    postfilter_gain: float = 0.0
+    postfilter_tapset: int = 0
+    postfilter_period_old: int = 0
+    postfilter_gain_old: float = 0.0
+    postfilter_tapset_old: int = 0
+    preemph_memD: np.ndarray = None
+    # decode history per channel (DECODE_BUFFER_SIZE + overlap)
+    decode_mem: np.ndarray = None
+
+    def __post_init__(self):
+        mode = mode48000()
+        nb = mode.nbEBands
+        if self.stream_channels == 0:
+            self.stream_channels = self.channels
+        self.end = mode.effEBands
+        self.oldEBands = np.zeros((2, nb))
+        self.oldLogE = np.full(2 * nb, -28.0)
+        self.oldLogE2 = np.full(2 * nb, -28.0)
+        self.backgroundLogE = np.zeros(2 * nb)
+        self.preemph_memD = np.zeros(2)
+        self.decode_mem = np.zeros(
+            (self.channels, DECODE_BUFFER_SIZE + mode.overlap)
+        )
+
+
+def celt_decode_frame(
+    st: CeltDecoderState, data: bytes, frame_size: int,
+    dec: RangeDecoder = None, accum_pcm=None,
+):
+    """Decode one CELT frame into time-domain float PCM [-1,1].
+
+    Mirrors celt_decode_with_ec (reference: celt_decoder_clean.c:353-724):
+    full host-side synthesis (NumPy IMDCT) used as the correctness oracle;
+    the production path extracts the denormalised spectra for batched TPU
+    synthesis instead (see decode_frame_to_freq).
+
+    Returns pcm [frame_size, CC] float64.
+    """
+    freq_info = celt_decode_frame_to_freq(st, data, frame_size, dec)
+    return celt_synthesize_host(st, freq_info)
+
+
+def celt_decode_frame_to_freq(
+    st: CeltDecoderState, data: bytes, frame_size: int,
+    dec: RangeDecoder = None,
+):
+    """Entropy-decode one frame to denormalised spectra + synthesis params.
+
+    This is the host/TPU boundary: everything after this call is dense,
+    batched math (IMDCT, overlap-add, comb filter, deemphasis).
+    """
+    mode = mode48000()
+    nbEBands = mode.nbEBands
+    eBands = mode.eBands
+    overlap = mode.overlap
+    CC = st.channels
+    C = st.stream_channels
+
+    LM = -1
+    for lm in range(mode.maxLM + 1):
+        if mode.shortMdctSize << lm == frame_size:
+            LM = lm
+            break
+    if LM < 0:
+        raise ValueError(f"bad frame size {frame_size}")
+    M = 1 << LM
+    N = M * mode.shortMdctSize
+
+    if dec is None:
+        dec = RangeDecoder(data)
+    length = len(data)
+
+    effEnd = min(st.end, mode.effEBands)
+    oldBandE = st.oldEBands
+
+    if C == 1:
+        oldBandE[0, :] = np.maximum(oldBandE[0, :], oldBandE[1, :])
+
+    total_bits = length * 8
+    tell = dec.tell()
+    if tell >= total_bits:
+        silence = 1
+    elif tell == 1:
+        silence = dec.dec_bit_logp(15)
+    else:
+        silence = 0
+    if silence:
+        tell = length * 8
+        dec.nbits_total += tell - dec.tell()
+
+    postfilter_gain = 0.0
+    postfilter_pitch = 0
+    postfilter_tapset = 0
+    if st.start == 0 and tell + 16 <= total_bits:
+        if dec.dec_bit_logp(1):
+            octave = dec.dec_uint(6)
+            postfilter_pitch = (16 << octave) + dec.dec_bits(4 + octave) - 1
+            qg = dec.dec_bits(3)
+            if dec.tell() + 2 <= total_bits:
+                postfilter_tapset = dec.dec_icdf(TAPSET_ICDF, 2)
+            postfilter_gain = 0.09375 * (qg + 1)
+        tell = dec.tell()
+
+    if LM > 0 and tell + 3 <= total_bits:
+        isTransient = dec.dec_bit_logp(3)
+        tell = dec.tell()
+    else:
+        isTransient = 0
+    shortBlocks = M if isTransient else 0
+
+    intra_ener = dec.dec_bit_logp(3) if tell + 3 <= total_bits else 0
+    unquant_coarse_energy(
+        mode, st.start, st.end, oldBandE, intra_ener, dec, C, LM
+    )
+
+    tf_res = [0] * nbEBands
+    tf_decode(st.start, st.end, isTransient, tf_res, LM, dec)
+
+    tell = dec.tell()
+    spread_decision = SPREAD_NORMAL
+    if tell + 4 <= total_bits:
+        spread_decision = dec.dec_icdf(SPREAD_ICDF, 5)
+
+    cap = init_caps(mode, LM, C)
+    offsets = [0] * nbEBands
+    dynalloc_logp = 6
+    total_bits <<= BITRES
+    tell = dec.tell_frac()
+    for i in range(st.start, st.end):
+        width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
+        quanta = min(width << BITRES, max(6 << BITRES, width))
+        dynalloc_loop_logp = dynalloc_logp
+        boost = 0
+        while (
+            tell + (dynalloc_loop_logp << BITRES) < total_bits
+            and boost < cap[i]
+        ):
+            flag = dec.dec_bit_logp(dynalloc_loop_logp)
+            tell = dec.tell_frac()
+            if not flag:
+                break
+            boost += quanta
+            total_bits -= quanta
+            dynalloc_loop_logp = 1
+        offsets[i] = boost
+        if boost > 0:
+            dynalloc_logp = max(2, dynalloc_logp - 1)
+
+    alloc_trim = (
+        dec.dec_icdf(TRIM_ICDF, 7)
+        if tell + (6 << BITRES) <= total_bits
+        else 5
+    )
+
+    bits = (length * 8 << BITRES) - dec.tell_frac() - 1
+    anti_collapse_rsv = (
+        (1 << BITRES)
+        if (isTransient and LM >= 2 and bits >= ((LM + 2) << BITRES))
+        else 0
+    )
+    bits -= anti_collapse_rsv
+
+    (codedBands, balance, pulses, fine_quant, fine_priority,
+     intensity, dual_stereo) = compute_allocation(
+        mode, st.start, st.end, offsets, cap, alloc_trim, bits, C, LM, dec
+    )
+
+    unquant_fine_energy(
+        mode, st.start, st.end, oldBandE, fine_quant, dec, C
+    )
+
+    collapse_masks = [0] * (C * nbEBands)
+    X = np.zeros(C * N, dtype=np.float64)
+    Xv = X[:N]
+    Yv = X[N:] if C == 2 else None
+    st.rng = quant_all_bands(
+        mode, st.start, st.end, Xv, Yv, collapse_masks, pulses,
+        shortBlocks, spread_decision, dual_stereo, intensity, tf_res,
+        length * (8 << BITRES) - anti_collapse_rsv, balance, dec, LM,
+        codedBands, st.rng,
+    )
+
+    anti_collapse_on = 0
+    if anti_collapse_rsv > 0:
+        anti_collapse_on = dec.dec_bits(1)
+
+    unquant_energy_finalise(
+        mode, st.start, st.end, oldBandE, fine_quant, fine_priority,
+        length * 8 - dec.tell(), dec, C,
+    )
+
+    if anti_collapse_on:
+        st.rng = anti_collapse(
+            mode, X, collapse_masks, LM, C, N, st.start, st.end,
+            oldBandE.reshape(-1), st.oldLogE, st.oldLogE2, pulses, st.rng,
+        )
+
+    freq = np.zeros((max(CC, C), N), dtype=np.float64)
+    if silence:
+        oldBandE[:, :] = -28.0
+    else:
+        for c in range(C):
+            denormalise_bands(
+                mode, X[c * N:(c + 1) * N], freq[c], oldBandE[c],
+                st.start, effEnd, M,
+            )
+
+    for c in range(C):
+        bound = M * int(eBands[effEnd])
+        if st.downsample != 1:
+            bound = min(bound, N // st.downsample)
+        freq[c, bound:] = 0.0
+
+    if CC == 2 and C == 1:
+        freq[1, :] = freq[0, :]
+    if CC == 1 and C == 2:
+        freq[0, :] = 0.5 * (freq[0, :] + freq[1, :])
+
+    # Energy-memory rollover (reference: celt_decoder_clean.c:685-720)
+    if C == 1:
+        oldBandE[1, :] = oldBandE[0, :]
+    flatE = oldBandE.reshape(-1)
+    if not isTransient:
+        st.oldLogE2[:] = st.oldLogE
+        st.oldLogE[:] = flatE
+        st.backgroundLogE[:] = np.minimum(
+            st.backgroundLogE + M * 0.001, flatE
+        )
+    else:
+        st.oldLogE[:] = np.minimum(st.oldLogE, flatE)
+    for c in range(2):
+        flatE_c = oldBandE[c]
+        flatE_c[: st.start] = 0.0
+        flatE_c[st.end:] = 0.0
+        st.oldLogE[c * nbEBands: c * nbEBands + st.start] = -28.0
+        st.oldLogE2[c * nbEBands: c * nbEBands + st.start] = -28.0
+        st.oldLogE[c * nbEBands + st.end: (c + 1) * nbEBands] = -28.0
+        st.oldLogE2[c * nbEBands + st.end: (c + 1) * nbEBands] = -28.0
+    st.rng = dec.rng
+
+    return {
+        "freq": freq,
+        "N": N,
+        "LM": LM,
+        "C": C,
+        "CC": CC,
+        "shortBlocks": shortBlocks,
+        "postfilter_pitch": postfilter_pitch,
+        "postfilter_gain": postfilter_gain,
+        "postfilter_tapset": postfilter_tapset,
+        "silence": silence,
+    }
+
+
+def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,
+                overlap):
+    """In-place pitch postfilter (reference: celt/celt.c:114-172).
+
+    x/y are the same decode-history array; `off` is the start index of the
+    N-sample region being filtered (reads reach back off - T - 2).
+    """
+    if g0 == 0.0 and g1 == 0.0:
+        return
+    g00 = g0 * COMB_GAINS[tapset0][0]
+    g01 = g0 * COMB_GAINS[tapset0][1]
+    g02 = g0 * COMB_GAINS[tapset0][2]
+    g10 = g1 * COMB_GAINS[tapset1][0]
+    g11 = g1 * COMB_GAINS[tapset1][1]
+    g12 = g1 * COMB_GAINS[tapset1][2]
+    x1 = x[off - T1 + 1]
+    x2 = x[off - T1]
+    x3 = x[off - T1 - 1]
+    x4 = x[off - T1 - 2]
+    if g0 == g1 and T0 == T1 and tapset0 == tapset1:
+        i = 0
+    else:
+        for i in range(overlap):
+            f = window[i] * window[i]
+            x0 = x[off + i - T1 + 2]
+            y[off + i] = (
+                x[off + i]
+                + (1 - f) * g00 * x[off + i - T0]
+                + (1 - f) * g01 * (x[off + i - T0 + 1] + x[off + i - T0 - 1])
+                + (1 - f) * g02 * (x[off + i - T0 + 2] + x[off + i - T0 - 2])
+                + f * g10 * x2
+                + f * g11 * (x1 + x3)
+                + f * g12 * (x0 + x4)
+            )
+            x4, x3, x2, x1 = x3, x2, x1, x0
+        i = overlap
+        if g1 == 0.0:
+            return
+    # Constant-parameter tail (comb_filter_const)
+    x4 = x[off + i - T1 - 2]
+    x3 = x[off + i - T1 - 1]
+    x2 = x[off + i - T1]
+    x1 = x[off + i - T1 + 1]
+    for j in range(i, N):
+        x0 = x[off + j - T1 + 2]
+        y[off + j] = (
+            x[off + j] + g10 * x2 + g11 * (x1 + x3) + g12 * (x0 + x4)
+        )
+        x4, x3, x2, x1 = x3, x2, x1, x0
+
+
+def celt_synthesize_host(st: CeltDecoderState, info) -> np.ndarray:
+    """Host (NumPy) synthesis: IMDCT + TDAC + postfilter + deemphasis.
+
+    Used as the oracle; the TPU path implements the same math batched.
+    """
+    from ...ops.imdct import celt_imdct_reference
+
+    mode = mode48000()
+    overlap = mode.overlap
+    N = info["N"]
+    CC = info["CC"]
+    LM = info["LM"]
+    shortBlocks = info["shortBlocks"]
+    freq = info["freq"]
+
+    out = np.zeros((CC, N))
+    for c in range(CC):
+        buf = st.decode_mem[c]
+        # Slide history (reference: OPUS_MOVE, celt_decoder_clean.c:625)
+        buf[: DECODE_BUFFER_SIZE - N + overlap // 2] = buf[
+            N: DECODE_BUFFER_SIZE + overlap // 2
+        ]
+        pos = DECODE_BUFFER_SIZE - N
+        if shortBlocks:
+            B = shortBlocks
+            n_short = mode.shortMdctSize
+            Nmdct = 2 * n_short  # l->n >> maxLM = 240
+            for b in range(B):
+                spec = freq[c, b::B][: n_short]
+                res = celt_imdct_reference(
+                    spec, Nmdct, overlap,
+                    prev_tail=buf[pos + n_short * b:
+                                  pos + n_short * b + overlap // 2].copy(),
+                )
+                buf[pos + n_short * b:
+                    pos + n_short * b + n_short + overlap] = res
+        else:
+            Nmdct = (2 * mode.shortMdctSize) << LM
+            spec = freq[c, :N]
+            res = celt_imdct_reference(
+                spec, Nmdct, overlap, prev_tail=buf[pos: pos + overlap // 2].copy()
+            )
+            buf[pos: pos + N + overlap] = res
+
+        # Postfilter (reference: celt_decoder_clean.c:652-668)
+        T_old = max(st.postfilter_period, COMBFILTER_MINPERIOD)
+        T_old2 = max(st.postfilter_period_old, COMBFILTER_MINPERIOD)
+        comb_filter(
+            buf, buf, pos, T_old2, T_old, mode.shortMdctSize,
+            st.postfilter_gain_old, st.postfilter_gain,
+            st.postfilter_tapset_old, st.postfilter_tapset,
+            mode.window, overlap,
+        )
+        if LM != 0:
+            comb_filter(
+                buf, buf, pos + mode.shortMdctSize, T_old,
+                info["postfilter_pitch"], N - mode.shortMdctSize,
+                st.postfilter_gain, info["postfilter_gain"],
+                st.postfilter_tapset, info["postfilter_tapset"],
+                mode.window, overlap,
+            )
+        out[c] = buf[pos: pos + N]
+
+    st.postfilter_period_old = st.postfilter_period
+    st.postfilter_gain_old = st.postfilter_gain
+    st.postfilter_tapset_old = st.postfilter_tapset
+    st.postfilter_period = info["postfilter_pitch"]
+    st.postfilter_gain = info["postfilter_gain"]
+    st.postfilter_tapset = info["postfilter_tapset"]
+    if LM != 0:
+        st.postfilter_period_old = st.postfilter_period
+        st.postfilter_gain_old = st.postfilter_gain
+        st.postfilter_tapset_old = st.postfilter_tapset
+
+    # Deemphasis (reference: celt_decoder_clean.c deemphasis :189-256)
+    coef0 = mode.preemph[0]
+    pcm = np.zeros((N, CC))
+    for c in range(CC):
+        m = st.preemph_memD[c]
+        x = out[c]
+        y = np.empty(N)
+        for j in range(N):
+            tmp = x[j] + m + VERY_SMALL
+            m = coef0 * tmp
+            y[j] = tmp
+        st.preemph_memD[c] = m
+        pcm[:, c] = y * (1.0 / CELT_SIG_SCALE)
+    return pcm

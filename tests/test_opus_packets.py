@@ -1,0 +1,78 @@
+"""Opus decoder validated packet-for-packet against reference libopus.
+
+Golden corpus: tests/golden/opus_packets.bin (tools/opus_packets_golden.c)
+— encoder-forced CELT / SILK / hybrid cases decoded by opus_decode_float.
+"""
+
+import pathlib
+import struct
+
+import numpy as np
+import pytest
+
+from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+GOLDEN = pathlib.Path(__file__).parent / "golden" / "opus_packets.bin"
+
+
+def load_cases():
+    if not GOLDEN.exists():
+        return []
+    raw = GOLDEN.read_bytes()
+    pos = 0
+    (n_cases,) = struct.unpack_from("<i", raw, pos)
+    pos += 4
+    cases = []
+    for _ in range(n_cases):
+        ch, sr, n_packets, frame = struct.unpack_from("<4i", raw, pos)
+        pos += 16
+        packets = []
+        for _ in range(n_packets):
+            (ln,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            packets.append(raw[pos : pos + ln])
+            pos += ln
+        (n_samples,) = struct.unpack_from("<q", raw, pos)
+        pos += 8
+        pcm = np.frombuffer(raw, "<f4", n_samples, pos)
+        pos += 4 * n_samples
+        cases.append(dict(ch=ch, sr=sr, frame=frame, packets=packets, pcm=pcm))
+    return cases
+
+
+CASES = load_cases()
+CELT_CASES = [0, 1, 2, 3, 4, 5, 6, 7]
+SILK_CASES = [8, 9, 10]
+HYBRID_CASES = [11, 12, 13]
+
+
+def run_case(idx, tol=1e-4):
+    case = CASES[idx]
+    dec = OpusDecoder(case["ch"])
+    outs = [dec.decode_packet(p) for p in case["packets"]]
+    mine = np.concatenate(outs, axis=0).reshape(-1)
+    ref = case["pcm"]
+    assert mine.size == ref.size, (mine.size, ref.size)
+    err = np.abs(mine - ref).max()
+    assert err < tol, f"case {idx}: max abs err {err}"
+
+
+@pytest.mark.parametrize("idx", CELT_CASES)
+def test_celt_only_cases(idx):
+    if not CASES:
+        pytest.skip("opus packet goldens not generated")
+    run_case(idx)
+
+
+@pytest.mark.parametrize("idx", SILK_CASES)
+def test_silk_cases(idx):
+    if not CASES:
+        pytest.skip("opus packet goldens not generated")
+    run_case(idx)
+
+
+@pytest.mark.parametrize("idx", HYBRID_CASES)
+def test_hybrid_cases(idx):
+    if not CASES:
+        pytest.skip("opus packet goldens not generated")
+    run_case(idx)
