@@ -1,7 +1,257 @@
-"""Ogg Opus decoder — placeholder, implemented in a later milestone."""
-from ...audio_data import AudioData
+"""Ogg Opus decoding: container + multistream + trimming.
+
+Equivalent of the reference's OpusDecoder glue + opusfile slice
+(reference: src/OpusDecoder.cpp:44-122, third_party/opus/opusfile:
+op_read_float :2911, op_head/op_pcm_total :1741/:1711) and the
+multistream channel mapping (libopus/src/opus_multistream_decoder.c:184).
+Output: interleaved float32 at 48 kHz, like the reference (fixed 48 kHz,
+OpusDecoder.cpp:75-84).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ...audio_data import AudioData, PCMFormat
 from ...errors import DecodeError
+from .. import ogg
+from .decoder import OpusDecoder
+
+
+@dataclass
+class OpusHead:
+    version: int
+    channels: int
+    pre_skip: int
+    input_rate: int
+    output_gain_q8: int
+    mapping_family: int
+    stream_count: int
+    coupled_count: int
+    mapping: List[int]
+
+
+def parse_opus_head(data: bytes) -> OpusHead:
+    if not data.startswith(b"OpusHead") or len(data) < 19:
+        raise DecodeError("bad OpusHead")
+    version = data[8]
+    channels = data[9]
+    pre_skip = struct.unpack_from("<H", data, 10)[0]
+    input_rate = struct.unpack_from("<I", data, 12)[0]
+    output_gain = struct.unpack_from("<h", data, 16)[0]
+    family = data[18]
+    if family == 0:
+        if channels > 2:
+            raise DecodeError("mapping family 0 allows at most 2 channels")
+        streams, coupled = 1, channels - 1
+        mapping = list(range(channels))
+    else:
+        if len(data) < 21 + channels:
+            raise DecodeError("truncated OpusHead channel mapping")
+        streams = data[19]
+        coupled = data[20]
+        mapping = list(data[21 : 21 + channels])
+    return OpusHead(
+        version=version,
+        channels=channels,
+        pre_skip=pre_skip,
+        input_rate=input_rate,
+        output_gain_q8=output_gain,
+        mapping_family=family,
+        stream_count=streams,
+        coupled_count=coupled,
+        mapping=mapping,
+    )
+
+
+class OpusMultistreamDecoder:
+    """N elementary streams -> mapped output channels
+    (reference: opus_multistream_decoder.c:184-404)."""
+
+    def __init__(self, head: OpusHead):
+        self.head = head
+        self.decoders = []
+        for s in range(head.stream_count):
+            ch = 2 if s < head.coupled_count else 1
+            dec = OpusDecoder(ch)
+            dec.decode_gain = head.output_gain_q8
+            self.decoders.append(dec)
+
+    def decode_packet(self, data: bytes) -> np.ndarray:
+        head = self.head
+        # Split the multistream packet: self-delimited for all but last.
+        frames_per_stream = []
+        pos = 0
+        for s in range(head.stream_count):
+            last = s == head.stream_count - 1
+            if last:
+                seg = data[pos:]
+                pos = len(data)
+            else:
+                seg, pos = self._undelimit(data, pos)
+            frames_per_stream.append(seg)
+        outs = [
+            self.decoders[s].decode_packet(frames_per_stream[s])
+            for s in range(head.stream_count)
+        ]
+        n = outs[0].shape[0]
+        chans = []
+        for s, out in enumerate(outs):
+            if out.shape[0] != n:
+                raise DecodeError("stream length mismatch in multistream")
+        result = np.zeros((n, head.channels))
+        for c, m in enumerate(head.mapping):
+            if m == 255:
+                continue
+            if m < 2 * head.coupled_count:
+                result[:, c] = outs[m >> 1][:, m & 1]
+            else:
+                result[:, c] = outs[head.coupled_count + (m - 2 * head.coupled_count)][:, 0]
+        return result
+
+    @staticmethod
+    def _undelimit(data: bytes, pos: int):
+        """Strip RFC 6716 Appendix B self-delimited framing.
+
+        Returns (undelimited_packet_bytes, next_pos). Self-delimited
+        packets carry one extra frame-length field (the otherwise-implicit
+        last-frame size); reconstruct the equivalent undelimited packet
+        for the standard packet parser.
+        """
+        if pos >= len(data):
+            raise DecodeError("truncated multistream packet")
+        toc = data[pos]
+        code = toc & 0x3
+
+        def parse_size(p):
+            if p >= len(data):
+                raise DecodeError("truncated multistream packet")
+            b = data[p]
+            p += 1
+            if b < 252:
+                return b, p
+            if p >= len(data):
+                raise DecodeError("truncated multistream packet")
+            return 4 * data[p] + b, p + 1
+
+        p = pos + 1
+        if code == 0:
+            size, p = parse_size(p)  # extra field: the single frame's size
+            end = p + size
+            pkt = bytes([toc]) + data[p:end]
+            return pkt, end
+        if code == 1:
+            size, p = parse_size(p)  # extra field: per-frame size
+            end = p + 2 * size
+            pkt = bytes([toc]) + data[p:end]
+            return pkt, end
+        if code == 2:
+            sz_field_start = p
+            s1, p = parse_size(p)
+            s2, p = parse_size(p)   # extra field: second frame's size
+            end = p + s1 + s2
+            pkt = bytes([toc]) + data[sz_field_start:sz_field_start + (
+                1 if s1 < 252 else 2)] + data[p:end]
+            return pkt, end
+        # code 3
+        hdr_start = p
+        ch = data[p]
+        p += 1
+        count = ch & 0x3F
+        if count <= 0:
+            raise DecodeError("invalid multistream frame count")
+        padding = 0
+        while_pad_start = p
+        if ch & 0x40:
+            while True:
+                b = data[p]
+                p += 1
+                padding += b if b < 255 else 254
+                if b != 255:
+                    break
+        pad_bytes = data[while_pad_start:p]
+        if ch & 0x80:  # VBR: all `count` sizes present (extra = last one)
+            size_fields_start = p
+            sizes = []
+            for _ in range(count):
+                sz, p = parse_size(p)
+                sizes.append(sz)
+            # Undelimited keeps only the first count-1 size fields.
+            q = size_fields_start
+            for _ in range(count - 1):
+                _, q = parse_size(q)
+            kept_fields = data[size_fields_start:q]
+            frames_start = p
+            total = sum(sizes)
+            end = frames_start + total + padding
+            pkt = (
+                bytes([toc, ch])
+                + pad_bytes
+                + kept_fields
+                + data[frames_start : frames_start + total]
+                + data[frames_start + total : end]  # padding bytes
+            )
+            return pkt, end
+        # CBR: one size field (extra; undelimited CBR has none)
+        sz, p = parse_size(p)
+        frames_start = p
+        total = sz * count
+        end = frames_start + total + padding
+        pkt = (
+            bytes([toc, ch])
+            + pad_bytes
+            + data[frames_start : frames_start + total]
+            + data[frames_start + total : end]
+        )
+        return pkt, end
+
+
+def decode_ogg_opus(data: bytes):
+    """Full Ogg Opus decode -> (float64 [n, channels], head)."""
+    streams = ogg.demux(data)
+    st = ogg.first_stream_matching(streams, b"OpusHead")
+    if st is None:
+        raise DecodeError("no Opus stream found in Ogg container")
+    head = parse_opus_head(st.packets[0].data)
+    if head.version >> 4 != 0:
+        raise DecodeError("unsupported OpusHead version")
+    # packets[1] is OpusTags; audio packets start at index 2.
+    ms = OpusMultistreamDecoder(head)
+    chunks = []
+    total = 0
+    end_granule = None
+    for pkt in st.packets[2:]:
+        if len(pkt.data) == 0:
+            continue
+        out = ms.decode_packet(pkt.data)
+        chunks.append(out)
+        total += out.shape[0]
+        if pkt.granule_pos >= 0:
+            end_granule = pkt.granule_pos
+    if not chunks:
+        return np.zeros((0, head.channels)), head
+    pcm = np.concatenate(chunks, axis=0)
+    # Trim: drop pre-skip, honor final granule position (opusfile
+    # op_pcm_total semantics).
+    start = head.pre_skip
+    if end_granule is not None:
+        end = min(pcm.shape[0], end_granule)
+    else:
+        end = pcm.shape[0]
+    pcm = pcm[start:end]
+    return pcm, head
 
 
 def decode_opus_buffer(data: bytes, audio: AudioData) -> None:
-    raise DecodeError("opus decoding not yet implemented")
+    pcm, head = decode_ogg_opus(data)
+    audio.channel_count = head.channels
+    audio.sample_rate = 48000  # fixed like the reference (OpusDecoder.cpp:75)
+    audio.source_format = PCMFormat.PCM_FLT
+    audio.samples = np.ascontiguousarray(
+        pcm.reshape(-1), dtype=np.float32
+    )
+    audio.length_seconds = pcm.shape[0] / 48000.0
