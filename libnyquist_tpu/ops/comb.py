@@ -90,45 +90,42 @@ def comb_filter_stream(x: jax.Array, hist: jax.Array, T0, T1, gains0,
     """
     B, S = x.shape
     n_chunks = S // CHUNK
+    # Ring history carry: the filter never reads further back than
+    # HIST = MAXPERIOD + 2 samples, so the scan carry is a fixed [B, HIST]
+    # window (O(S·HIST) traffic, not O(S²) like carrying the full buffer).
+    xc = x.reshape(B, n_chunks, CHUNK).transpose(1, 0, 2)        # [n,B,c]
+    fadec = fade.transpose(1, 0, 2)                              # [n,B,c]
+    g0c = gains0.transpose(1, 0, 2)
+    g1c = gains1.transpose(1, 0, 2)
+    T0c = T0.T                                                   # [n,B]
+    T1c = T1.T
 
-    # Work buffer: [B, HIST + S]; scan fills chunk by chunk.
-    buf0 = jnp.concatenate([hist, jnp.zeros_like(x)], axis=1)
+    offs = jnp.arange(CHUNK)
 
-    def taps(buf, start, T, g):
-        # gather y[start + j - T + d] for j in [0, CHUNK), d in [-2, 2]
-        base = start + HIST - T  # [B]
-        offs = jnp.arange(CHUNK)
-        idx = base[:, None] + offs[None, :]       # [B, CHUNK] center
-        y0 = jnp.take_along_axis(buf, idx, axis=1)
-        ym1 = jnp.take_along_axis(buf, idx - 1, axis=1)
-        yp1 = jnp.take_along_axis(buf, idx + 1, axis=1)
-        ym2 = jnp.take_along_axis(buf, idx - 2, axis=1)
-        yp2 = jnp.take_along_axis(buf, idx + 2, axis=1)
+    def taps(h, T, g):
+        # h: [B, HIST]; sample j of the chunk reads h at index
+        # HIST - T + j + d for d in {-2..2} (all < HIST since T >= 15,
+        # j <= CHUNK-1 = 11, so index <= HIST - 15 + 11 + 2 < HIST).
+        idx = (HIST - T)[:, None] + offs[None, :]
+        y0 = jnp.take_along_axis(h, idx, axis=1)
+        ym1 = jnp.take_along_axis(h, idx - 1, axis=1)
+        yp1 = jnp.take_along_axis(h, idx + 1, axis=1)
+        ym2 = jnp.take_along_axis(h, idx - 2, axis=1)
+        yp2 = jnp.take_along_axis(h, idx + 2, axis=1)
         return (
             g[:, 0:1] * y0
             + g[:, 1:2] * (ym1 + yp1)
             + g[:, 2:3] * (ym2 + yp2)
         )
 
-    def body(k, buf):
-        start = k * CHUNK
-        xk = jax.lax.dynamic_slice_in_dim(x, start, CHUNK, axis=1)
-        f = jax.lax.dynamic_slice_in_dim(fade, k, 1, axis=1)[:, 0]  # [B, CHUNK]
-        g0k = jax.lax.dynamic_slice_in_dim(gains0, k, 1, axis=1)[:, 0]
-        g1k = jax.lax.dynamic_slice_in_dim(gains1, k, 1, axis=1)[:, 0]
-        t0k = jax.lax.dynamic_slice_in_dim(T0, k, 1, axis=1)[:, 0]
-        t1k = jax.lax.dynamic_slice_in_dim(T1, k, 1, axis=1)[:, 0]
-        startv = jnp.full((B,), start, jnp.int32)
-        old = taps(buf, startv, t0k, g0k)
-        new = taps(buf, startv, t1k, g1k)
-        yk = xk + (1.0 - f) * old + f * new
-        return jax.lax.dynamic_update_slice_in_dim(
-            buf, yk, HIST + start, axis=1
-        )
+    def step(h, inputs):
+        xk, f, g0k, g1k, t0k, t1k = inputs
+        yk = xk + (1.0 - f) * taps(h, t0k, g0k) + f * taps(h, t1k, g1k)
+        h = jnp.concatenate([h[:, CHUNK:], yk], axis=1)
+        return h, yk
 
-    buf = jax.lax.fori_loop(0, n_chunks, body, buf0)
-    y = buf[:, HIST:]
-    new_hist = buf[:, S : S + HIST] if S >= HIST else jnp.concatenate(
-        [hist[:, S:], buf[:, HIST:]], axis=1
+    new_hist, ys = jax.lax.scan(
+        step, hist, (xc, fadec, g0c, g1c, T0c, T1c)
     )
+    y = ys.transpose(1, 0, 2).reshape(B, S)
     return y, new_hist

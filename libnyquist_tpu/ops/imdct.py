@@ -173,12 +173,13 @@ def _synthesize(spectra, matrix, init_tail, n2, overlap):
     )  # [F, n2 + ov]
     main = c[:, :n2]
     tails = jnp.concatenate([init_tail[None, :], c[:, n2:]], axis=0)
-    # Add frame f's tail to the head of frame f+1's region; the last tail
-    # is returned as the carry for the next batch.
+    # Add frame f's tail to the head of frame f+1's region. All per-frame
+    # carry-out tails are returned so callers running padded (bucketed)
+    # batches can pick the tail after the last REAL frame.
     pad = jnp.zeros((tails.shape[0] - 1, n2 - overlap), jnp.float32)
     shifted = jnp.concatenate([tails[:-1], pad], axis=1)
     out = (main + shifted).reshape(-1)
-    return out, tails[-1]
+    return out, tails
 
 
 def celt_imdct_batch(
@@ -203,4 +204,28 @@ def celt_imdct_batch(
     M = jnp.asarray(celt_synthesis_matrix(N, overlap, B))
     if init_tail is None:
         init_tail = jnp.zeros((overlap,), jnp.float32)
-    return _synthesize(spectra.astype(jnp.float32), M, init_tail, n2, overlap)
+    out, tails = _synthesize(
+        spectra.astype(jnp.float32), M, init_tail, n2, overlap
+    )
+    return out, tails[-1]
+
+
+def celt_imdct_batch_padded(
+    spectra: jax.Array,
+    n_real: int,
+    N: int,
+    overlap: int,
+    B: int = 1,
+    init_tail: jax.Array | None = None,
+):
+    """Like celt_imdct_batch but for zero-padded frame batches: returns the
+    carry tail after frame `n_real` (padding frames contribute nothing to
+    the real region since their spectra are zero)."""
+    n2 = B * (N // 2)
+    M = jnp.asarray(celt_synthesis_matrix(N, overlap, B))
+    if init_tail is None:
+        init_tail = jnp.zeros((overlap,), jnp.float32)
+    out, tails = _synthesize(
+        spectra.astype(jnp.float32), M, init_tail, n2, overlap
+    )
+    return out, tails[n_real]

@@ -7,13 +7,22 @@ be on an 8-chip slice. The benchmark (bench.py) runs on real TPU hardware.
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA flags must be set before the CPU client is created.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin registers itself via sitecustomize and pre-sets
+# JAX_PLATFORMS=axon in the environment, so plain env overrides are
+# ignored; the config API still wins. Tests run on the virtual 8-device
+# CPU mesh; only bench.py uses the real chip.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
 

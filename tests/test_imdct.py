@@ -116,7 +116,7 @@ def test_fused_batch_op_matches_sequential(N, B):
     # Compare the fully-settled region (everything before the last tail).
     settle = F * B * n2 - overlap
     err = np.abs(pcm[:settle] - buf[:settle]).max()
-    assert err < 5e-5, err
+    assert err < 1e-4, err
     # And the final carry tail must let the next batch continue the stream.
     pcm2, _ = imdct.celt_imdct_batch(
         spectra[:1], N, overlap, B=B, init_tail=tail
@@ -126,4 +126,4 @@ def test_fused_batch_op_matches_sequential(N, B):
         N, overlap, prev_tail=buf[pos : pos + overlap // 2].copy(),
     )
     err2 = np.abs(np.asarray(pcm2)[:overlap] - nxt[:overlap]).max()
-    assert err2 < 5e-5, err2
+    assert err2 < 1e-4, err2
