@@ -100,32 +100,37 @@ def comb_filter_stream(x: jax.Array, hist: jax.Array, T0, T1, gains0,
     T0c = T0.T                                                   # [n,B]
     T1c = T1.T
 
-    offs = jnp.arange(CHUNK)
+    win_offs = jnp.arange(CHUNK + 4)
 
-    def taps(h, T, g):
-        # h: [B, HIST]; sample j of the chunk reads h at index
-        # HIST - T + j + d for d in {-2..2} (all < HIST since T >= 15,
-        # j <= CHUNK-1 = 11, so index <= HIST - 15 + 11 + 2 < HIST).
-        idx = (HIST - T)[:, None] + offs[None, :]
-        y0 = jnp.take_along_axis(h, idx, axis=1)
-        ym1 = jnp.take_along_axis(h, idx - 1, axis=1)
-        yp1 = jnp.take_along_axis(h, idx + 1, axis=1)
-        ym2 = jnp.take_along_axis(h, idx - 2, axis=1)
-        yp2 = jnp.take_along_axis(h, idx + 2, axis=1)
+    def tap_mix(w, g):
+        # w: [B, CHUNK+4] contiguous window centered on the lag reads.
         return (
-            g[:, 0:1] * y0
-            + g[:, 1:2] * (ym1 + yp1)
-            + g[:, 2:3] * (ym2 + yp2)
+            g[:, 0:1] * w[:, 2 : 2 + CHUNK]
+            + g[:, 1:2] * (w[:, 1 : 1 + CHUNK] + w[:, 3 : 3 + CHUNK])
+            + g[:, 2:3] * (w[:, 0:CHUNK] + w[:, 4 : 4 + CHUNK])
         )
 
     def step(h, inputs):
         xk, f, g0k, g1k, t0k, t1k = inputs
-        yk = xk + (1.0 - f) * taps(h, t0k, g0k) + f * taps(h, t1k, g1k)
+        # Single fused gather for BOTH tap sets: two 16-wide contiguous
+        # windows h[HIST - T - 2 + (0..15)] (T >= 15 keeps every read
+        # strictly before the chunk, so h alone suffices).
+        idx = jnp.concatenate(
+            [
+                (HIST - t0k - 2)[:, None] + win_offs[None, :],
+                (HIST - t1k - 2)[:, None] + win_offs[None, :],
+            ],
+            axis=1,
+        )
+        w = jnp.take_along_axis(h, idx, axis=1)     # [B, 2*(CHUNK+4)]
+        old = tap_mix(w[:, : CHUNK + 4], g0k)
+        new = tap_mix(w[:, CHUNK + 4 :], g1k)
+        yk = xk + (1.0 - f) * old + f * new
         h = jnp.concatenate([h[:, CHUNK:], yk], axis=1)
         return h, yk
 
     new_hist, ys = jax.lax.scan(
-        step, hist, (xc, fadec, g0c, g1c, T0c, T1c)
+        step, hist, (xc, fadec, g0c, g1c, T0c, T1c), unroll=8
     )
     y = ys.transpose(1, 0, 2).reshape(B, S)
     return y, new_hist

@@ -210,6 +210,28 @@ def celt_imdct_batch(
     return out, tails[-1]
 
 
+@functools.lru_cache(maxsize=None)
+def celt_synthesis_matrices_paired(N: int, overlap: int, B: int = 1):
+    """Split the fused synthesis matrix for layout-free overlap-add.
+
+    Returns (T_main [N2, N2], T_tailpad [N2, N2], T_tail [N2, overlap])
+    such that a frame's finished output over its own region is
+
+        out[f] = spec[f] @ T_main + spec[f-1] @ T_tailpad
+
+    (T_tailpad is the tail-contribution columns zero-padded to a full
+    frame) — two aligned MXU matmuls, no output slicing/relayout. The
+    carry for a following batch is spec[last] @ T_tail.
+    """
+    n2 = B * (N // 2)
+    T = celt_synthesis_matrix(N, overlap, B)
+    T_main = np.ascontiguousarray(T[:, :n2])
+    T_tail = np.ascontiguousarray(T[:, n2:])
+    T_tailpad = np.zeros((n2, n2), np.float32)
+    T_tailpad[:, :overlap] = T_tail
+    return T_main, T_tailpad, T_tail
+
+
 def celt_imdct_batch_padded(
     spectra: jax.Array,
     n_real: int,

@@ -44,9 +44,11 @@ def deemphasis(x: jax.Array, mem: jax.Array, coef: float = 0.85000610351562500):
     xb = x.reshape(B, nblk, BLOCK)
     T = jnp.asarray(_toeplitz(coef, BLOCK))
     # Within-block solution with zero carry (MXU).
-    y0 = jnp.einsum(
-        "ij,bnj->bni", T, xb, precision=jax.lax.Precision.HIGHEST
-    )
+    y0 = jnp.dot(
+        xb.reshape(B * nblk, BLOCK), T.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(B, nblk, BLOCK)
     # Block carries: c_n = coef^L * c_{n-1} + y0_last[n]  (assoc. scan).
     last = y0[:, :, -1]                           # [B, nblk]
     decay = jnp.float32(coef) ** BLOCK
