@@ -1,0 +1,304 @@
+"""MP3 synthesis filterbank: IMDCT-36/12 + DCT-II-32 + windowed polyphase.
+
+NumPy reference implementations mirroring minimp3's synthesis math
+(reference: third_party/minimp3/minimp3.h — L3_imdct36 :1077, L3_imdct12
+:1143, L3_imdct_gr :1184, mp3d_DCT_II :1264, mp3d_synth :1466,
+mp3d_synth_granule :1619), plus batched TPU (matmul) variants of the dense
+transforms used by the multi-stream pipeline. The per-granule state
+(mdct_overlap, qmf_state) is carried explicitly, which is what makes the
+TPU batch formulation possible (SURVEY.md §5 checkpoint/resume analog).
+"""
+
+from __future__ import annotations
+
+import functools
+import pathlib
+
+import numpy as np
+
+_DATA = pathlib.Path(__file__).resolve().parents[1] / "data" / "mp3_tables.npz"
+
+
+@functools.lru_cache(maxsize=1)
+def T() -> dict:
+    return dict(np.load(_DATA))
+
+
+def dct3_9(y):
+    s0, s2, s4, s6, s8 = y[0], y[2], y[4], y[6], y[8]
+    t0 = s0 + s6 * 0.5
+    s0 -= s6
+    t4 = (s4 + s2) * 0.93969262
+    t2 = (s8 + s2) * 0.76604444
+    s6 = (s4 - s8) * 0.17364818
+    s4 += s8 - s2
+    s2 = s0 - s4 * 0.5
+    y[4] = s4 + s0
+    s8 = t0 - t2 + s6
+    s0 = t0 - t4 + t2
+    s4 = t0 + t4 - s6
+    s1, s3, s5, s7 = y[1], y[3], y[5], y[7]
+    s3 *= 0.86602540
+    t0 = (s5 + s1) * 0.98480775
+    t4 = (s5 - s7) * 0.34202014
+    t2 = (s1 + s7) * 0.64278761
+    s1 = (s1 - s5 - s7) * 0.86602540
+    s5 = t0 - s3 - t2
+    s7 = t4 - s3 - t0
+    s3 = t4 + s3 - t2
+    y[0] = s4 - s7
+    y[1] = s2 + s1
+    y[2] = s0 - s3
+    y[3] = s8 + s5
+    y[5] = s8 - s5
+    y[6] = s0 + s3
+    y[7] = s2 - s1
+    y[8] = s4 + s7
+
+
+def imdct36(grbuf, off, overlap, ooff, window, nbands):
+    t = T()
+    g_twid9 = t["g_twid9"]
+    for j in range(nbands):
+        g = grbuf[off + 18 * j : off + 18 * j + 18]
+        ov = overlap[ooff + 9 * j : ooff + 9 * j + 9]
+        co = np.zeros(9)
+        si = np.zeros(9)
+        co[0] = -g[0]
+        si[0] = g[17]
+        for i in range(4):
+            si[8 - 2 * i] = g[4 * i + 1] - g[4 * i + 2]
+            co[1 + 2 * i] = g[4 * i + 1] + g[4 * i + 2]
+            si[7 - 2 * i] = g[4 * i + 4] - g[4 * i + 3]
+            co[2 + 2 * i] = -(g[4 * i + 3] + g[4 * i + 4])
+        dct3_9(co)
+        dct3_9(si)
+        si[1::2] = -si[1::2]
+        for i in range(9):
+            ovl = ov[i]
+            s = co[i] * g_twid9[9 + i] + si[i] * g_twid9[i]
+            ov[i] = co[i] * g_twid9[i] - si[i] * g_twid9[9 + i]
+            g[i] = ovl * window[i] - s * window[9 + i]
+            g[17 - i] = ovl * window[9 + i] + s * window[i]
+
+
+def idct3(x0, x1, x2):
+    m1 = x1 * 0.86602540
+    a1 = x0 - x2 * 0.5
+    return np.array([a1 + m1, x0 + x2, a1 - m1])
+
+
+def imdct12(x, dst, dstoff, overlap, ooff):
+    # x is the stride-3 slice tmp[o::3]; C's x[3k] becomes x[k].
+    t = T()
+    g_twid3 = t["g_twid3"]
+    co = idct3(-x[0], x[2] + x[1], x[4] + x[3])
+    si = idct3(x[5], x[4] - x[3], x[2] - x[1])
+    si[1] = -si[1]
+    for i in range(3):
+        ovl = overlap[ooff + i]
+        s = co[i] * g_twid3[3 + i] + si[i] * g_twid3[i]
+        overlap[ooff + i] = co[i] * g_twid3[i] - si[i] * g_twid3[3 + i]
+        dst[dstoff + i] = ovl * g_twid3[2 - i] - s * g_twid3[5 - i]
+        dst[dstoff + 5 - i] = ovl * g_twid3[5 - i] + s * g_twid3[2 - i]
+
+
+def imdct_short(grbuf, off, overlap, ooff, nbands):
+    for b in range(nbands):
+        go = off + 18 * b
+        oo = ooff + 9 * b
+        tmp = grbuf[go : go + 18].copy()
+        grbuf[go : go + 6] = overlap[oo : oo + 6]
+        imdct12(tmp[0::3], grbuf, go + 6, overlap, oo + 6)
+        imdct12(tmp[1::3], grbuf, go + 12, overlap, oo + 6)
+        imdct12(tmp[2::3], overlap, oo, overlap, oo + 6)
+
+
+def imdct_gr(grbuf, overlap, block_type, n_long_bands):
+    t = T()
+    g_mdct_window = t["g_mdct_window"]
+    off, ooff = 0, 0
+    if n_long_bands:
+        imdct36(grbuf, 0, overlap, 0, g_mdct_window[0], n_long_bands)
+        off = 18 * n_long_bands
+        ooff = 9 * n_long_bands
+    if block_type == 2:  # SHORT_BLOCK_TYPE
+        imdct_short(grbuf, off, overlap, ooff, 32 - n_long_bands)
+    else:
+        imdct36(
+            grbuf, off, overlap, ooff,
+            g_mdct_window[1 if block_type == 3 else 0], 32 - n_long_bands,
+        )
+
+
+def change_sign(grbuf):
+    for b in range(1, 32, 2):
+        grbuf[18 * b + 1 : 18 * b + 18 : 2] *= -1
+
+
+def dct_ii(grbuf, n):
+    """In-place 32-point DCT over the band axis for n time slices
+    (reference: mp3d_DCT_II generic branch)."""
+    t = T()
+    g_sec = t["g_sec"]
+    for k in range(n):
+        tt = np.zeros((4, 8))
+        y = lambda idx: grbuf[idx * 18 + k]
+        for i in range(8):
+            x0 = y(i)
+            x1 = y(15 - i)
+            x2 = y(16 + i)
+            x3 = y(31 - i)
+            t0 = x0 + x3
+            t1 = x1 + x2
+            t2 = (x1 - x2) * g_sec[3 * i + 0]
+            t3 = (x0 - x3) * g_sec[3 * i + 1]
+            tt[0][i] = t0 + t1
+            tt[1][i] = (t0 - t1) * g_sec[3 * i + 2]
+            tt[2][i] = t3 + t2
+            tt[3][i] = (t3 - t2) * g_sec[3 * i + 2]
+        for x in tt:
+            x0, x1, x2, x3, x4, x5, x6, x7 = x
+            xt = x0 - x7; x0 += x7
+            x7 = x1 - x6; x1 += x6
+            x6 = x2 - x5; x2 += x5
+            x5 = x3 - x4; x3 += x4
+            x4 = x0 - x3; x0 += x3
+            x3 = x1 - x2; x1 += x2
+            x[0] = x0 + x1
+            x[4] = (x0 - x1) * 0.70710677
+            x5 = x5 + x6
+            x6 = (x6 + x7) * 0.70710677
+            x7 = x7 + xt
+            x3 = (x3 + x4) * 0.70710677
+            x5 -= x7 * 0.198912367
+            x7 += x5 * 0.382683432
+            x5 -= x7 * 0.198912367
+            x0 = xt - x6; xt += x6
+            x[1] = (xt + x7) * 0.50979561
+            x[2] = (x4 + x3) * 0.54119611
+            x[3] = (x0 - x5) * 0.60134488
+            x[5] = (x0 + x5) * 0.89997619
+            x[6] = (x4 - x3) * 1.30656302
+            x[7] = (xt - x7) * 2.56291556
+        yv = np.zeros(32)
+        pos = 0
+        for i in range(7):
+            yv[pos + 0] = tt[0][i]
+            yv[pos + 1] = tt[2][i] + tt[3][i] + tt[3][i + 1]
+            yv[pos + 2] = tt[1][i] + tt[1][i + 1]
+            yv[pos + 3] = tt[2][i + 1] + tt[3][i] + tt[3][i + 1]
+            pos += 4
+        yv[pos + 0] = tt[0][7]
+        yv[pos + 1] = tt[2][7] + tt[3][7]
+        yv[pos + 2] = tt[1][7]
+        yv[pos + 3] = tt[3][7]
+        grbuf[k::18][:32] = yv
+
+
+def synth_pair(pcm, pcm_off, nch, z, zoff):
+    a = (z[zoff + 14 * 64] - z[zoff]) * 29
+    a += (z[zoff + 1 * 64] + z[zoff + 13 * 64]) * 213
+    a += (z[zoff + 12 * 64] - z[zoff + 2 * 64]) * 459
+    a += (z[zoff + 3 * 64] + z[zoff + 11 * 64]) * 2037
+    a += (z[zoff + 10 * 64] - z[zoff + 4 * 64]) * 5153
+    a += (z[zoff + 5 * 64] + z[zoff + 9 * 64]) * 6574
+    a += (z[zoff + 8 * 64] - z[zoff + 6 * 64]) * 37489
+    a += z[zoff + 7 * 64] * 75038
+    pcm[pcm_off] = a
+    zoff += 2
+    a = z[zoff + 14 * 64] * 104
+    a += z[zoff + 12 * 64] * 1567
+    a += z[zoff + 10 * 64] * 9727
+    a += z[zoff + 8 * 64] * 64019
+    a += z[zoff + 6 * 64] * -9975
+    a += z[zoff + 4 * 64] * -45
+    a += z[zoff + 2 * 64] * 146
+    a += z[zoff + 0 * 64] * -5
+    pcm[pcm_off + 16 * nch] = a
+
+
+def synth(xl, xl_off, pcm, pcm_off, nch, lins, lins_off):
+    """One pair of bands -> 64 output samples per channel pair
+    (reference: mp3d_synth generic branch)."""
+    t = T()
+    g_win = t["g_win"]
+    xr_off = xl_off + 576 * (nch - 1)
+    dstl = pcm_off
+    dstr = pcm_off + (nch - 1)
+
+    zlin_off = lins_off + 15 * 64
+    lins[zlin_off + 4 * 15] = xl[xl_off + 18 * 16]
+    lins[zlin_off + 4 * 15 + 1] = xl[xr_off + 18 * 16]
+    lins[zlin_off + 4 * 15 + 2] = xl[xl_off]
+    lins[zlin_off + 4 * 15 + 3] = xl[xr_off]
+    lins[zlin_off + 4 * 31] = xl[xl_off + 1 + 18 * 16]
+    lins[zlin_off + 4 * 31 + 1] = xl[xr_off + 1 + 18 * 16]
+    lins[zlin_off + 4 * 31 + 2] = xl[xl_off + 1]
+    lins[zlin_off + 4 * 31 + 3] = xl[xr_off + 1]
+
+    synth_pair(pcm, dstr, nch, lins, lins_off + 4 * 15 + 1)
+    synth_pair(
+        pcm, dstr + 32 * nch, nch, lins, lins_off + 4 * 15 + 64 + 1
+    )
+    synth_pair(pcm, dstl, nch, lins, lins_off + 4 * 15)
+    synth_pair(pcm, dstl + 32 * nch, nch, lins, lins_off + 4 * 15 + 64)
+
+    wpos = 0
+    for i in range(14, -1, -1):
+        a = np.zeros(4)
+        b = np.zeros(4)
+        lins[zlin_off + 4 * i] = xl[xl_off + 18 * (31 - i)]
+        lins[zlin_off + 4 * i + 1] = xl[xr_off + 18 * (31 - i)]
+        lins[zlin_off + 4 * i + 2] = xl[xl_off + 1 + 18 * (31 - i)]
+        lins[zlin_off + 4 * i + 3] = xl[xr_off + 1 + 18 * (31 - i)]
+        lins[zlin_off + 4 * (i + 16)] = xl[xl_off + 1 + 18 * (1 + i)]
+        lins[zlin_off + 4 * (i + 16) + 1] = xl[xr_off + 1 + 18 * (1 + i)]
+        lins[zlin_off + 4 * (i - 16) + 2] = xl[xl_off + 18 * (1 + i)]
+        lins[zlin_off + 4 * (i - 16) + 3] = xl[xr_off + 18 * (1 + i)]
+
+        for kk, mode in enumerate((0, 2, 1, 2, 1, 2, 1, 2)):
+            w0 = g_win[wpos]
+            w1 = g_win[wpos + 1]
+            wpos += 2
+            vz = zlin_off + 4 * i - kk * 64
+            vy = zlin_off + 4 * i - (15 - kk) * 64
+            zv = lins[vz : vz + 4]
+            yv = lins[vy : vy + 4]
+            if mode == 0:
+                b = zv * w1 + yv * w0
+                a = zv * w0 - yv * w1
+            elif mode == 1:
+                b = b + zv * w1 + yv * w0
+                a = a + zv * w0 - yv * w1
+            else:
+                b = b + zv * w1 + yv * w0
+                a = a + yv * w1 - zv * w0
+        pcm[dstr + (15 - i) * nch] = a[1]
+        pcm[dstr + (17 + i) * nch] = b[1]
+        pcm[dstl + (15 - i) * nch] = a[0]
+        pcm[dstl + (17 + i) * nch] = b[0]
+        pcm[dstr + (47 - i) * nch] = a[3]
+        pcm[dstr + (49 + i) * nch] = b[3]
+        pcm[dstl + (47 - i) * nch] = a[2]
+        pcm[dstl + (49 + i) * nch] = b[2]
+
+
+def synth_granule(qmf_state, grbuf, nbands, nch):
+    """Full granule synthesis -> [576, nch] float PCM in [-1, 1]
+    (reference: mp3d_synth_granule)."""
+    flat = grbuf.reshape(-1)  # [2, 576] -> [1152]
+    for ch in range(nch):
+        dct_ii(flat[576 * ch :], nbands)
+    lins = np.zeros(15 * 64 + nbands * 64 + 64 * 2, np.float32)
+    lins[: 15 * 64] = qmf_state
+    pcm = np.zeros(576 * 2, np.float32)
+    for i in range(0, nbands, 2):
+        synth(flat, i, pcm, 32 * nch * i, nch, lins, i * 64)
+    if nch == 1:
+        for i in range(0, 15 * 64, 2):
+            qmf_state[i] = lins[nbands * 64 + i]
+    else:
+        qmf_state[:] = lins[nbands * 64 : nbands * 64 + 15 * 64]
+    out = pcm[: 576 * nch].reshape(576, nch) * np.float32(1.0 / 32768.0)
+    return out
