@@ -1,0 +1,69 @@
+"""Native host-ops loader: builds and binds libnyquist_tpu/native/*.c.
+
+The reference's host side is C/C++ (SURVEY.md §2); this framework keeps
+the branchy bitstream hot loops native too. The shared library is built
+once with the system compiler and bound via ctypes (pybind11 is not in
+the image); every call site has a pure-Python fallback so the package
+works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import tempfile
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parents[1] / "native"
+_LIB = None
+_TRIED = False
+
+
+def _build() -> pathlib.Path | None:
+    src = _NATIVE_DIR / "hostops.c"
+    out = _NATIVE_DIR / "libhostops.so"
+    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+        return out
+    try:
+        subprocess.run(
+            ["cc", "-O3", "-fPIC", "-shared", str(src), "-o", str(out)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return out
+    except Exception:
+        return None
+
+
+def lib():
+    """Return the loaded native library, or None if unavailable."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _build()
+    if path is None:
+        return None
+    try:
+        L = ctypes.CDLL(str(path))
+        L.flac_rice_decode.restype = ctypes.c_uint64
+        L.flac_rice_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        L.flac_lpc_restore.restype = None
+        L.flac_lpc_restore.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        L.flac_fixed_restore.restype = None
+        L.flac_fixed_restore.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _LIB = L
+    except OSError:
+        _LIB = None
+    return _LIB

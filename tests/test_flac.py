@@ -1,0 +1,26 @@
+"""FLAC decoder vs libFLAC oracle — expected bit-exact (lossless)."""
+
+import numpy as np
+import pytest
+
+import libnyquist_tpu as nq
+
+from .helpers import assert_matches_golden, load_golden
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "KittyPurr16_Mono", "KittyPurr16_Stereo", "KittyPurr24_Stereo",
+        "KittyPurr8_Stereo", "KittyPurr8_Stereo_Dithered",
+    ],
+)
+def test_flac(name, test_data_dir):
+    audio = nq.load(str(test_data_dir / "ad_hoc" / f"{name}.flac"))
+    g = load_golden(f"{name}_flac")
+    assert audio.sample_count == int(g["count"])
+    ref = g["full"] if "full" in g.files else None
+    if ref is not None:
+        assert np.abs(audio.samples - ref).max() == 0.0  # lossless
+    else:
+        assert_matches_golden(audio, f"{name}_flac")
