@@ -1,0 +1,23 @@
+"""Ogg Vorbis decoder vs libvorbis ov_read_float oracle."""
+
+import numpy as np
+import pytest
+
+import libnyquist_tpu as nq
+
+from .helpers import load_golden
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "TestLaugh_44k", "BlockWoosh_Stereo", "BlockSplit_Stereo",
+        "LR_Stereo", "TestBeat", "TestBeatMono",
+    ],
+)
+def test_vorbis(name, test_data_dir):
+    audio = nq.load(str(test_data_dir / "ad_hoc" / f"{name}.ogg"))
+    g = load_golden(f"{name}_ogg")
+    assert audio.sample_count == int(g["count"])
+    assert audio.sample_rate == int(g["rate"])
+    assert np.abs(audio.samples - g["full"][: audio.sample_count]).max() < 1e-4
