@@ -1,7 +1,656 @@
-"""musepack decoder — placeholder, implemented in a later milestone."""
-from ..audio_data import AudioData
+"""Musepack SV8 decoder (MPCK container).
+
+Re-implementation of the libmpcdec decode path from the MPC SV8 spec:
+container demux (reference: third_party/musepack/libmpcdec/mpc_demux.c
+:579 mpc_demux_decode_inner — byte-aligned tagged blocks, 2^block_pwr
+frames per AP block, first frame of each block is a key frame), stream
+header (streaminfo.c:187 streaminfo_read_header_sv8), bitstream
+(mpc_decoder.c:499 mpc_decoder_read_bitstream_sv8 — canonical-huffman
+band/Res chains, enumerative-coded MS flags and Q1 positions, DSCF
+deltas mod 128), requantization (mpc_decoder.c:188 — Cc[Res] * SCF
+per 12-sample third, inverse MS), and the 32-band synthesis filter
+(synth_filter.c:90 mpc_compute_new_V + Di_opt windowing).
+
+Normative tables (huffman codebooks, Cc/Dc requant constants, Di_opt
+window) are extracted as *data* by tools/gen_mpc_tables.py into
+data/mpc_tables.npz. The fast-DCT in mpc_compute_new_V is a fixed
+linear map of the 32 subband samples; we materialize it once as a
+64x32 matrix (row 16 is identically zero — the C code never writes
+V[16], which stays 0 forever) and run the whole V update + Di_opt
+windowing as NumPy matmuls/gathers per frame instead of scalar code.
+
+Float build semantics: MPC_SHL/SHR are no-ops, all MPC_*_CONST macros
+are plain float multiplies (mpcdec_math.h:120-127), output is -1..1.
+"""
+
+from __future__ import annotations
+
+import math
+import pathlib
+
+import numpy as np
+
+from ..audio_data import AudioData, PCMFormat
 from ..errors import DecodeError
+
+_DATA = pathlib.Path(__file__).resolve().parents[1] / "data" / "mpc_tables.npz"
+
+FRAME_LENGTH = 36 * 32  # samples per mpc frame (mpcdec.h:50)
+SYNTH_DELAY = 481       # mpcdec.h:52
+V_MEM = 2304            # decoder.h:54
+
+_SAMPLE_FREQS = [44100, 48000, 37800, 32000, 0, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# tables
+# ---------------------------------------------------------------------------
+
+class _Can:
+    """Canonical-huffman table: sorted (code, length) rows + symbol map.
+
+    Matches mpc_bits_can_dec (mpc_bits_reader.h:80): peek 16 bits, scan
+    rows while code < row.Code, consume row.Length bits, then map
+    sym[(row.Value - (code >> (16 - row.Length))) & 0xFF].
+    """
+
+    __slots__ = ("rows", "sym")
+
+    def __init__(self, rows: np.ndarray, sym: np.ndarray):
+        self.rows = [(int(c), int(l), int(v)) for c, l, v in rows]
+        self.sym = [int(s) for s in sym]
+
+
+def _load_tables():
+    z = np.load(_DATA)
+
+    def can(name):
+        return _Can(z[f"huff_mpc_huff_{name}"], z[f"sym_mpc_sym_{name}"])
+
+    t = {
+        "Bands": can("Bands"),
+        "SCFI": [can("SCFI_1"), can("SCFI_2")],
+        "DSCF": [can("DSCF_1"), can("DSCF_2")],
+        "Res": [can("Res_1"), can("Res_2")],
+        "Q1": can("Q1"),
+        "Q9up": can("Q9up"),
+        "Q": [
+            [can("Q2_1"), can("Q2_2")],
+            [can("Q3"), can("Q4")],
+            [can("Q5_1"), can("Q5_2")],
+            [can("Q6_1"), can("Q6_2")],
+            [can("Q7_1"), can("Q7_2")],
+            [can("Q8_1"), can("Q8_2")],
+        ],
+    }
+    # __Cc is stored /2^14 by the extractor (fixed-point form); the float
+    # build uses the raw constants (MAKE_MPC_SAMPLE_EX is identity).
+    t["Cc"] = (z["Cc"] * float(1 << 14)).tolist()   # index by Res+1
+    t["Dc"] = z["Dc"].tolist()                       # index by Res+1
+    t["Di"] = np.asarray(z["Di_opt"], np.float64)    # [32][16], /65536 baked
+    return t
+
+
+_T = _load_tables()
+
+# SCF factor table (requant.c:95 mpc_decoder_scale_output with
+# scale_factor=1, float mode: factor = 1/2^(16-1)).
+def _build_scf() -> np.ndarray:
+    scf = np.zeros(256, np.float64)
+    factor = 1.0 / 32768.0
+    scf[1] = factor
+    f1 = factor * 0.83298066476582673961
+    f2 = factor / 0.83298066476582673961
+    for n in range(1, 129):
+        scf[(1 + n) & 0xFF] = np.float32(f1)
+        scf[(1 - n) & 0xFF] = np.float32(f2)
+        f1 *= 0.83298066476582673961
+        f2 /= 0.83298066476582673961
+    scf[1] = np.float32(factor)
+    return scf
+
+
+_SCF = _build_scf()
+
+# enumerative coding helpers (mpc_bits_reader.c:40 Cnk tables == C(n,k))
+_COMB = [[math.comb(n, k) for n in range(33)] for k in range(17)]
+
+
+# ---------------------------------------------------------------------------
+# bit reader
+# ---------------------------------------------------------------------------
+
+class _Bits:
+    """MSB-first bit reader; peeks past the end read as zero bits."""
+
+    __slots__ = ("buf", "pos", "limit")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf + b"\x00" * 8
+        self.pos = 0
+        self.limit = len(buf) * 8
+
+    def read(self, n: int) -> int:
+        if n <= 0:
+            return 0
+        p = self.pos
+        self.pos = p + n
+        first = p >> 3
+        last = (p + n - 1) >> 3
+        chunk = int.from_bytes(self.buf[first : last + 1], "big")
+        chunk >>= ((last + 1) << 3) - (p + n)
+        return chunk & ((1 << n) - 1)
+
+    def peek16(self) -> int:
+        p = self.pos
+        first = p >> 3
+        chunk = int.from_bytes(self.buf[first : first + 3], "big")
+        return (chunk >> (8 - (p & 7))) & 0xFFFF
+
+
+def _can_dec(br: _Bits, can: _Can) -> int:
+    code = br.peek16()
+    for c, length, v in can.rows:
+        if code >= c:
+            br.pos += length
+            return can.sym[(v - (code >> (16 - length))) & 0xFF]
+    raise DecodeError("mpc: bad huffman code")
+
+
+def _log_dec(br: _Bits, mx: int) -> int:
+    # mpc_bits_reader.c:136 mpc_bits_log_dec
+    if mx == 0:
+        return 0
+    ln = mx.bit_length()
+    lost = (1 << ln) - 1 - mx
+    value = br.read(ln - 1) if ln > 1 else 0
+    if value >= lost:
+        value = ((value << 1) | br.read(1)) - lost
+    return value
+
+
+def _enum_dec(br: _Bits, k: int, n: int) -> int:
+    # mpc_bits_reader.h:128 mpc_bits_enum_dec
+    total = _COMB[k][n]
+    ln = (total - 1).bit_length()
+    lost = (1 << ln) - total
+    code = br.read(ln - 1)
+    if code >= lost:
+        code = ((code << 1) | br.read(1)) - lost
+    bits = 0
+    while k > 0:
+        n -= 1
+        c = _COMB[k][n]
+        if code >= c:
+            bits |= 1 << n
+            code -= c
+            k -= 1
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# synthesis filter as a 64x32 matrix (mpc_compute_new_V is linear)
+# ---------------------------------------------------------------------------
+
+def _compute_new_v(s: np.ndarray) -> np.ndarray:
+    """Float transcription of synth_filter.c:90 mpc_compute_new_V."""
+    v = np.zeros(64, np.float64)
+    a = [s[i] + s[31 - i] for i in range(16)]
+    b = [0.0] * 16
+    for i in range(8):
+        b[i] = a[i] + a[15 - i]
+    consts1 = [0.5024192929, 0.5224986076, 0.5669440627, 0.6468217969,
+               0.7881546021, 1.0606776476, 1.7224471569, 5.1011486053]
+    for i in range(8):
+        b[8 + i] = (a[i] - a[15 - i]) * consts1[i]
+    consts2 = [0.5097956061, 0.6013448834, 0.8999761939, 2.5629155636]
+    a = [0.0] * 16
+    for i in range(4):
+        a[i] = b[i] + b[7 - i]
+        a[4 + i] = (b[i] - b[7 - i]) * consts2[i]
+        a[8 + i] = b[8 + i] + b[15 - i]
+        a[12 + i] = (b[8 + i] - b[15 - i]) * consts2[i]
+    b = [0.0] * 16
+    for g in range(4):
+        b[4 * g + 0] = a[4 * g] + a[4 * g + 3]
+        b[4 * g + 1] = a[4 * g + 1] + a[4 * g + 2]
+        b[4 * g + 2] = (a[4 * g] - a[4 * g + 3]) * 0.5411961079
+        b[4 * g + 3] = (a[4 * g + 1] - a[4 * g + 2]) * 1.3065630198
+    a = [0.0] * 16
+    for g in range(8):
+        a[2 * g] = b[2 * g] + b[2 * g + 1]
+        a[2 * g + 1] = (b[2 * g] - b[2 * g + 1]) * 0.7071067691
+
+    v[48] = -a[0]
+    v[0] = a[1]
+    v[8] = a[3]
+    v[40] = -a[2] - v[8]
+    v[12] = a[7]
+    v[4] = a[5] + v[12]
+    v[36] = -(v[4] + a[6])
+    v[44] = -a[4] - a[6] - a[7]
+    v[14] = a[15]
+    v[10] = a[11] + v[14]
+    v[6] = v[10] + a[13]
+    v[2] = a[9] + a[13] + a[15]
+    v[34] = -v[2] - a[14]
+    v[38] = v[34] + a[9] - a[10] - a[11]
+    tmp = -(a[12] + a[14] + a[15])
+    v[46] = tmp - a[8]
+    v[42] = tmp - a[10] - a[11]
+
+    consts0 = [0.5006030202, 0.5054709315, 0.5154473186, 0.5310425758,
+               0.5531039238, 0.5829349756, 0.6225041151, 0.6748083234,
+               0.7445362806, 0.8393496275, 0.9725682139, 1.1694399118,
+               1.4841645956, 2.0577809811, 3.4076085091, 10.1900081635]
+    a = [(s[i] - s[31 - i]) * consts0[i] for i in range(16)]
+    b = [0.0] * 16
+    for i in range(8):
+        b[i] = a[i] + a[15 - i]
+        b[8 + i] = (a[i] - a[15 - i]) * consts1[i]
+    a = [0.0] * 16
+    for i in range(4):
+        a[i] = b[i] + b[7 - i]
+        a[4 + i] = (b[i] - b[7 - i]) * consts2[i]
+        a[8 + i] = b[8 + i] + b[15 - i]
+        a[12 + i] = (b[8 + i] - b[15 - i]) * consts2[i]
+    b = [0.0] * 16
+    for g in range(4):
+        b[4 * g + 0] = a[4 * g] + a[4 * g + 3]
+        b[4 * g + 1] = a[4 * g + 1] + a[4 * g + 2]
+        b[4 * g + 2] = (a[4 * g] - a[4 * g + 3]) * 0.5411961079
+        b[4 * g + 3] = (a[4 * g + 1] - a[4 * g + 2]) * 1.3065630198
+    a = [0.0] * 16
+    for g in range(8):
+        a[2 * g] = b[2 * g] + b[2 * g + 1]
+        a[2 * g + 1] = (b[2 * g] - b[2 * g + 1]) * 0.7071067691
+
+    v[15] = a[15]
+    v[13] = a[7] + v[15]
+    v[11] = v[13] + a[11]
+    v[5] = v[11] + a[5] + a[13]
+    v[9] = a[3] + a[11] + a[15]
+    v[7] = v[9] + a[13]
+    v[1] = a[1] + a[9] + a[13] + a[15]
+    v[33] = -v[1] - a[14]
+    v[3] = a[5] + a[7] + a[9] + a[13] + a[15]
+    v[35] = -v[3] - a[6] - a[14]
+    tmp = -(a[10] + a[11] + a[13] + a[14] + a[15])
+    v[37] = tmp - a[5] - a[6] - a[7]
+    v[39] = tmp - a[2] - a[3]
+    tmp += a[13] - a[12]
+    v[41] = tmp - a[2] - a[3]
+    v[43] = tmp - a[4] - a[6] - a[7]
+    tmp2 = -(a[8] + a[12] + a[14] + a[15])
+    v[47] = tmp2 - a[0]
+    v[45] = tmp2 - a[4] - a[6] - a[7]
+
+    # mirrors (synth_filter.c:297-328); v[16] is never written and stays 0
+    for i in range(17, 33):
+        v[i] = -v[32 - i]
+    for i in range(49, 64):
+        v[i] = v[96 - i]
+    return v
+
+
+def _build_synth_matrix() -> np.ndarray:
+    m = np.zeros((64, 32), np.float64)
+    for i in range(32):
+        e = np.zeros(32, np.float64)
+        e[i] = 1.0
+        m[:, i] = _compute_new_v(e)
+    return m
+
+
+_M_SYNTH = _build_synth_matrix()
+
+# Di_opt windowing gather: output sample k sums V[base + k + OFF[j]] * Di[k][j]
+_V_OFF = np.array([0, 96, 128, 224, 256, 352, 384, 480,
+                   512, 608, 640, 736, 768, 864, 896, 992], np.int64)
+_K_IDX = np.arange(32, dtype=np.int64)[:, None] + _V_OFF[None, :]  # [32,16]
+
+
+class _Synth:
+    """Per-channel sliding V buffer + windowed output (synth_filter.c:331)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self):
+        self.v = np.zeros(V_MEM + 960, np.float64)
+
+    def run(self, y: np.ndarray) -> np.ndarray:
+        """y: [36,32] requantized subband samples -> [36,32] pcm."""
+        v = self.v
+        v[V_MEM:] = v[:960]
+        out = np.empty((36, 32), np.float64)
+        di = _T["Di"]
+        for n in range(36):
+            base = V_MEM - 64 * (n + 1)
+            v[base : base + 64] = _M_SYNTH @ y[n]
+            out[n] = np.sum(v[base + _K_IDX] * di, axis=1)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# frame bitstream (SV8)
+# ---------------------------------------------------------------------------
+
+_IDX50 = np.array([(i % 5) - 2 for i in range(125)], np.int32)
+_IDX51 = np.array([((i // 5) % 5) - 2 for i in range(125)], np.int32)
+_IDX52 = np.array([(i // 25) - 2 for i in range(125)], np.int32)
+_THRES = [0, 0, 3, 0, 0, 1, 3, 4, 8]
+_HUFFQ2_VAR = [abs((i % 5) - 2) + abs(((i // 5) % 5) - 2) + abs((i // 25) - 2)
+               for i in range(125)]
+
+
+class MusepackDecoder:
+    """SV8 frame decoder state (mirrors struct mpc_decoder, decoder.h:60)."""
+
+    def __init__(self, max_band: int, ms: bool, channels: int):
+        self.max_band = max_band
+        self.ms = ms
+        self.channels = channels
+        self.last_max_band = 0
+        self.res = [np.zeros(32, np.int32), np.zeros(32, np.int32)]
+        self.scfi = [np.zeros(32, np.int32), np.zeros(32, np.int32)]
+        self.scf_index = [np.zeros((32, 3), np.int32),
+                          np.zeros((32, 3), np.int32)]
+        self.dscf_flag = [np.ones(32, np.int32), np.ones(32, np.int32)]
+        self.ms_flag = np.zeros(32, np.int32)
+        self.q = [np.zeros((32, 36), np.int32), np.zeros((32, 36), np.int32)]
+        self.synth = [_Synth(), _Synth()]
+        self.__r1 = 1
+        self.__r2 = 1
+
+    # random generator for Res == -1 bands (synth_filter.c:414)
+    def _random_int(self) -> int:
+        r1, r2 = self.__r1, self.__r2
+        t1 = bin(r1 & 0xF5).count("1") & 1
+        t2 = bin((r2 >> 25) & 0x63).count("1") & 1
+        self.__r1 = (r1 >> 1) | (t1 << 31)
+        self.__r2 = ((r2 << 1) & 0xFFFFFFFF) | t2
+        return (self.__r1 ^ self.__r2) & 0xFFFFFFFF
+
+    def read_frame(self, br: _Bits, is_key_frame: bool) -> None:
+        T = _T
+        res_l, res_r = self.res
+        scfi_l, scfi_r = self.scfi
+
+        if is_key_frame:
+            max_used = _log_dec(br, self.max_band + 1)
+        else:
+            max_used = self.last_max_band + _can_dec(br, T["Bands"])
+            if max_used > 32:
+                max_used -= 33
+        self.last_max_band = max_used
+
+        if max_used:
+            v = _can_dec(br, T["Res"][0])
+            res_l[max_used - 1] = v - 17 if v > 15 else v
+            v = _can_dec(br, T["Res"][0])
+            res_r[max_used - 1] = v - 17 if v > 15 else v
+            for n in range(max_used - 2, -1, -1):
+                v = _can_dec(br, T["Res"][1 if res_l[n + 1] > 2 else 0]) \
+                    + res_l[n + 1]
+                res_l[n] = v - 17 if v > 15 else v
+                v = _can_dec(br, T["Res"][1 if res_r[n + 1] > 2 else 0]) \
+                    + res_r[n + 1]
+                res_r[n] = v - 17 if v > 15 else v
+
+            if self.ms:
+                tot = sum(1 for n in range(max_used)
+                          if res_l[n] != 0 or res_r[n] != 0)
+                cnt = _log_dec(br, tot)
+                tmp = 0
+                if cnt != 0 and cnt != tot:
+                    tmp = _enum_dec(br, min(cnt, tot - cnt), tot)
+                if cnt * 2 > tot:
+                    tmp = (~tmp) & 0xFFFFFFFF
+                for n in range(max_used - 1, -1, -1):
+                    if res_l[n] != 0 or res_r[n] != 0:
+                        self.ms_flag[n] = tmp & 1
+                        tmp >>= 1
+
+        res_l[max_used : self.max_band + 1] = 0
+        res_r[max_used : self.max_band + 1] = 0
+
+        # SCFI
+        if is_key_frame:
+            self.dscf_flag[0][:] = 1
+            self.dscf_flag[1][:] = 1
+        for n in range(max_used):
+            cnt = -1
+            if res_l[n]:
+                cnt += 1
+            if res_r[n]:
+                cnt += 1
+            if cnt >= 0:
+                tmp = _can_dec(br, T["SCFI"][cnt])
+                if res_l[n]:
+                    scfi_l[n] = tmp >> (2 * cnt)
+                if res_r[n]:
+                    scfi_r[n] = tmp & 3
+
+        # SCF / DSCF
+        for n in range(max_used):
+            for ch in range(2):
+                if not self.res[ch][n]:
+                    continue
+                scf = self.scf_index[ch][n]
+                if self.dscf_flag[ch][n] == 1:
+                    scf[0] = br.read(7) - 6
+                    self.dscf_flag[ch][n] = 0
+                else:
+                    tmp = _can_dec(br, T["DSCF"][1])
+                    if tmp == 64:
+                        tmp += br.read(6)
+                    scf[0] = ((scf[2] - 25 + tmp) & 127) - 6
+                scfi = self.scfi[ch][n]
+                for m in range(2):
+                    if ((scfi << m) & 2) == 0:
+                        tmp = _can_dec(br, T["DSCF"][0])
+                        if tmp == 31:
+                            tmp = 64 + br.read(6)
+                        scf[m + 1] = ((scf[m] - 25 + tmp) & 127) - 6
+                    else:
+                        scf[m + 1] = scf[m]
+
+        # samples
+        for n in range(max_used):
+            for ch in range(2):
+                q = self.q[ch][n]
+                res = int(self.res[ch][n])
+                if res == 0:
+                    continue
+                if res == 2:
+                    tabs = T["Q"][0]
+                    idx = 2 * _THRES[2]
+                    for k in range(0, 36, 3):
+                        tmp = _can_dec(br, tabs[1 if idx > _THRES[2] else 0])
+                        q[k] = _IDX50[tmp]
+                        q[k + 1] = _IDX51[tmp]
+                        q[k + 2] = _IDX52[tmp]
+                        idx = (idx >> 1) + _HUFFQ2_VAR[tmp]
+                elif res == 1:
+                    for k0 in (0, 18):
+                        cnt = _can_dec(br, T["Q1"])
+                        idx = 0
+                        if 0 < cnt < 18:
+                            idx = _enum_dec(
+                                br, cnt if cnt <= 9 else 18 - cnt, 18)
+                        if cnt > 9:
+                            idx = (~idx) & 0x3FFFF
+                        for k in range(k0, k0 + 18):
+                            q[k] = 0
+                            if idx & (1 << 17):
+                                q[k] = (br.read(1) << 1) - 1
+                            idx = (idx << 1) & 0x3FFFF
+                elif res == -1:
+                    for k in range(36):
+                        t = self._random_int()
+                        q[k] = (((t >> 24) & 0xFF) + ((t >> 16) & 0xFF)
+                                + ((t >> 8) & 0xFF) + (t & 0xFF) - 510)
+                elif res <= 4:
+                    tab = T["Q"][1][res - 3]
+                    for k in range(0, 36, 2):
+                        v = _can_dec(br, tab) & 0xFF
+                        q[k] = ((v & 0xF) ^ 8) - 8
+                        q[k + 1] = (((v >> 4) & 0xF) ^ 8) - 8
+                elif res <= 8:
+                    tabs = T["Q"][res - 3]
+                    th = _THRES[res]
+                    idx = 2 * th
+                    for k in range(36):
+                        q[k] = _can_dec(br, tabs[1 if idx > th else 0])
+                        idx = (idx >> 1) + abs(int(q[k]))
+                else:
+                    dc = T["Dc"][res + 1]
+                    for k in range(36):
+                        v = _can_dec(br, T["Q9up"]) & 0xFF
+                        if res != 9:
+                            v = (v << (res - 9)) | br.read(res - 9)
+                        q[k] = v - dc
+
+    def requantize(self) -> tuple[np.ndarray, np.ndarray]:
+        """mpc_decoder.c:188 mpc_decoder_requantisierung -> Y_L, Y_R [36,32]."""
+        yl = np.zeros((36, 32), np.float64)
+        yr = np.zeros((36, 32), np.float64)
+        cc = _T["Cc"]
+        res_l, res_r = self.res
+        for band in range(self.max_band + 1):
+            rl, rr = int(res_l[band]), int(res_r[band])
+            ql = self.q[0][band].astype(np.float64)
+            qr = self.q[1][band].astype(np.float64)
+            if rl:
+                fac = cc[rl + 1] * _SCF[self.scf_index[0][band] & 0xFF]
+                vl = np.repeat(fac, 12) * ql
+            else:
+                vl = np.zeros(36)
+            if rr:
+                fac = cc[rr + 1] * _SCF[self.scf_index[1][band] & 0xFF]
+                vr = np.repeat(fac, 12) * qr
+            else:
+                vr = np.zeros(36)
+            if self.ms_flag[band]:
+                yl[:, band] = vl + vr
+                yr[:, band] = vl - vr
+            else:
+                yl[:, band] = vl
+                yr[:, band] = vr
+        return yl, yr
+
+    def synthesize(self, yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
+        """-> interleaved [1152 * channels] float64."""
+        left = self.synth[0].run(yl).reshape(-1)
+        if self.channels == 1:
+            return left
+        right = self.synth[1].run(yr).reshape(-1)
+        out = np.empty(FRAME_LENGTH * 2, np.float64)
+        out[0::2] = left
+        out[1::2] = right
+        return out
+
+
+# ---------------------------------------------------------------------------
+# container
+# ---------------------------------------------------------------------------
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    size = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        size = (size << 7) | (b & 0x7F)
+        if not (b & 0x80):
+            return size, pos
 
 
 def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
-    raise DecodeError("musepack decoding not yet implemented")
+    if data[:4] != b"MPCK":
+        if data[:3] == b"MP+":
+            raise DecodeError("musepack SV7 streams are not supported")
+        raise DecodeError("bad musepack magic")
+
+    pos = 4
+    dec = None
+    sample_rate = 0
+    channels = 0
+    total_samples = 0
+    beg_silence = 0
+    block_pwr = 0
+    samples_to_skip = 0
+    decoded_samples = 0
+    stream_samples = 0
+    chunks: list[np.ndarray] = []
+    done = False
+
+    while pos + 3 <= len(data) and not done:
+        key = data[pos : pos + 2]
+        size, hdr_end = _read_varint(data, pos + 2)
+        body = data[hdr_end : pos + size]
+        pos += size
+
+        if key == b"SH":
+            # streaminfo.c:187 streaminfo_read_header_sv8
+            br = _Bits(body)
+            br.read(32)  # CRC (not verified)
+            version = br.read(8)
+            if version != 8:
+                raise DecodeError(f"unsupported MPC stream version {version}")
+            total_samples, p = _read_varint(body, (br.pos // 8))
+            beg_silence, p = _read_varint(body, p)
+            br.pos = p * 8
+            sample_rate = _SAMPLE_FREQS[br.read(3)]
+            max_band = br.read(5) + 1
+            channels = br.read(4) + 1
+            ms = bool(br.read(1))
+            block_pwr = br.read(3) * 2
+            dec = MusepackDecoder(max_band, ms, channels)
+            samples_to_skip = SYNTH_DELAY + beg_silence
+            stream_samples = total_samples
+        elif key == b"AP":
+            if dec is None:
+                raise DecodeError("MPC audio block before stream header")
+            br = _Bits(body)
+            for f in range(1 << block_pwr):
+                samples_left = (stream_samples - decoded_samples
+                                + SYNTH_DELAY)
+                if samples_left <= 0 and stream_samples != 0:
+                    done = True
+                    break
+                dec.read_frame(br, is_key_frame=(f == 0))
+                frame = None
+                if samples_to_skip < FRAME_LENGTH + SYNTH_DELAY:
+                    yl, yr = dec.requantize()
+                    frame = dec.synthesize(yl, yr)
+                decoded_samples += FRAME_LENGTH
+                n_out = min(max(samples_left, 0), FRAME_LENGTH)
+                if samples_to_skip:
+                    if n_out <= samples_to_skip:
+                        samples_to_skip -= n_out
+                        n_out = 0
+                    else:
+                        n_out -= samples_to_skip
+                        if frame is not None:
+                            frame = frame[samples_to_skip * channels :]
+                        samples_to_skip = 0
+                if n_out and frame is not None:
+                    chunks.append(frame[: n_out * channels])
+                if br.pos > br.limit:
+                    raise DecodeError("MPC bitstream overrun")
+        elif key == b"SE":
+            done = True
+        # other blocks (RG, EI, ST, SO, CT) are metadata: skipped
+
+    if dec is None:
+        raise DecodeError("no MPC stream header found")
+
+    pcm = (np.concatenate(chunks) if chunks
+           else np.zeros(0, np.float64)).astype(np.float32)
+    audio.samples = pcm
+    audio.channel_count = channels
+    audio.sample_rate = sample_rate
+    audio.source_format = PCMFormat.PCM_16
+    audio.length_seconds = (
+        len(pcm) / channels / sample_rate if sample_rate else 0.0
+    )
