@@ -1,7 +1,827 @@
-"""wavpack decoder — placeholder, implemented in a later milestone."""
-from ..audio_data import AudioData
+"""WavPack (.wv) lossless decoder.
+
+Re-implementation of the WavPack 4/5 decode path from the format's
+public semantics (reference: third_party/wavpack/src — block layout
+wavpack_local.h:134 WavpackHeader, metadata walk open_utils.c:655
+read_metadata_buff/process_metadata, entropy words read_words.c:327
+get_words_lossless, decorrelation unpack.c:506/568 decorr_*_pass,
+joint-stereo undo + final shift unpack.c:199/680 fixup_samples, float
+restore unpack_floats.c float_values_nowvx, int32 info open_utils.c:412).
+
+The branchy entropy/decorrelation hot loops run in the native host
+library (native/hostops.c wv_words_lossless / wv_decorr_*) with pure
+Python fallbacks. Output is interleaved float32: float streams pass
+through (normalized), integer streams are scaled by 2^(bps-1) like the
+upstream consumer.
+
+Hybrid (lossy) streams and DSD are not supported; all shipped fixtures
+and the vast majority of .wv files are pure lossless.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+
+import numpy as np
+
+from ..audio_data import AudioData, PCMFormat
 from ..errors import DecodeError
+from ..runtime import native
+
+# header flags (wavpack_local.h:176-201)
+BYTES_STORED = 3
+MONO_FLAG = 4
+HYBRID_FLAG = 8
+JOINT_STEREO = 0x10
+CROSS_DECORR = 0x20
+HYBRID_SHAPE = 0x40
+FLOAT_DATA = 0x80
+INT32_DATA = 0x100
+HYBRID_BITRATE = 0x200
+INITIAL_BLOCK = 0x800
+FINAL_BLOCK = 0x1000
+SHIFT_LSB = 13
+MAG_LSB = 18
+SRATE_LSB = 23
+FALSE_STEREO = 0x40000000
+MONO_DATA = MONO_FLAG | FALSE_STEREO
+
+# metadata ids (wavpack_local.h:228-260)
+ID_DECORR_TERMS = 0x2
+ID_DECORR_WEIGHTS = 0x3
+ID_DECORR_SAMPLES = 0x4
+ID_ENTROPY_VARS = 0x5
+ID_FLOAT_INFO = 0x8
+ID_INT32_INFO = 0x9
+ID_WV_BITSTREAM = 0xA
+ID_WVX_BITSTREAM = 0xC
+ID_SAMPLE_RATE = 0x27
+ID_ODD_SIZE = 0x40
+ID_LARGE = 0x80
+
+MAX_TERM = 8
+
+SAMPLE_RATES = [6000, 8000, 9600, 11025, 12000, 16000, 22050, 24000,
+                32000, 44100, 48000, 64000, 88200, 96000, 192000]
+
+# float_flags (wavpack_local.h:435-439)
+FLOAT_SHIFT_ONES = 1
+FLOAT_SHIFT_SAME = 2
+FLOAT_SHIFT_SENT = 4
+FLOAT_ZEROS_SENT = 8
+FLOAT_NEG_ZEROS = 0x10
+
+_EXP2 = [
+    0x00, 0x01, 0x01, 0x02, 0x03, 0x03, 0x04, 0x05, 0x06, 0x06, 0x07, 0x08,
+    0x08, 0x09, 0x0A, 0x0B, 0x0B, 0x0C, 0x0D, 0x0E, 0x0E, 0x0F, 0x10, 0x10,
+    0x11, 0x12, 0x13, 0x13, 0x14, 0x15, 0x16, 0x16, 0x17, 0x18, 0x19, 0x19,
+    0x1A, 0x1B, 0x1C, 0x1D, 0x1D, 0x1E, 0x1F, 0x20, 0x20, 0x21, 0x22, 0x23,
+    0x24, 0x24, 0x25, 0x26, 0x27, 0x28, 0x28, 0x29, 0x2A, 0x2B, 0x2C, 0x2C,
+    0x2D, 0x2E, 0x2F, 0x30, 0x30, 0x31, 0x32, 0x33, 0x34, 0x35, 0x35, 0x36,
+    0x37, 0x38, 0x39, 0x3A, 0x3A, 0x3B, 0x3C, 0x3D, 0x3E, 0x3F, 0x40, 0x41,
+    0x41, 0x42, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x48, 0x49, 0x4A, 0x4B,
+    0x4C, 0x4D, 0x4E, 0x4F, 0x50, 0x51, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56,
+    0x57, 0x58, 0x59, 0x5A, 0x5B, 0x5C, 0x5D, 0x5E, 0x5E, 0x5F, 0x60, 0x61,
+    0x62, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x6B, 0x6C, 0x6D,
+    0x6E, 0x6F, 0x70, 0x71, 0x72, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x7B, 0x7C, 0x7D, 0x7E, 0x7F, 0x80, 0x81, 0x82, 0x83, 0x84, 0x85,
+    0x87, 0x88, 0x89, 0x8A, 0x8B, 0x8C, 0x8D, 0x8E, 0x8F, 0x90, 0x91, 0x92,
+    0x93, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0x9B, 0x9C, 0x9D, 0x9F, 0xA0,
+    0xA1, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA8, 0xA9, 0xAA, 0xAB, 0xAC, 0xAD,
+    0xAF, 0xB0, 0xB1, 0xB2, 0xB3, 0xB4, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xBC,
+    0xBD, 0xBE, 0xBF, 0xC0, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC8, 0xC9, 0xCA,
+    0xCB, 0xCD, 0xCE, 0xCF, 0xD0, 0xD2, 0xD3, 0xD4, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDB, 0xDC, 0xDD, 0xDE, 0xE0, 0xE1, 0xE2, 0xE4, 0xE5, 0xE6, 0xE8, 0xE9,
+    0xEA, 0xEC, 0xED, 0xEE, 0xF0, 0xF1, 0xF2, 0xF4, 0xF5, 0xF6, 0xF8, 0xF9,
+    0xFA, 0xFC, 0xFD, 0xFF,
+]
+
+
+def _exp2s(log: int) -> int:
+    """entropy_utils.c wp_exp2s: signed log2 -> 32-bit value."""
+    if log < 0:
+        return -_exp2s(-log)
+    value = _EXP2[log & 0xFF] | 0x100
+    shift = (log >> 8) - 9
+    return value << shift if shift > 0 else value >> -shift
+
+
+def _restore_weight(w: int) -> int:
+    """entropy_utils.c restore_weight (signed char -> weight)."""
+    if w >= 128:
+        w -= 256
+    result = w << 3
+    if result > 0:
+        result += (result + 64) >> 7
+    return result
+
+
+def _i32(x: int) -> int:
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+class _Pass:
+    __slots__ = ("term", "delta", "weight_a", "weight_b",
+                 "samples_a", "samples_b")
+
+    def __init__(self, term, delta):
+        self.term = term
+        self.delta = delta
+        self.weight_a = 0
+        self.weight_b = 0
+        self.samples_a = np.zeros(MAX_TERM, np.int32)
+        self.samples_b = np.zeros(MAX_TERM, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python fallbacks for the native hot loops
+# ---------------------------------------------------------------------------
+
+class _LsbBits:
+    """LSB-first bit reader (WavPack bitstream convention)."""
+
+    __slots__ = ("buf", "pos", "limit")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+        self.limit = len(buf) * 8
+
+    def getbit(self) -> int:
+        p = self.pos
+        self.pos = p + 1
+        if p >= self.limit:
+            return 1
+        return (self.buf[p >> 3] >> (p & 7)) & 1
+
+    def getbits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            v |= self.getbit() << i
+        return v
+
+
+def _read_code(bs: _LsbBits, maxcode: int) -> int:
+    if maxcode < 2:
+        return bs.getbit() if maxcode else 0
+    bitcount = maxcode.bit_length()
+    extras = (1 << bitcount) - maxcode - 1
+    code = bs.getbits(bitcount - 1)
+    if code >= extras:
+        code = (code << 1) - extras + bs.getbit()
+    return code
+
+
+def _unary_escape(bs: _LsbBits, limit: int = 33):
+    cbits = 0
+    while cbits < limit and bs.getbit():
+        cbits += 1
+    if cbits == limit:
+        return None
+    if cbits < 2:
+        return cbits
+    return (1 << (cbits - 1)) | bs.getbits(cbits - 1)
+
+
+def _words_lossless_py(bs, out, nvalues, med, st, mono):
+    holding_one, holding_zero, zeros_acc = st[0], st[1], st[2]
+
+    def get_med(c, m):
+        return (int(med[c * 3 + m]) >> 4) + 1
+
+    def inc(c, m, div):
+        med[c * 3 + m] = (med[c * 3 + m]
+                          + ((med[c * 3 + m] + div) // div) * 5) & 0xFFFFFFFF
+
+    def dec(c, m, div):
+        med[c * 3 + m] = (med[c * 3 + m]
+                          - ((med[c * 3 + m] + div - 2) // div) * 2) & 0xFFFFFFFF
+
+    divs = (128, 64, 32)
+    n = 0
+    while n < nvalues:
+        c = 0 if mono else (n & 1)
+        if holding_zero:
+            holding_zero = 0
+            low = _read_code(bs, get_med(c, 0) - 1)
+            dec(c, 0, 128)
+            out[n] = _i32(~low) if bs.getbit() else low
+            n += 1
+            if n == nvalues:
+                break
+            c = 0 if mono else (n & 1)
+
+        if med[0] < 2 and not holding_one and med[3] < 2:
+            if zeros_acc:
+                zeros_acc -= 1
+                if zeros_acc:
+                    out[n] = 0
+                    n += 1
+                    continue
+            else:
+                v = _unary_escape(bs)
+                if v is None:
+                    break
+                zeros_acc = v
+                if zeros_acc:
+                    med[:] = 0
+                    out[n] = 0
+                    n += 1
+                    continue
+
+        ones_count = 0
+        while ones_count < 17 and bs.getbit():
+            ones_count += 1
+        if ones_count == 17:
+            break
+        if ones_count == 16:
+            v = _unary_escape(bs)
+            if v is None:
+                break
+            ones_count = v + 16
+
+        prev = holding_one
+        holding_one = ones_count & 1
+        holding_zero = (~ones_count) & 1
+        ones_count = (ones_count >> 1) + prev
+
+        if ones_count == 0:
+            low = 0
+            high = get_med(c, 0) - 1
+            dec(c, 0, 128)
+        else:
+            low = get_med(c, 0)
+            inc(c, 0, 128)
+            if ones_count == 1:
+                high = low + get_med(c, 1) - 1
+                dec(c, 1, 64)
+            else:
+                low += get_med(c, 1)
+                inc(c, 1, 64)
+                if ones_count == 2:
+                    high = low + get_med(c, 2) - 1
+                    dec(c, 2, 32)
+                else:
+                    low += (ones_count - 2) * get_med(c, 2)
+                    high = low + get_med(c, 2) - 1
+                    inc(c, 2, 32)
+
+        low += _read_code(bs, high - low)
+        out[n] = _i32(~low) if bs.getbit() else low
+        n += 1
+
+    st[0], st[1], st[2], st[3] = holding_one, holding_zero, zeros_acc, n
+
+
+def _apply_weight(weight: int, sample: int) -> int:
+    # exact int32-wrapping version of wavpack_local.h:532-548 apply_weight
+    if -32768 <= sample <= 32767:
+        return _i32(_i32(weight * sample) + 512) >> 10
+    lo = _i32((sample & 0xFFFF) * weight) >> 9
+    hi = _i32(((sample - (sample & 0xFFFF)) >> 9) * weight)
+    return _i32(lo + hi + 1) >> 1
+
+
+def _update_weight(weight, delta, source, result):
+    if source and result:
+        s = -1 if (source ^ result) < 0 else 0
+        weight = (delta ^ s) + (weight - s)
+    return weight
+
+
+def _update_weight_clip(weight, delta, source, result):
+    if source and result:
+        s = -1 if (source ^ result) < 0 else 0
+        weight = (weight ^ s) + (delta - s)
+        if weight > 1024:
+            weight = 1024
+        weight = (weight ^ s) - s
+    return weight
+
+
+def _decorr_mono_py(p: _Pass, buf, nsamples):
+    w = p.weight_a
+    sa = [int(x) for x in p.samples_a]
+    term, delta = p.term, p.delta
+    if term == 17 or term == 18:
+        for i in range(nsamples):
+            if term == 17:
+                sam = _i32(2 * sa[0] - sa[1])
+            else:
+                sam = _i32((3 * sa[0] - sa[1]) >> 1)
+            sa[1] = sa[0]
+            sa[0] = _i32(_apply_weight(w, sam) + int(buf[i]))
+            w = _update_weight(w, delta, sam, int(buf[i]))
+            buf[i] = sa[0]
+    else:
+        m, k = 0, term & (MAX_TERM - 1)
+        for i in range(nsamples):
+            sam = sa[m]
+            v = _i32(_apply_weight(w, sam) + int(buf[i]))
+            w = _update_weight(w, delta, sam, int(buf[i]))
+            sa[k] = v
+            buf[i] = v
+            m = (m + 1) & (MAX_TERM - 1)
+            k = (k + 1) & (MAX_TERM - 1)
+        if m:
+            tmp = list(sa)
+            for k in range(MAX_TERM):
+                sa[k] = tmp[(m + k) & (MAX_TERM - 1)]
+    p.weight_a = w
+    p.samples_a[:] = sa
+
+
+def _decorr_stereo_py(p: _Pass, buf, nsamples):
+    wa, wb = p.weight_a, p.weight_b
+    sa = [int(x) for x in p.samples_a]
+    sb = [int(x) for x in p.samples_b]
+    term, delta = p.term, p.delta
+    nv = nsamples * 2
+    if term in (17, 18):
+        for i in range(0, nv, 2):
+            if term == 17:
+                sam = _i32(2 * sa[0] - sa[1])
+            else:
+                sam = _i32(sa[0] + ((sa[0] - sa[1]) >> 1))
+            sa[1] = sa[0]
+            tmp = int(buf[i])
+            sa[0] = _i32(_apply_weight(wa, sam) + tmp)
+            wa = _update_weight(wa, delta, sam, tmp)
+            buf[i] = sa[0]
+            if term == 17:
+                sam = _i32(2 * sb[0] - sb[1])
+            else:
+                sam = _i32(sb[0] + ((sb[0] - sb[1]) >> 1))
+            sb[1] = sb[0]
+            tmp = int(buf[i + 1])
+            sb[0] = _i32(_apply_weight(wb, sam) + tmp)
+            wb = _update_weight(wb, delta, sam, tmp)
+            buf[i + 1] = sb[0]
+    elif term > 0:
+        m, k = 0, term & (MAX_TERM - 1)
+        for i in range(0, nv, 2):
+            sam = sa[m]
+            v = _i32(_apply_weight(wa, sam) + int(buf[i]))
+            wa = _update_weight(wa, delta, sam, int(buf[i]))
+            sa[k] = v
+            buf[i] = v
+            sam = sb[m]
+            v = _i32(_apply_weight(wb, sam) + int(buf[i + 1]))
+            wb = _update_weight(wb, delta, sam, int(buf[i + 1]))
+            sb[k] = v
+            buf[i + 1] = v
+            m = (m + 1) & (MAX_TERM - 1)
+            k = (k + 1) & (MAX_TERM - 1)
+    elif term == -1:
+        for i in range(0, nv, 2):
+            sam = _i32(int(buf[i]) + _apply_weight(wa, sa[0]))
+            wa = _update_weight_clip(wa, delta, sa[0], int(buf[i]))
+            buf[i] = sam
+            sa[0] = _i32(int(buf[i + 1]) + _apply_weight(wb, sam))
+            wb = _update_weight_clip(wb, delta, sam, int(buf[i + 1]))
+            buf[i + 1] = sa[0]
+    elif term == -2:
+        for i in range(0, nv, 2):
+            sam = _i32(int(buf[i + 1]) + _apply_weight(wb, sb[0]))
+            wb = _update_weight_clip(wb, delta, sb[0], int(buf[i + 1]))
+            buf[i + 1] = sam
+            sb[0] = _i32(int(buf[i]) + _apply_weight(wa, sam))
+            wa = _update_weight_clip(wa, delta, sam, int(buf[i]))
+            buf[i] = sb[0]
+    elif term == -3:
+        for i in range(0, nv, 2):
+            sam_a = _i32(int(buf[i]) + _apply_weight(wa, sa[0]))
+            wa = _update_weight_clip(wa, delta, sa[0], int(buf[i]))
+            sam_b = _i32(int(buf[i + 1]) + _apply_weight(wb, sb[0]))
+            wb = _update_weight_clip(wb, delta, sb[0], int(buf[i + 1]))
+            buf[i] = sb[0] = sam_a
+            buf[i + 1] = sa[0] = sam_b
+    p.weight_a, p.weight_b = wa, wb
+    p.samples_a[:] = sa
+    p.samples_b[:] = sb
+
+
+# ---------------------------------------------------------------------------
+# block decode
+# ---------------------------------------------------------------------------
+
+class _Block:
+    """One parsed WavPack block with its metadata applied."""
+
+    def __init__(self, hdr_flags, block_samples, data):
+        self.flags = hdr_flags
+        self.block_samples = block_samples
+        self.passes: list[_Pass] = []
+        self.medians = np.zeros(6, np.uint32)
+        self.wvbits = None
+        self.wvxbits = None
+        self.float_flags = 0
+        self.float_shift = 0
+        self.float_max_exp = 0
+        self.float_norm_exp = 0
+        self.int32_sent_bits = 0
+        self.int32_zeros = 0
+        self.int32_ones = 0
+        self.int32_dups = 0
+        self._parse_metadata(data)
+
+    def _parse_metadata(self, data: bytes):
+        mono = bool(self.flags & MONO_DATA)
+        pos = 0
+        while pos + 2 <= len(data):
+            mid = data[pos]
+            length = data[pos + 1] << 1
+            pos += 2
+            if mid & ID_LARGE:
+                mid &= ~ID_LARGE
+                length += (data[pos] << 9) + (data[pos + 1] << 17)
+                pos += 2
+            if mid & ID_ODD_SIZE:
+                mid &= ~ID_ODD_SIZE
+                length -= 1
+            body = data[pos : pos + length]
+            pos += length + (length & 1)
+
+            if mid == ID_DECORR_TERMS:
+                terms = []
+                for b in body:
+                    term = (b & 0x1F) - 5
+                    delta = (b >> 5) & 0x7
+                    terms.append(_Pass(term, delta))
+                terms.reverse()
+                self.passes = terms
+            elif mid == ID_DECORR_WEIGHTS:
+                # specified from the last term backwards (decorr_utils.c:61)
+                cnt = len(body) // (1 if mono else 2)
+                bi = 0
+                for p in reversed(self.passes):
+                    if cnt == 0:
+                        break
+                    cnt -= 1
+                    p.weight_a = _restore_weight(body[bi])
+                    bi += 1
+                    if not mono:
+                        p.weight_b = _restore_weight(body[bi])
+                        bi += 1
+            elif mid == ID_DECORR_SAMPLES:
+                bi = 0
+                for p in reversed(self.passes):
+                    if bi >= len(body):
+                        break
+                    if p.term > MAX_TERM:
+                        p.samples_a[0] = _exp2s(
+                            struct.unpack_from("<h", body, bi)[0])
+                        p.samples_a[1] = _exp2s(
+                            struct.unpack_from("<h", body, bi + 2)[0])
+                        bi += 4
+                        if not mono:
+                            p.samples_b[0] = _exp2s(
+                                struct.unpack_from("<h", body, bi)[0])
+                            p.samples_b[1] = _exp2s(
+                                struct.unpack_from("<h", body, bi + 2)[0])
+                            bi += 4
+                    elif p.term < 0:
+                        p.samples_a[0] = _exp2s(
+                            struct.unpack_from("<h", body, bi)[0])
+                        p.samples_b[0] = _exp2s(
+                            struct.unpack_from("<h", body, bi + 2)[0])
+                        bi += 4
+                    else:
+                        for m in range(p.term):
+                            p.samples_a[m] = _exp2s(
+                                struct.unpack_from("<h", body, bi)[0])
+                            bi += 2
+                            if not mono:
+                                p.samples_b[m] = _exp2s(
+                                    struct.unpack_from("<h", body, bi)[0])
+                                bi += 2
+            elif mid == ID_ENTROPY_VARS:
+                vals = struct.unpack_from(f"<{len(body) // 2}H", body, 0)
+                for i, v in enumerate(vals[: 3 if mono else 6]):
+                    self.medians[i] = _exp2s(v) & 0xFFFFFFFF
+            elif mid == ID_FLOAT_INFO and len(body) == 4:
+                self.float_flags = body[0]
+                self.float_shift = body[1]
+                self.float_max_exp = body[2]
+                self.float_norm_exp = body[3]
+            elif mid == ID_INT32_INFO and len(body) == 4:
+                self.int32_sent_bits = body[0]
+                self.int32_zeros = body[1]
+                self.int32_ones = body[2]
+                self.int32_dups = body[3]
+            elif mid == ID_WV_BITSTREAM:
+                self.wvbits = body
+            elif mid == ID_WVX_BITSTREAM:
+                # 4-byte crc_x then the side bitstream (open_utils.c:393)
+                self.wvxbits = body[4:]
+
+    def decode(self) -> np.ndarray:
+        """-> int32 array [block_samples * (1 or 2)] (pre-normalization)."""
+        flags = self.flags
+        if flags & HYBRID_FLAG:
+            raise DecodeError("WavPack hybrid (lossy) streams not supported")
+        if self.wvbits is None:
+            raise DecodeError("WavPack block has no audio bitstream")
+        mono = bool(flags & MONO_DATA)
+        nvalues = self.block_samples * (1 if mono else 2)
+        out = np.zeros(nvalues, np.int32)
+        st = np.zeros(4, np.uint32)
+        L = native.lib()
+        if L is not None and hasattr(L, "wv_words_lossless"):
+            buf = self.wvbits + b"\xff" * 8
+            L.wv_words_lossless(
+                buf, len(self.wvbits) * 8, 0,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nvalues,
+                self.medians.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                1 if mono else 0,
+            )
+            got = int(st[3])
+        else:
+            bs = _LsbBits(self.wvbits)
+            _words_lossless_py(bs, out, nvalues, self.medians, st, mono)
+            got = int(st[3])
+        if got != nvalues:
+            raise DecodeError("WavPack entropy decode ran out of data")
+
+        if L is not None and hasattr(L, "wv_decorr_stereo"):
+            for p in self.passes:
+                weights = np.array([p.weight_a, p.weight_b], np.int32)
+                if mono:
+                    L.wv_decorr_mono(
+                        p.term, p.delta,
+                        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        p.samples_a.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        self.block_samples,
+                    )
+                else:
+                    L.wv_decorr_stereo(
+                        p.term, p.delta,
+                        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        p.samples_a.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)),
+                        p.samples_b.ctypes.data_as(
+                            ctypes.POINTER(ctypes.c_int32)),
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                        self.block_samples,
+                    )
+                p.weight_a, p.weight_b = int(weights[0]), int(weights[1])
+        else:
+            for p in self.passes:
+                if mono:
+                    _decorr_mono_py(p, out, self.block_samples)
+                else:
+                    _decorr_stereo_py(p, out, self.block_samples)
+
+        if not mono and (flags & JOINT_STEREO):
+            # unpack.c:199 joint stereo undo (vectorized, int32 wrap)
+            left = out[0::2]
+            right = out[1::2]
+            right -= left >> 1
+            left += right
+
+        # fixup_samples (unpack.c:680)
+        shift = (flags >> SHIFT_LSB) & 0x1F
+        if flags & FLOAT_DATA:
+            out = self._restore_float(out).view(np.int32)
+            if flags & FALSE_STEREO:
+                out = np.repeat(out, 2)
+            return out
+        if flags & INT32_DATA:
+            sb, z = self.int32_sent_bits, self.int32_zeros
+            o, d = self.int32_ones, self.int32_dups
+            if self.wvxbits is not None:
+                # literally-sent low bits from the side stream (unpack.c:699);
+                # fixed-width LSB-first fields -> vectorized unpack
+                if sb:
+                    bits = np.unpackbits(
+                        np.frombuffer(self.wvxbits, np.uint8),
+                        bitorder="little",
+                    )
+                    need = len(out) * sb
+                    if bits.size < need:
+                        raise DecodeError("WavPack wvx stream too short")
+                    fields = bits[:need].reshape(len(out), sb).astype(np.int64)
+                    data = fields @ (1 << np.arange(sb, dtype=np.int64))
+                    out = ((out.astype(np.int64) << sb) | data)
+                    out = (out & 0xFFFFFFFF)
+                    out = np.where(out >= 1 << 31, out - (1 << 32),
+                                   out).astype(np.int32)
+                if z:
+                    out <<= z
+                elif o:
+                    out = ((out + 1) << o) - 1
+                elif d:
+                    out = ((out + (out & 1)) << d) - (out & 1)
+            elif not sb and (z or o or d):
+                if z:
+                    out <<= z
+                elif o:
+                    out = ((out + 1) << o) - 1
+                elif d:
+                    out = ((out + (out & 1)) << d) - (out & 1)
+            else:
+                shift += z + sb + o + d
+        if shift:
+            out <<= shift
+        if flags & FALSE_STEREO:
+            out = np.repeat(out, 2)
+        return out
+
+    def _restore_float(self, values: np.ndarray) -> np.ndarray:
+        if self.wvxbits is not None:
+            return self._restore_float_wvx(values)
+        return self._restore_float_nowvx(values)
+
+    def _restore_float_wvx(self, values: np.ndarray) -> np.ndarray:
+        """unpack_floats.c float_values (lossless, with side bitstream)."""
+        n = len(values)
+        out = np.zeros(n, np.uint32)
+        L = native.lib()
+        if L is not None and hasattr(L, "wv_float_values"):
+            L.wv_float_values(
+                values.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
+                self.wvxbits + b"\x00" * 8, len(self.wvxbits) * 8,
+                self.float_flags, self.float_shift, self.float_max_exp,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+        else:
+            bs = _LsbBits(self.wvxbits)
+            ff = self.float_flags
+            for i in range(n):
+                shift_count = 0
+                exp = self.float_max_exp
+                sign = mantissa = exponent = 0
+                v = int(values[i])
+                if v == 0:
+                    if ff & FLOAT_ZEROS_SENT:
+                        if bs.getbit():
+                            mantissa = bs.getbits(23)
+                            if exp >= 25:
+                                exponent = bs.getbits(8)
+                            sign = bs.getbit()
+                        elif ff & FLOAT_NEG_ZEROS:
+                            sign = bs.getbit()
+                else:
+                    v = _i32(v << self.float_shift)
+                    if v < 0:
+                        v = -v
+                        sign = 1
+                    if v == 0x1000000:
+                        if bs.getbit():
+                            mantissa = bs.getbits(23)
+                        exponent = 255
+                    else:
+                        if exp:
+                            while not (v & 0x800000):
+                                exp -= 1
+                                if not exp:
+                                    break
+                                shift_count += 1
+                                v = _i32(v << 1)
+                        if shift_count:
+                            if (ff & FLOAT_SHIFT_ONES) or (
+                                (ff & FLOAT_SHIFT_SAME) and bs.getbit()
+                            ):
+                                v |= (1 << shift_count) - 1
+                            elif ff & FLOAT_SHIFT_SENT:
+                                v |= bs.getbits(shift_count)
+                        mantissa = v & 0x7FFFFF
+                        exponent = exp
+                out[i] = (sign << 31) | (exponent << 23) | mantissa
+        return self._normalize_float_bits(out)
+
+    def _normalize_float_bits(self, bits: np.ndarray) -> np.ndarray:
+        """WavpackFloatNormalize with OPEN_NORMALIZE (common_utils.c:576)."""
+        delta_exp = 127 - self.float_norm_exp
+        if delta_exp:
+            e = (bits >> 23) & 0xFF
+            new_e = e.astype(np.int64) + delta_exp
+            zero_out = (e == 0) | (new_e <= 0)
+            inf = (e == 255) | (new_e >= 255)
+            bits = (bits & ~np.uint32(0xFF << 23)) \
+                | ((np.clip(new_e, 0, 255).astype(np.uint32) & 0xFF) << 23)
+            bits = np.where(zero_out, np.uint32(0), bits)
+            bits = np.where(inf, (bits & np.uint32(0x80000000))
+                            | np.uint32(0xFF << 23), bits)
+        return bits.view(np.float32)
+
+    def _restore_float_nowvx(self, values: np.ndarray) -> np.ndarray:
+        """unpack_floats.c float_values_nowvx, vectorized."""
+        v = values.astype(np.int64)
+        v <<= self.float_shift
+        v = (v & 0xFFFFFFFF)
+        v = np.where(v >= 1 << 31, v - (1 << 32), v)
+        sign = (v < 0).astype(np.uint32)
+        v = np.abs(v)
+        exp = np.full(v.shape, self.float_max_exp, np.int64)
+
+        # case: overflow past 2^24 -> shift down, bump exponent
+        big = v >= 0x1000000
+        idx = big & ((v & 0xF000000) != 0)
+        while np.any(idx):
+            v[idx] >>= 1
+            exp[idx] += 1
+            idx = big & ((v & 0xF000000) != 0)
+
+        # case: normalize small values up; C decrements exp on each failed
+        # test too: while (!(v & 0x800000) && --exp) { shift; }
+        small = (~big) & (v != 0)
+        shift_count = np.zeros(v.shape, np.int64)
+        if self.float_max_exp:
+            pend = small.copy()
+            while True:
+                test = pend & ((v & 0x800000) == 0)
+                if not test.any():
+                    break
+                exp[test] -= 1
+                cont = test & (exp > 0)
+                pend = cont
+                v[cont] <<= 1
+                shift_count[cont] += 1
+        if self.float_flags & FLOAT_SHIFT_ONES:
+            fill = np.where(shift_count > 0, (1 << shift_count) - 1, 0)
+            v |= fill
+        zero = values == 0
+        exp = np.where(zero, 0, exp)
+        v = np.where(zero, 0, v)
+        sign = np.where(zero, 0, sign)
+        bits = (sign.astype(np.uint32) << 31) \
+            | ((exp.astype(np.uint32) & 0xFF) << 23) \
+            | (v.astype(np.uint32) & 0x7FFFFF)
+        return self._normalize_float_bits(bits)
 
 
 def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
-    raise DecodeError("wavpack decoding not yet implemented")
+    pos = 0
+    n = len(data)
+    chunks = []
+    sample_rate = 0
+    channels = 0
+    total_samples = -1
+    bps = 16
+    is_float = False
+    found = False
+
+    while pos + 32 <= n:
+        if data[pos : pos + 4] != b"wvpk":
+            pos += 1
+            continue
+        (cksize, version, index_u8, total_u8, total_lo, block_index,
+         block_samples, flags, crc) = struct.unpack_from(
+            "<IHBBIIIII", data, pos + 4)
+        if cksize < 24 or pos + 8 + cksize > n or not (0x402 <= version
+                                                       <= 0x410):
+            pos += 1
+            continue
+        body = data[pos + 32 : pos + 8 + cksize]
+        pos += 8 + cksize
+        if not found:
+            found = True
+            if total_lo != 0xFFFFFFFF:
+                total_samples = total_lo + (total_u8 << 32) - total_u8
+            srate_idx = (flags >> SRATE_LSB) & 0xF
+            sample_rate = (44100 if srate_idx == 0xF
+                           else SAMPLE_RATES[srate_idx])
+            is_float = bool(flags & FLOAT_DATA)
+            shift = (flags >> SHIFT_LSB) & 0x1F
+            bps = ((flags & BYTES_STORED) + 1) * 8 - shift
+        if not block_samples:
+            continue  # metadata-only block (tags etc.)
+        if not (flags & INITIAL_BLOCK) or not (flags & FINAL_BLOCK):
+            raise DecodeError(
+                "multichannel (>2ch) WavPack segments not supported")
+        blk = _Block(flags, block_samples, body)
+        decoded = blk.decode()
+        nch = 1 if (flags & MONO_FLAG) and not (flags & FALSE_STEREO) else 2
+        if channels == 0:
+            channels = nch
+        chunks.append(decoded)
+
+    if not found or not chunks:
+        raise DecodeError("no WavPack blocks found")
+
+    raw = np.concatenate(chunks)
+    if is_float:
+        pcm = raw.view(np.float32).copy()
+    else:
+        pcm = raw.astype(np.float32) * np.float32(1.0 / (1 << (bps - 1)))
+    if total_samples >= 0:
+        pcm = pcm[: total_samples * channels]
+
+    audio.samples = pcm
+    audio.channel_count = channels
+    audio.sample_rate = sample_rate
+    audio.source_format = (
+        PCMFormat.PCM_FLT if is_float else
+        {8: PCMFormat.PCM_S8, 16: PCMFormat.PCM_16, 24: PCMFormat.PCM_24,
+         32: PCMFormat.PCM_32}.get(bps, PCMFormat.PCM_16)
+    )
+    audio.length_seconds = (
+        len(pcm) / channels / sample_rate if sample_rate else 0.0
+    )

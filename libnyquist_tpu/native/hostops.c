@@ -118,3 +118,370 @@ void flac_fixed_restore(const int32_t *residual, int64_t n, int order,
         break;
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* WavPack lossless entropy words + decorrelation passes.             */
+/* Re-implementation of the WavPack 4/5 bitstream semantics           */
+/* (reference: wavpack/src/read_words.c get_words_lossless,           */
+/* unpack.c decorr_stereo_pass / decorr_mono_pass). LSB-first reader. */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    const unsigned char *buf;
+    uint64_t pos, limit;
+} wv_bits;
+
+static inline int wv_getbit(wv_bits *b) {
+    if (b->pos >= b->limit) { b->pos++; return 1; } /* past end: 1s (EOF) */
+    int bit = (b->buf[b->pos >> 3] >> (b->pos & 7)) & 1;
+    b->pos++;
+    return bit;
+}
+
+static inline uint32_t wv_getbits(wv_bits *b, int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; i++)
+        v |= (uint32_t)wv_getbit(b) << i;
+    return v;
+}
+
+static inline uint32_t wv_read_code(wv_bits *b, uint32_t maxcode) {
+    if (maxcode < 2)
+        return maxcode ? (uint32_t)wv_getbit(b) : 0;
+    int bitcount = 32 - __builtin_clz(maxcode);
+    uint32_t extras = (1u << bitcount) - maxcode - 1, code;
+    code = wv_getbits(b, bitcount - 1);
+    if (code >= extras)
+        code = (code << 1) - extras + (uint32_t)wv_getbit(b);
+    return code;
+}
+
+#define WV_GET_MED(c, m) ((med[(c) * 3 + (m)] >> 4) + 1)
+#define WV_INC_MED0(c) (med[(c)*3+0] += ((med[(c)*3+0] + 128) / 128) * 5)
+#define WV_DEC_MED0(c) (med[(c)*3+0] -= ((med[(c)*3+0] + 126) / 128) * 2)
+#define WV_INC_MED1(c) (med[(c)*3+1] += ((med[(c)*3+1] + 64) / 64) * 5)
+#define WV_DEC_MED1(c) (med[(c)*3+1] -= ((med[(c)*3+1] + 62) / 64) * 2)
+#define WV_INC_MED2(c) (med[(c)*3+2] += ((med[(c)*3+2] + 32) / 32) * 5)
+#define WV_DEC_MED2(c) (med[(c)*3+2] -= ((med[(c)*3+2] + 30) / 32) * 2)
+
+/* st: [holding_one, holding_zero, zeros_acc, values_written] */
+uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
+                           uint64_t pos, int32_t *out, int64_t nvalues,
+                           uint32_t *med, uint32_t *st, int mono)
+{
+    wv_bits bs = {buf, pos, limit_bits};
+    uint32_t holding_one = st[0], holding_zero = st[1], zeros_acc = st[2];
+    int64_t n;
+
+    for (n = 0; n < nvalues; n++) {
+        int c = mono ? 0 : (int)(n & 1);
+        uint32_t ones_count, low, high;
+
+        if (holding_zero) {
+            holding_zero = 0;
+            low = wv_read_code(&bs, WV_GET_MED(c, 0) - 1);
+            WV_DEC_MED0(c);
+            out[n] = wv_getbit(&bs) ? ~low : low;
+            if (++n == nvalues)
+                break;
+            c = mono ? 0 : (int)(n & 1);
+        }
+
+        if (med[0] < 2 && !holding_one && med[3] < 2) {
+            if (zeros_acc) {
+                if (--zeros_acc) {
+                    out[n] = 0;
+                    continue;
+                }
+            }
+            else {
+                int cbits;
+                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
+                    ;
+                if (cbits == 33)
+                    break;
+                if (cbits < 2)
+                    zeros_acc = cbits;
+                else {
+                    uint32_t mask;
+                    for (mask = 1, zeros_acc = 0; --cbits; mask <<= 1)
+                        if (wv_getbit(&bs))
+                            zeros_acc |= mask;
+                    zeros_acc |= mask;
+                }
+                if (zeros_acc) {
+                    for (int i = 0; i < 6; i++)
+                        med[i] = 0;
+                    out[n] = 0;
+                    continue;
+                }
+            }
+        }
+
+        for (ones_count = 0; ones_count < 17 && wv_getbit(&bs); ++ones_count)
+            ;
+        if (ones_count == 17)
+            break;
+        if (ones_count == 16) {
+            int cbits;
+            for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
+                ;
+            if (cbits == 33)
+                break;
+            if (cbits < 2)
+                ones_count = cbits;
+            else {
+                uint32_t mask;
+                for (mask = 1, ones_count = 0; --cbits; mask <<= 1)
+                    if (wv_getbit(&bs))
+                        ones_count |= mask;
+                ones_count |= mask;
+            }
+            ones_count += 16;
+        }
+
+        low = holding_one;
+        holding_one = ones_count & 1;
+        holding_zero = ~ones_count & 1;
+        ones_count = (ones_count >> 1) + low;
+
+        if (ones_count == 0) {
+            low = 0;
+            high = WV_GET_MED(c, 0) - 1;
+            WV_DEC_MED0(c);
+        }
+        else {
+            low = WV_GET_MED(c, 0);
+            WV_INC_MED0(c);
+            if (ones_count == 1) {
+                high = low + WV_GET_MED(c, 1) - 1;
+                WV_DEC_MED1(c);
+            }
+            else {
+                low += WV_GET_MED(c, 1);
+                WV_INC_MED1(c);
+                if (ones_count == 2) {
+                    high = low + WV_GET_MED(c, 2) - 1;
+                    WV_DEC_MED2(c);
+                }
+                else {
+                    low += (ones_count - 2) * WV_GET_MED(c, 2);
+                    high = low + WV_GET_MED(c, 2) - 1;
+                    WV_INC_MED2(c);
+                }
+            }
+        }
+
+        low += wv_read_code(&bs, high - low);
+        out[n] = wv_getbit(&bs) ? ~low : low;
+    }
+
+    st[0] = holding_one;
+    st[1] = holding_zero;
+    st[2] = zeros_acc;
+    st[3] = (uint32_t)n;
+    return bs.pos;
+}
+
+/* weight application/update (wavpack_local.h:532-571 semantics) */
+static inline int32_t wv_apply_weight(int32_t weight, int32_t sample) {
+    /* exact int32-wrapping semantics of the C macros */
+    if (sample != (int16_t)sample) {
+        int32_t lo = (int32_t)(((int64_t)(sample & 0xffff) * weight) >> 9);
+        int32_t hi = (int32_t)((int64_t)((sample & ~0xffff) >> 9) * weight);
+        return (int32_t)((int64_t)lo + hi + 1) >> 1;
+    }
+    return ((int32_t)((int64_t)weight * sample) + 512) >> 10;
+}
+
+#define WV_UPDATE_WEIGHT(w, d, s, r) \
+    if ((s) && (r)) { int32_t _s = (int32_t)((s) ^ (r)) >> 31; \
+        (w) = ((d) ^ _s) + ((w) - _s); }
+
+#define WV_UPDATE_WEIGHT_CLIP(w, d, s, r) \
+    if ((s) && (r)) { const int32_t _s = ((s) ^ (r)) >> 31; \
+        if (((w) = ((w) ^ _s) + ((d) - _s)) > 1024) (w) = 1024; \
+        (w) = ((w) ^ _s) - _s; }
+
+void wv_decorr_mono(int term, int delta, int32_t *weight_io,
+                    int32_t *samples_a, int32_t *buf, int64_t nsamples)
+{
+    int32_t weight = weight_io[0], sam;
+    int m, k;
+    int64_t i;
+
+    if (term == 17) {
+        for (i = 0; i < nsamples; i++) {
+            sam = 2 * samples_a[0] - samples_a[1];
+            samples_a[1] = samples_a[0];
+            samples_a[0] = wv_apply_weight(weight, sam) + buf[i];
+            WV_UPDATE_WEIGHT(weight, delta, sam, buf[i]);
+            buf[i] = samples_a[0];
+        }
+    }
+    else if (term == 18) {
+        for (i = 0; i < nsamples; i++) {
+            sam = (3 * samples_a[0] - samples_a[1]) >> 1;
+            samples_a[1] = samples_a[0];
+            samples_a[0] = wv_apply_weight(weight, sam) + buf[i];
+            WV_UPDATE_WEIGHT(weight, delta, sam, buf[i]);
+            buf[i] = samples_a[0];
+        }
+    }
+    else {
+        for (m = 0, k = term & 7, i = 0; i < nsamples; i++) {
+            sam = samples_a[m];
+            samples_a[k] = wv_apply_weight(weight, sam) + buf[i];
+            WV_UPDATE_WEIGHT(weight, delta, sam, buf[i]);
+            buf[i] = samples_a[k];
+            m = (m + 1) & 7;
+            k = (k + 1) & 7;
+        }
+        if (m) {
+            int32_t tmp[8];
+            for (k = 0; k < 8; k++)
+                tmp[k] = samples_a[k];
+            for (k = 0; k < 8; k++, m++)
+                samples_a[k] = tmp[m & 7];
+        }
+    }
+    weight_io[0] = weight;
+}
+
+void wv_decorr_stereo(int term, int delta, int32_t *weights,
+                      int32_t *samples_a, int32_t *samples_b,
+                      int32_t *buf, int64_t nsamples)
+{
+    int32_t weight_a = weights[0], weight_b = weights[1], sam, tmp;
+    int64_t i, nv = nsamples * 2;
+    int m, k;
+
+    if (term == 17) {
+        for (i = 0; i < nv; i += 2) {
+            sam = 2 * samples_a[0] - samples_a[1];
+            samples_a[1] = samples_a[0];
+            buf[i] = samples_a[0] = wv_apply_weight(weight_a, sam) + (tmp = buf[i]);
+            WV_UPDATE_WEIGHT(weight_a, delta, sam, tmp);
+            sam = 2 * samples_b[0] - samples_b[1];
+            samples_b[1] = samples_b[0];
+            buf[i+1] = samples_b[0] = wv_apply_weight(weight_b, sam) + (tmp = buf[i+1]);
+            WV_UPDATE_WEIGHT(weight_b, delta, sam, tmp);
+        }
+    }
+    else if (term == 18) {
+        for (i = 0; i < nv; i += 2) {
+            sam = samples_a[0] + ((samples_a[0] - samples_a[1]) >> 1);
+            samples_a[1] = samples_a[0];
+            buf[i] = samples_a[0] = wv_apply_weight(weight_a, sam) + (tmp = buf[i]);
+            WV_UPDATE_WEIGHT(weight_a, delta, sam, tmp);
+            sam = samples_b[0] + ((samples_b[0] - samples_b[1]) >> 1);
+            samples_b[1] = samples_b[0];
+            buf[i+1] = samples_b[0] = wv_apply_weight(weight_b, sam) + (tmp = buf[i+1]);
+            WV_UPDATE_WEIGHT(weight_b, delta, sam, tmp);
+        }
+    }
+    else if (term > 0) {
+        for (m = 0, k = term & 7, i = 0; i < nv; i += 2) {
+            sam = samples_a[m];
+            samples_a[k] = wv_apply_weight(weight_a, sam) + buf[i];
+            WV_UPDATE_WEIGHT(weight_a, delta, sam, buf[i]);
+            buf[i] = samples_a[k];
+            sam = samples_b[m];
+            samples_b[k] = wv_apply_weight(weight_b, sam) + buf[i+1];
+            WV_UPDATE_WEIGHT(weight_b, delta, sam, buf[i+1]);
+            buf[i+1] = samples_b[k];
+            m = (m + 1) & 7;
+            k = (k + 1) & 7;
+        }
+    }
+    else if (term == -1) {
+        for (i = 0; i < nv; i += 2) {
+            sam = buf[i] + wv_apply_weight(weight_a, samples_a[0]);
+            WV_UPDATE_WEIGHT_CLIP(weight_a, delta, samples_a[0], buf[i]);
+            buf[i] = sam;
+            samples_a[0] = buf[i+1] + wv_apply_weight(weight_b, sam);
+            WV_UPDATE_WEIGHT_CLIP(weight_b, delta, sam, buf[i+1]);
+            buf[i+1] = samples_a[0];
+        }
+    }
+    else if (term == -2) {
+        for (i = 0; i < nv; i += 2) {
+            sam = buf[i+1] + wv_apply_weight(weight_b, samples_b[0]);
+            WV_UPDATE_WEIGHT_CLIP(weight_b, delta, samples_b[0], buf[i+1]);
+            buf[i+1] = sam;
+            samples_b[0] = buf[i] + wv_apply_weight(weight_a, sam);
+            WV_UPDATE_WEIGHT_CLIP(weight_a, delta, sam, buf[i]);
+            buf[i] = samples_b[0];
+        }
+    }
+    else if (term == -3) {
+        for (i = 0; i < nv; i += 2) {
+            int32_t sam_a = buf[i] + wv_apply_weight(weight_a, samples_a[0]);
+            WV_UPDATE_WEIGHT_CLIP(weight_a, delta, samples_a[0], buf[i]);
+            int32_t sam_b = buf[i+1] + wv_apply_weight(weight_b, samples_b[0]);
+            WV_UPDATE_WEIGHT_CLIP(weight_b, delta, samples_b[0], buf[i+1]);
+            buf[i] = samples_b[0] = sam_a;
+            buf[i+1] = samples_a[0] = sam_b;
+        }
+    }
+    weights[0] = weight_a;
+    weights[1] = weight_b;
+}
+
+/* Lossless float restore using the wvx side-bitstream                */
+/* (reference: wavpack/src/unpack_floats.c float_values).             */
+void wv_float_values(int32_t *values, int64_t n, const unsigned char *wvx,
+                     uint64_t wvx_bits, int float_flags, int float_shift,
+                     int float_max_exp, uint32_t *out_bits)
+{
+    wv_bits bs = {wvx, 0, wvx_bits};
+
+    for (int64_t i = 0; i < n; i++) {
+        int shift_count = 0, exp = float_max_exp;
+        uint32_t sign = 0, mantissa = 0, exponent = 0;
+        int32_t v = values[i];
+
+        if (v == 0) {
+            if (float_flags & 8) {              /* FLOAT_ZEROS_SENT */
+                if (wv_getbit(&bs)) {
+                    mantissa = wv_getbits(&bs, 23);
+                    if (exp >= 25)
+                        exponent = wv_getbits(&bs, 8);
+                    sign = wv_getbit(&bs);
+                }
+                else if (float_flags & 0x10)    /* FLOAT_NEG_ZEROS */
+                    sign = wv_getbit(&bs);
+            }
+        }
+        else {
+            v = (int32_t)((uint32_t)v << float_shift);
+            if (v < 0) {
+                v = -v;
+                sign = 1;
+            }
+            if (v == 0x1000000) {
+                if (wv_getbit(&bs))
+                    mantissa = wv_getbits(&bs, 23);
+                exponent = 255;
+            }
+            else {
+                if (exp)
+                    while (!(v & 0x800000) && --exp) {
+                        shift_count++;
+                        v <<= 1;
+                    }
+                if (shift_count) {
+                    if ((float_flags & 1) ||            /* SHIFT_ONES */
+                        ((float_flags & 2) && wv_getbit(&bs)))  /* SAME */
+                        v |= (1 << shift_count) - 1;
+                    else if (float_flags & 4)           /* SHIFT_SENT */
+                        v |= wv_getbits(&bs, shift_count)
+                             & ((1u << shift_count) - 1);
+                }
+                mantissa = (uint32_t)v & 0x7fffff;
+                exponent = (uint32_t)exp;
+            }
+        }
+        out_bits[i] = (sign << 31) | (exponent << 23) | mantissa;
+    }
+}

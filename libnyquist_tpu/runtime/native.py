@@ -63,6 +63,31 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        L.wv_words_lossless.restype = ctypes.c_uint64
+        L.wv_words_lossless.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+        ]
+        L.wv_decorr_mono.restype = None
+        L.wv_decorr_mono.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        L.wv_float_values.restype = None
+        L.wv_float_values.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        L.wv_decorr_stereo.restype = None
+        L.wv_decorr_stereo.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ]
         _LIB = L
     except OSError:
         _LIB = None
