@@ -111,7 +111,7 @@ def main():
         raw = raw.at[:, 0, : mode.overlap].add(tails).reshape(rows, S)
         new_tails = jnp.dot(spec[:, -1], Tt,
                             preferred_element_type=jnp.float32, precision=hp)
-        y, new_hist = comb_ops.comb_filter_stream(
+        y, new_hist = comb_ops.comb_filter(
             raw, comb_hist, T0, T1, g0, g1, fade
         )
         yp = jnp.pad(y, ((0, 0), (0, pad)))
@@ -124,16 +124,21 @@ def main():
     hist = jnp.zeros((rows, comb_ops.HIST), jnp.float32)
     mem = jnp.zeros((rows,), jnp.float32)
 
+    def force(x):
+        # A host transfer is the only reliable completion barrier here
+        # (block_until_ready can return early through device tunnels).
+        return float(np.asarray(jax.device_get(x[0, :1])[0]))
+
     # Warmup / compile.
     pcm, tails, hist, mem = synth(spec_d, tails, hist, mem)
-    pcm.block_until_ready()
+    force(pcm)
 
     times = []
     iters = 20
     for _ in range(iters):
         t0 = time.perf_counter()
         pcm, tails, hist, mem = synth(spec_d, tails, hist, mem)
-        pcm.block_until_ready()
+        force(pcm)
         times.append(time.perf_counter() - t0)
     # Trimmed median like the reference's run_benchmark.py.
     times.sort()

@@ -134,3 +134,15 @@ def comb_filter_stream(x: jax.Array, hist: jax.Array, T0, T1, gains0,
     )
     y = ys.transpose(1, 0, 2).reshape(B, S)
     return y, new_hist
+
+
+def comb_filter(x, hist, T0, T1, gains0, gains1, fade):
+    """Backend dispatch: Pallas kernel on TPU (15x the scan — history
+    stays in VMEM), lax.scan elsewhere (CPU tests, virtual meshes)."""
+    if jax.default_backend() not in ("cpu", "interpreter"):
+        from . import comb_pallas
+
+        return comb_pallas.comb_filter_stream_pallas(
+            x, hist, T0, T1, gains0, gains1, fade
+        )
+    return comb_filter_stream(x, hist, T0, T1, gains0, gains1, fade)

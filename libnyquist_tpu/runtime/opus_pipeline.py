@@ -145,7 +145,7 @@ def synthesize_segment(
         mode.shortMdctSize,
     )
     n_chunks = chunk["T0"].shape[0]
-    y, _ = comb_ops.comb_filter_stream(
+    y, _ = comb_ops.comb_filter(
         jnp.pad(jnp.asarray(raw), ((0, 0), (0, (Fb - F) * N))),
         jnp.asarray(state.comb_hist),
         jnp.broadcast_to(jnp.asarray(chunk["T0"]), (CC, n_chunks)),
