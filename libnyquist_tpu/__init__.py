@@ -16,6 +16,15 @@ from .errors import (
 )
 from .io import NyquistIO, is_file_supported, load
 
+
+def resample(x, sr_in: int, sr_out: int, **kwargs):
+    """Batched polyphase SRC (lazy import keeps `import libnyquist_tpu`
+    jax-free for pure host decoding)."""
+    from .ops.src import resample as _resample
+
+    return _resample(x, sr_in, sr_out, **kwargs)
+
+
 __version__ = "0.1.0"
 __all__ = [
     "AudioData",
@@ -23,6 +32,7 @@ __all__ = [
     "NyquistIO",
     "load",
     "is_file_supported",
+    "resample",
     "NyquistError",
     "DecodeError",
     "TruncatedDataError",
