@@ -1,0 +1,153 @@
+"""Encoder API (reference: include/libnyquist/Encoders.h:33-41).
+
+The reference fork declares `encode_wav_to_disk` / `encode_opus_to_disk`
+but ships no implementation (SURVEY.md L4: "encoder API declared but
+unimplemented in the fork"); upstream libnyquist implements the WAV
+encoder. This module provides a complete WAV encoder (PCM u8/16/24/32
+and IEEE float32, optional TPDF dither via the TPU conversion kernels in
+ops/pcm.py) with the upstream validation semantics, plus the matching
+error codes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import struct
+
+import numpy as np
+
+from .audio_data import AudioData, PCMFormat
+
+
+class EncoderError(enum.IntEnum):
+    """Mirrors Common.h:391-401."""
+
+    NoError = 0
+    InsufficientSampleData = 1
+    FileIOError = 2
+    UnsupportedSamplerate = 3
+    UnsupportedChannelConfiguration = 4
+    UnsupportedBitdepth = 5
+    UnsupportedChannelMix = 6
+    BufferTooBig = 7
+
+
+class DitherType(enum.IntEnum):
+    DITHER_NONE = 0
+    DITHER_TRIANGLE = 1
+
+
+@dataclasses.dataclass
+class EncoderParams:
+    """Mirrors Common.h:384-389."""
+
+    channel_count: int
+    target_format: PCMFormat
+    dither: DitherType = DitherType.DITHER_NONE
+
+
+_BITS = {
+    PCMFormat.PCM_U8: 8,
+    PCMFormat.PCM_16: 16,
+    PCMFormat.PCM_24: 24,
+    PCMFormat.PCM_32: 32,
+    PCMFormat.PCM_FLT: 32,
+}
+
+
+def _pack24(v: np.ndarray) -> bytes:
+    """int32 -> little-endian 3-byte packing."""
+    b = np.empty((len(v), 3), np.uint8)
+    u = v.astype(np.int64) & 0xFFFFFF
+    b[:, 0] = u & 0xFF
+    b[:, 1] = (u >> 8) & 0xFF
+    b[:, 2] = (u >> 16) & 0xFF
+    return b.tobytes()
+
+
+def encode_wav_to_buffer(p: EncoderParams, d: AudioData) -> bytes:
+    """Serialize AudioData to a RIFF/WAVE byte string.
+
+    Raises ValueError with an EncoderError name on invalid input —
+    encode_wav_to_disk converts these to the reference's int codes.
+    """
+    if d.samples is None or len(d.samples) == 0:
+        raise ValueError(EncoderError.InsufficientSampleData.name)
+    if d.sample_rate <= 0:
+        raise ValueError(EncoderError.UnsupportedSamplerate.name)
+    if p.channel_count < 1 or p.channel_count > 8:
+        raise ValueError(EncoderError.UnsupportedChannelConfiguration.name)
+    if p.target_format not in _BITS:
+        raise ValueError(EncoderError.UnsupportedBitdepth.name)
+
+    samples = np.asarray(d.samples, np.float32)
+    # channel mixdown: like upstream, only stereo->mono is supported
+    if p.channel_count != d.channel_count:
+        if d.channel_count == 2 and p.channel_count == 1:
+            samples = 0.5 * (samples[0::2] + samples[1::2])
+        else:
+            raise ValueError(EncoderError.UnsupportedChannelMix.name)
+
+    from .ops import pcm as pcm_ops
+
+    import jax.numpy as jnp
+
+    pcm = np.asarray(
+        pcm_ops.float32_to_pcm(
+            jnp.asarray(samples), p.target_format,
+            dither=(p.dither == DitherType.DITHER_TRIANGLE
+                    and p.target_format != PCMFormat.PCM_FLT),
+        )
+    )
+
+    bits = _BITS[p.target_format]
+    is_float = p.target_format == PCMFormat.PCM_FLT
+    if p.target_format == PCMFormat.PCM_24:
+        payload = _pack24(pcm)
+    else:
+        payload = pcm.tobytes()
+
+    ch = p.channel_count
+    byte_rate = d.sample_rate * ch * (bits // 8)
+    block_align = ch * (bits // 8)
+    fmt_code = 3 if is_float else 1
+
+    out = bytearray()
+    out += b"RIFF"
+    out += b"\x00\x00\x00\x00"  # patched below
+    out += b"WAVE"
+    out += b"fmt "
+    out += struct.pack("<IHHIIHH", 16, fmt_code, ch, d.sample_rate,
+                       byte_rate, block_align, bits)
+    if is_float:
+        out += b"fact" + struct.pack("<II", 4, len(samples) // ch)
+    out += b"data" + struct.pack("<I", len(payload))
+    out += payload
+    if len(payload) & 1:
+        out += b"\x00"
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def encode_wav_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
+    """Reference signature (Encoders.h:36): returns an EncoderError code."""
+    try:
+        buf = encode_wav_to_buffer(p, d)
+    except ValueError as e:
+        return int(EncoderError[str(e)])
+    try:
+        with open(path, "wb") as f:
+            f.write(buf)
+    except OSError:
+        return int(EncoderError.FileIOError)
+    return int(EncoderError.NoError)
+
+
+def encode_opus_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
+    """Reference signature (Encoders.h:40). Opus *encoding* is not yet
+    implemented (the decode side is complete); tracked for a later
+    milestone."""
+    raise NotImplementedError(
+        "Opus encoding is not implemented yet; use encode_wav_to_disk"
+    )

@@ -1,0 +1,94 @@
+"""WAV encoder round-trips through our own decoder (upstream's test style:
+encode, reload, compare)."""
+
+import numpy as np
+import pytest
+
+import libnyquist_tpu as nq
+from libnyquist_tpu.audio_data import AudioData, PCMFormat
+from libnyquist_tpu.encoders import (
+    DitherType,
+    EncoderError,
+    EncoderParams,
+    encode_wav_to_buffer,
+    encode_wav_to_disk,
+)
+
+
+def _tone(channels=2, sr=44100, seconds=0.25):
+    t = np.arange(int(sr * seconds)) / sr
+    chans = [np.sin(2 * np.pi * (440 + 100 * c) * t) * 0.5
+             for c in range(channels)]
+    inter = np.stack(chans, 1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = inter
+    a.channel_count = channels
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    return a
+
+
+@pytest.mark.parametrize(
+    "fmt,tol",
+    [
+        (PCMFormat.PCM_U8, 1 / 120.0),
+        (PCMFormat.PCM_16, 1 / 30000.0),
+        (PCMFormat.PCM_24, 1 / 8_000_000.0),
+        (PCMFormat.PCM_32, 1e-7),
+        (PCMFormat.PCM_FLT, 0.0),
+    ],
+)
+def test_wav_roundtrip(fmt, tol):
+    audio = _tone()
+    buf = encode_wav_to_buffer(
+        EncoderParams(channel_count=2, target_format=fmt), audio
+    )
+    back = nq.load(buf, extension="wav")
+    assert back.channel_count == 2
+    assert back.sample_rate == 44100
+    assert back.sample_count == audio.sample_count
+    err = np.abs(np.asarray(back.samples) - audio.samples).max()
+    assert err <= tol, f"{fmt}: {err}"
+
+
+def test_wav_stereo_to_mono_mixdown():
+    audio = _tone()
+    buf = encode_wav_to_buffer(
+        EncoderParams(channel_count=1, target_format=PCMFormat.PCM_FLT),
+        audio,
+    )
+    back = nq.load(buf, extension="wav")
+    assert back.channel_count == 1
+    mixed = 0.5 * (audio.samples[0::2] + audio.samples[1::2])
+    assert np.abs(np.asarray(back.samples) - mixed).max() < 1e-7
+
+
+def test_wav_dither_roundtrip():
+    audio = _tone()
+    buf = encode_wav_to_buffer(
+        EncoderParams(2, PCMFormat.PCM_16, DitherType.DITHER_TRIANGLE),
+        audio,
+    )
+    back = nq.load(buf, extension="wav")
+    err = np.abs(np.asarray(back.samples) - audio.samples).max()
+    assert err < 2.5 / 32767.0  # 1 LSB quantize + 1 LSB dither
+
+
+def test_encoder_error_codes(tmp_path):
+    audio = _tone()
+    empty = AudioData()
+    empty.samples = np.zeros(0, np.float32)
+    empty.channel_count = 2
+    empty.sample_rate = 44100
+    p = EncoderParams(2, PCMFormat.PCM_16)
+    assert encode_wav_to_disk(p, empty, str(tmp_path / "x.wav")) == int(
+        EncoderError.InsufficientSampleData
+    )
+    bad_mix = EncoderParams(5, PCMFormat.PCM_16)
+    assert encode_wav_to_disk(bad_mix, audio, str(tmp_path / "x.wav")) == int(
+        EncoderError.UnsupportedChannelMix
+    )
+    ok = encode_wav_to_disk(p, audio, str(tmp_path / "ok.wav"))
+    assert ok == int(EncoderError.NoError)
+    back = nq.load(str(tmp_path / "ok.wav"))
+    assert back.sample_count == audio.sample_count
