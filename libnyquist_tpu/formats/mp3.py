@@ -768,7 +768,28 @@ class Mp3Decoder:
                 self.reserv_buf[:remains] = maindata[pos : pos + remains]
             self.reserv = max(0, remains)
             return pcm, i + frame_size, channels, hz
-        raise DecodeError("Layer I/II decoding not implemented yet")
+        # Layer I/II (minimp3.h:317-481 L12_* semantics)
+        sci = l12_read_scale_info(hdr, bs)
+        group_size = layer | 1          # L1 -> 1, L2 -> 3
+        grbuf = np.zeros((2, 576), np.float32)
+        parts = []
+        i_off = 0
+        for igr in range(3):
+            i_off += l12_dequantize_granule(grbuf, bs, sci, group_size,
+                                            i_off)
+            if i_off == 12:
+                i_off = 0
+                l12_apply_scf_384(sci, igr, grbuf)
+                out = mp3_synth.synth_granule(
+                    self.qmf_state, grbuf, 12, channels
+                )
+                parts.append(out)
+                grbuf[:] = 0
+            if bs.pos > bs.limit:
+                self.__init__()
+                return None, i + frame_size, channels, hz
+        pcm = np.concatenate(parts, axis=0)
+        return pcm, i + frame_size, channels, hz
 
     def _l3_decode(self, bs: Bits, grs, nch, hdr, grbuf, ist_pos):
         # ist_pos persists across the frame's granules (scfsi sharing
@@ -825,3 +846,149 @@ def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
     audio.source_format = PCMFormat.PCM_FLT
     audio.samples = np.ascontiguousarray(pcm.reshape(-1), np.float32)
     audio.length_seconds = pcm.shape[0] / hz if hz else 0.0
+
+
+# ---------------------------------------------------------------------------
+# Layer I/II (minimp3.h:317-481)
+# ---------------------------------------------------------------------------
+
+_BITALLOC_CODE_TAB = [
+    0, 17, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+    0, 17, 18, 3, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16,
+    0, 17, 18, 3, 19, 4, 5, 16,
+    0, 17, 18, 16,
+    0, 17, 18, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    0, 17, 18, 3, 19, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+    0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+
+# dequant scale per quantizer: 2^-20-ish / (levels), three per entry
+_DEQ_L12 = []
+for _x in (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191, 16383,
+           32767, 65535, 3, 5, 9):
+    _DEQ_L12 += [9.53674316e-07 / _x, 7.56931807e-07 / _x,
+                 6.00777173e-07 / _x]
+_DEQ_L12 = np.array(_DEQ_L12, np.float32)
+
+
+def hdr_get_stereo_mode(h):
+    return (h[3] >> 6) & 3
+
+
+def hdr_get_stereo_mode_ext(h):
+    return (h[3] >> 4) & 3
+
+
+def l12_subband_alloc_table(hdr):
+    """-> (alloc [(tab_offset, code_tab_width, band_count)...],
+           total_bands, stereo_bands)."""
+    mode = hdr_get_stereo_mode(hdr)
+    stereo_bands = (0 if mode == MODE_MONO
+                    else (hdr_get_stereo_mode_ext(hdr) << 2) + 4
+                    if mode == MODE_JOINT_STEREO else 32)
+    if hdr_is_layer_1(hdr):
+        alloc = [(76, 4, 32)]
+        nbands = 32
+    elif not hdr_test_mpeg1(hdr):
+        alloc = [(60, 4, 4), (44, 3, 7), (44, 2, 19)]
+        nbands = 30
+    else:
+        sample_rate_idx = hdr_get_sample_rate(hdr)
+        kbps = hdr_bitrate_kbps(hdr) >> (1 if mode != MODE_MONO else 0)
+        if not kbps:
+            kbps = 192
+        alloc = [(0, 4, 3), (16, 4, 8), (32, 3, 12), (40, 2, 7)]
+        nbands = 27
+        if kbps < 56:
+            alloc = [(44, 4, 2), (44, 3, 10)]
+            nbands = 12 if sample_rate_idx == 2 else 8
+        elif kbps >= 96 and sample_rate_idx != 1:
+            nbands = 30
+    return alloc, nbands, min(stereo_bands, nbands)
+
+
+def l12_read_scale_info(hdr, bs: Bits):
+    alloc, total_bands, stereo_bands = l12_subband_alloc_table(hdr)
+    bitalloc = np.zeros(64, np.int32)
+    scfcod = np.zeros(64, np.int32)
+    scf = np.zeros(64 * 3, np.float32)
+
+    ai = 0
+    k = 0
+    ba_bits = 0
+    tab_off = 0
+    for i in range(total_bands):
+        if i == k:
+            tab_off, ba_bits, cnt = alloc[ai]
+            k += cnt
+            ai += 1
+        ba = _BITALLOC_CODE_TAB[tab_off + bs.get(ba_bits)]
+        bitalloc[2 * i] = ba
+        if i < stereo_bands:
+            ba = _BITALLOC_CODE_TAB[tab_off + bs.get(ba_bits)]
+        bitalloc[2 * i + 1] = ba if stereo_bands else 0
+
+    for i in range(2 * total_bands):
+        scfcod[i] = (
+            (2 if hdr_is_layer_1(hdr) else bs.get(2)) if bitalloc[i] else 6
+        )
+
+    # L12_read_scalefactors (minimp3.h:362-384)
+    si = 0
+    for i in range(2 * total_bands):
+        s = 0.0
+        ba = int(bitalloc[i])
+        mask = (4 + ((19 >> int(scfcod[i])) & 3)) if ba else 0
+        for m in (4, 2, 1):
+            if mask & m:
+                b = bs.get(6)
+                s = float(_DEQ_L12[ba * 3 - 6 + b % 3]) * float(
+                    (1 << 21) >> (b // 3)
+                )
+            scf[si] = s
+            si += 1
+
+    for i in range(stereo_bands, total_bands):
+        bitalloc[2 * i + 1] = 0
+
+    return dict(bitalloc=bitalloc, scf=scf, total_bands=total_bands,
+                stereo_bands=stereo_bands)
+
+
+def l12_dequantize_granule(grbuf, bs: Bits, sci, group_size, i_off):
+    """minimp3.h:434-467; grbuf [2, 576], writes band*18 + i_off + ..."""
+    total = sci["total_bands"]
+    bitalloc = sci["bitalloc"]
+    for j in range(4):
+        base = i_off + group_size * j
+        for i in range(2 * total):
+            ch = i & 1
+            band = i >> 1
+            ba = int(bitalloc[i])
+            if ba:
+                dst = band * 18 + base
+                if ba < 17:
+                    half = (1 << (ba - 1)) - 1
+                    for kk in range(group_size):
+                        grbuf[ch][dst + kk] = float(bs.get(ba) - half)
+                else:
+                    mod = (2 << (ba - 17)) + 1          # 3, 5, 9
+                    code = bs.get(mod + 2 - (mod >> 3))  # 5, 7, 10
+                    for kk in range(group_size):
+                        grbuf[ch][dst + kk] = float(code % mod - mod // 2)
+                        code //= mod
+    return group_size * 4
+
+
+def l12_apply_scf_384(sci, igr, grbuf):
+    """minimp3.h:469-481."""
+    total = sci["total_bands"]
+    stereo = sci["stereo_bands"]
+    scf = sci["scf"]
+    if total > stereo:
+        grbuf[1][stereo * 18 : total * 18] = grbuf[0][
+            stereo * 18 : total * 18
+        ]
+    for i in range(total):
+        grbuf[0][i * 18 : i * 18 + 12] *= scf[i * 6 + igr]
+        grbuf[1][i * 18 : i * 18 + 12] *= scf[i * 6 + 3 + igr]

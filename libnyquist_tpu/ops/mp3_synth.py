@@ -285,8 +285,8 @@ def synth(xl, xl_off, pcm, pcm_off, nch, lins, lins_off):
 
 
 def synth_granule(qmf_state, grbuf, nbands, nch):
-    """Full granule synthesis -> [576, nch] float PCM in [-1, 1]
-    (reference: mp3d_synth_granule)."""
+    """Full granule synthesis -> [32 * nbands, nch] float PCM in [-1, 1]
+    (reference: mp3d_synth_granule; nbands = 18 for L3, 12 for L1/L2)."""
     flat = grbuf.reshape(-1)  # [2, 576] -> [1152]
     for ch in range(nch):
         dct_ii(flat[576 * ch :], nbands)
@@ -300,5 +300,6 @@ def synth_granule(qmf_state, grbuf, nbands, nch):
             qmf_state[i] = lins[nbands * 64 + i]
     else:
         qmf_state[:] = lins[nbands * 64 : nbands * 64 + 15 * 64]
-    out = pcm[: 576 * nch].reshape(576, nch) * np.float32(1.0 / 32768.0)
+    n_out = 32 * nbands
+    out = pcm[: n_out * nch].reshape(n_out, nch) * np.float32(1.0 / 32768.0)
     return out
