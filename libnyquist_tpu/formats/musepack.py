@@ -87,7 +87,23 @@ def _load_tables():
     # build uses the raw constants (MAKE_MPC_SAMPLE_EX is identity).
     t["Cc"] = (z["Cc"] * float(1 << 14)).tolist()   # index by Res+1
     t["Dc"] = z["Dc"].tolist()                       # index by Res+1
+    t["Res_bit"] = z["Res_bit"].tolist()             # index by Res (SV7)
     t["Di"] = np.asarray(z["Di_opt"], np.float64)    # [32][16], /65536 baked
+
+    # SV7 lut-style tables (huffman.c mpc_table_*): rows of
+    # (Code, Length, Value), decoded by first-row-with-peek>=Code scan,
+    # returning Value directly (mpc_bits_reader.h:67 mpc_bits_huff_dec).
+    def lut(name):
+        rows = z[f"huff_mpc_table_{name}"]
+        if rows.ndim == 3:
+            return [[(int(c), int(l), int(v)) for c, l, v in tab]
+                    for tab in rows]
+        return [(int(c), int(l), int(v)) for c, l, v in rows]
+
+    t["Hdr7"] = lut("HuffHdr")
+    t["SCFI7"] = lut("HuffSCFI")
+    t["DSCF7"] = lut("HuffDSCF")
+    t["Q7"] = [lut(f"HuffQ{i}") for i in range(1, 8)]
     return t
 
 
@@ -146,6 +162,16 @@ class _Bits:
         first = p >> 3
         chunk = int.from_bytes(self.buf[first : first + 3], "big")
         return (chunk >> (8 - (p & 7))) & 0xFFFF
+
+
+def _lut_dec(br: _Bits, rows) -> int:
+    """SV7 huffman decode: first row whose Code <= peek16; return Value."""
+    code = br.peek16()
+    for c, length, v in rows:
+        if code >= c:
+            br.pos += length
+            return v
+    raise DecodeError("mpc: bad SV7 huffman code")
 
 
 def _can_dec(br: _Bits, can: _Can) -> int:
@@ -335,6 +361,13 @@ class _Synth:
 # frame bitstream (SV8)
 # ---------------------------------------------------------------------------
 
+# SV7 bundled-quantizer expansion tables (mpc_decoder.c:349-353)
+_IDX30_7 = [(i % 3) - 1 for i in range(27)]
+_IDX31_7 = [((i // 3) % 3) - 1 for i in range(27)]
+_IDX32_7 = [(i // 9) - 1 for i in range(27)]
+_IDX50_7 = [(i % 5) - 2 for i in range(25)]
+_IDX51_7 = [(i // 5) - 2 for i in range(25)]
+
 _IDX50 = np.array([(i % 5) - 2 for i in range(125)], np.int32)
 _IDX51 = np.array([((i // 5) % 5) - 2 for i in range(125)], np.int32)
 _IDX52 = np.array([(i // 25) - 2 for i in range(125)], np.int32)
@@ -511,6 +544,104 @@ class MusepackDecoder:
                             v = (v << (res - 9)) | br.read(res - 9)
                         q[k] = v - dc
 
+    def read_frame_sv7(self, br: _Bits) -> None:
+        """mpc_decoder.c:346 mpc_decoder_read_bitstream_sv7."""
+        T = _T
+        res_l, res_r = self.res
+        scfi_l, scfi_r = self.scfi
+        max_used = 0
+
+        res_l[0] = br.read(4)
+        res_r[0] = br.read(4)
+        if res_l[0] or res_r[0]:
+            if self.ms:
+                self.ms_flag[0] = br.read(1)
+            max_used = 1
+        for n in range(1, self.max_band + 1):
+            idx = _lut_dec(br, T["Hdr7"])
+            res_l[n] = res_l[n - 1] + idx if idx != 4 else br.read(4)
+            idx = _lut_dec(br, T["Hdr7"])
+            res_r[n] = res_r[n - 1] + idx if idx != 4 else br.read(4)
+            if res_l[n] or res_r[n]:
+                if self.ms:
+                    self.ms_flag[n] = br.read(1)
+                max_used = n + 1
+
+        for n in range(max_used):
+            if res_l[n]:
+                scfi_l[n] = _lut_dec(br, T["SCFI7"])
+            if res_r[n]:
+                scfi_r[n] = _lut_dec(br, T["SCFI7"])
+
+        def dscf(prev):
+            idx = _lut_dec(br, T["DSCF7"])
+            return prev + idx if idx != 8 else br.read(6)
+
+        for n in range(max_used):
+            for ch in range(2):
+                if not self.res[ch][n]:
+                    continue
+                scf = self.scf_index[ch][n]
+                scfi = int(self.scfi[ch][n])
+                if scfi == 1:
+                    scf[0] = dscf(scf[2])
+                    scf[1] = dscf(scf[0])
+                    scf[2] = scf[1]
+                elif scfi == 3:
+                    scf[0] = dscf(scf[2])
+                    scf[1] = scf[0]
+                    scf[2] = scf[1]
+                elif scfi == 2:
+                    scf[0] = dscf(scf[2])
+                    scf[1] = scf[0]
+                    scf[2] = dscf(scf[1])
+                else:
+                    scf[0] = dscf(scf[2])
+                    scf[1] = dscf(scf[0])
+                    scf[2] = dscf(scf[1])
+                for m in range(3):
+                    if scf[m] > 1024:
+                        scf[m] = 0x8080
+
+        idx30 = _IDX30_7
+        idx31 = _IDX31_7
+        idx32 = _IDX32_7
+        idx50 = _IDX50_7
+        idx51 = _IDX51_7
+        for n in range(max_used):
+            for ch in range(2):
+                q = self.q[ch][n]
+                res = int(self.res[ch][n])
+                if res == 0 or res <= -2:
+                    continue
+                if res == -1:
+                    for k in range(36):
+                        t = self._random_int()
+                        q[k] = (((t >> 24) & 0xFF) + ((t >> 16) & 0xFF)
+                                + ((t >> 8) & 0xFF) + (t & 0xFF) - 510)
+                elif res == 1:
+                    tab = T["Q7"][0][br.read(1)]
+                    for k in range(0, 36, 3):
+                        idx = _lut_dec(br, tab)
+                        q[k] = idx30[idx]
+                        q[k + 1] = idx31[idx]
+                        q[k + 2] = idx32[idx]
+                elif res == 2:
+                    tab = T["Q7"][1][br.read(1)]
+                    for k in range(0, 36, 2):
+                        idx = _lut_dec(br, tab)
+                        q[k] = idx50[idx]
+                        q[k + 1] = idx51[idx]
+                elif res <= 7:
+                    tab = T["Q7"][res - 1][br.read(1)]
+                    for k in range(36):
+                        q[k] = _lut_dec(br, tab)
+                else:
+                    nbits = T["Res_bit"][res]
+                    dc = T["Dc"][res + 1]
+                    for k in range(36):
+                        q[k] = br.read(nbits) - dc
+
     def requantize(self) -> tuple[np.ndarray, np.ndarray]:
         """mpc_decoder.c:188 mpc_decoder_requantisierung -> Y_L, Y_R [36,32]."""
         yl = np.zeros((36, 32), np.float64)
@@ -565,10 +696,105 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             return size, pos
 
 
+def _finish(audio: AudioData, chunks, channels, sample_rate) -> None:
+    pcm = (np.concatenate(chunks) if chunks
+           else np.zeros(0, np.float64)).astype(np.float32)
+    audio.samples = pcm
+    audio.channel_count = channels
+    audio.sample_rate = sample_rate
+    audio.source_format = PCMFormat.PCM_16
+    audio.length_seconds = (
+        len(pcm) / channels / sample_rate if sample_rate else 0.0
+    )
+
+
+def _decode_sv7(data: bytes, audio: AudioData) -> None:
+    """SV7 stream (streaminfo.c:108 read_header_sv7, mpc_demux.c:621
+    20-bit frame sizes, mpc_decoder.c:162 last-frame length fixup).
+    The payload is byte-swapped 32-bit words (MPC_BUFFER_SWAP)."""
+    if (data[3] & 15) != 7:
+        raise DecodeError(f"unsupported MPC SV{data[3] & 15} stream")
+    body = data[4:]
+    body += b"\x00" * ((-len(body)) % 4)
+    arr = np.frombuffer(body, np.uint8).reshape(-1, 4)[:, ::-1]
+    br = _Bits(arr.tobytes())
+
+    frames = (br.read(16) << 16) | br.read(16)
+    br.read(1)  # intensity stereo (should be 0)
+    ms = bool(br.read(1))
+    max_band = br.read(6)
+    br.read(4)  # profile
+    br.read(2)  # link
+    sample_rate = _SAMPLE_FREQS[br.read(2)]
+    for _ in range(5):
+        br.read(16)  # peak/gain fields
+    is_true_gapless = br.read(1)
+    last_frame_samples = br.read(11)
+    br.read(1)  # fast seek
+    br.read(19)
+    br.read(8)  # encoder version
+    channels = 2
+
+    if last_frame_samples == 0:
+        last_frame_samples = FRAME_LENGTH
+    si_samples = frames * FRAME_LENGTH
+    if is_true_gapless:
+        si_samples -= FRAME_LENGTH - last_frame_samples
+    else:
+        si_samples -= SYNTH_DELAY
+
+    # mpc_decoder_set_streaminfo (mpc_decoder.c:102)
+    if is_true_gapless:
+        d_samples = ((si_samples + FRAME_LENGTH - 1)
+                     // FRAME_LENGTH) * FRAME_LENGTH
+    else:
+        d_samples = si_samples
+    samples_to_skip = SYNTH_DELAY
+
+    dec = MusepackDecoder(max_band, ms, channels)
+    decoded = 0
+    chunks: list[np.ndarray] = []
+    while decoded < d_samples and br.pos + 20 <= br.limit:
+        br.read(20)  # frame bit size (trusted; consistency not enforced)
+        samples_left = d_samples - decoded + SYNTH_DELAY
+        if samples_left <= 0 and d_samples != 0:
+            break
+        dec.read_frame_sv7(br)
+        frame = None
+        if samples_to_skip < FRAME_LENGTH + SYNTH_DELAY:
+            yl, yr = dec.requantize()
+            frame = dec.synthesize(yl, yr)
+        decoded += FRAME_LENGTH
+        # C compares uint64: true only once decoded >= samples (last frame)
+        if 0 <= decoded - d_samples < FRAME_LENGTH:
+            lfs = br.read(11)
+            if decoded == d_samples:
+                if lfs == 0:
+                    lfs = FRAME_LENGTH
+                d_samples += lfs - FRAME_LENGTH
+                samples_left += lfs - FRAME_LENGTH
+        n_out = min(max(samples_left, 0), FRAME_LENGTH)
+        if samples_to_skip:
+            if n_out <= samples_to_skip:
+                samples_to_skip -= n_out
+                n_out = 0
+            else:
+                n_out -= samples_to_skip
+                if frame is not None:
+                    frame = frame[samples_to_skip * channels :]
+                samples_to_skip = 0
+        if n_out and frame is not None:
+            chunks.append(frame[: n_out * channels])
+        if br.pos > br.limit:
+            raise DecodeError("MPC SV7 bitstream overrun")
+    _finish(audio, chunks, channels, sample_rate)
+
+
 def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
     if data[:4] != b"MPCK":
         if data[:3] == b"MP+":
-            raise DecodeError("musepack SV7 streams are not supported")
+            _decode_sv7(data, audio)
+            return
         raise DecodeError("bad musepack magic")
 
     pos = 4
@@ -644,13 +870,4 @@ def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
 
     if dec is None:
         raise DecodeError("no MPC stream header found")
-
-    pcm = (np.concatenate(chunks) if chunks
-           else np.zeros(0, np.float64)).astype(np.float32)
-    audio.samples = pcm
-    audio.channel_count = channels
-    audio.sample_rate = sample_rate
-    audio.source_format = PCMFormat.PCM_16
-    audio.length_seconds = (
-        len(pcm) / channels / sample_rate if sample_rate else 0.0
-    )
+    _finish(audio, chunks, channels, sample_rate)

@@ -32,3 +32,12 @@ def test_musepack_truncated_header(test_data_dir):
     data = (test_data_dir / "ad_hoc" / "44_16_mono.mpc").read_bytes()
     with pytest.raises(DecodeError):
         nq.load(data[:5], extension="mpc")
+
+
+def test_musepack_sv7():
+    """Synthetic SV7 stream (tools/gen_sv7_stream.py) vs libmpcdec oracle."""
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    audio = nq.load(str(fixtures / "sv7_stereo.mpc"))
+    assert_matches_golden(audio, "mpc_sv7", tol=1e-4)
