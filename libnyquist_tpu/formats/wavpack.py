@@ -39,6 +39,7 @@ HYBRID_SHAPE = 0x40
 FLOAT_DATA = 0x80
 INT32_DATA = 0x100
 HYBRID_BITRATE = 0x200
+HYBRID_BALANCE = 0x400
 INITIAL_BLOCK = 0x800
 FINAL_BLOCK = 0x1000
 SHIFT_LSB = 13
@@ -52,6 +53,7 @@ ID_DECORR_TERMS = 0x2
 ID_DECORR_WEIGHTS = 0x3
 ID_DECORR_SAMPLES = 0x4
 ID_ENTROPY_VARS = 0x5
+ID_HYBRID_PROFILE = 0x6
 ID_FLOAT_INFO = 0x8
 ID_INT32_INFO = 0x9
 ID_WV_BITSTREAM = 0xA
@@ -275,6 +277,196 @@ def _words_lossless_py(bs, out, nvalues, med, st, mono):
     st[0], st[1], st[2], st[3] = holding_one, holding_zero, zeros_acc, n
 
 
+_NBITS = [0] + [i.bit_length() for i in range(1, 256)]
+
+_LOG2_T = [
+    0x00, 0x01, 0x03, 0x04, 0x06, 0x07, 0x09, 0x0A, 0x0B, 0x0D, 0x0E, 0x10,
+    0x11, 0x12, 0x14, 0x15, 0x16, 0x18, 0x19, 0x1A, 0x1C, 0x1D, 0x1E, 0x20,
+    0x21, 0x22, 0x24, 0x25, 0x26, 0x28, 0x29, 0x2A, 0x2C, 0x2D, 0x2E, 0x2F,
+    0x31, 0x32, 0x33, 0x34, 0x36, 0x37, 0x38, 0x39, 0x3B, 0x3C, 0x3D, 0x3E,
+    0x3F, 0x41, 0x42, 0x43, 0x44, 0x45, 0x47, 0x48, 0x49, 0x4A, 0x4B, 0x4D,
+    0x4E, 0x4F, 0x50, 0x51, 0x52, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A,
+    0x5C, 0x5D, 0x5E, 0x5F, 0x60, 0x61, 0x62, 0x63, 0x64, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x6B, 0x6C, 0x6D, 0x6E, 0x6F, 0x70, 0x71, 0x72, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x7B, 0x7C, 0x7D, 0x7E, 0x7F, 0x80, 0x81,
+    0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B, 0x8C, 0x8D,
+    0x8E, 0x8F, 0x90, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+    0x9A, 0x9B, 0x9B, 0x9C, 0x9D, 0x9E, 0x9F, 0xA0, 0xA1, 0xA2, 0xA3, 0xA4,
+    0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xA9, 0xAA, 0xAB, 0xAC, 0xAD, 0xAE, 0xAF,
+    0xB0, 0xB1, 0xB2, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xB9,
+    0xBA, 0xBB, 0xBC, 0xBD, 0xBE, 0xBF, 0xC0, 0xC0, 0xC1, 0xC2, 0xC3, 0xC4,
+    0xC5, 0xC6, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xCB, 0xCB, 0xCC, 0xCD, 0xCE,
+    0xCF, 0xD0, 0xD0, 0xD1, 0xD2, 0xD3, 0xD4, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+    0xD8, 0xD9, 0xDA, 0xDB, 0xDC, 0xDC, 0xDD, 0xDE, 0xDF, 0xE0, 0xE0, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE4, 0xE5, 0xE6, 0xE7, 0xE7, 0xE8, 0xE9, 0xEA, 0xEA,
+    0xEB, 0xEC, 0xED, 0xEE, 0xEE, 0xEF, 0xF0, 0xF1, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF4, 0xF5, 0xF6, 0xF7, 0xF7, 0xF8, 0xF9, 0xF9, 0xFA, 0xFB, 0xFC, 0xFC,
+    0xFD, 0xFE, 0xFF, 0xFF,
+]
+
+
+def _wp_log2(avalue: int) -> int:
+    """entropy_utils.c wp_log2."""
+    avalue += avalue >> 9
+    if avalue < (1 << 8):
+        dbits = _NBITS[avalue]
+        return (dbits << 8) + _LOG2_T[(avalue << (9 - dbits)) & 0xFF]
+    if avalue < (1 << 16):
+        dbits = _NBITS[avalue >> 8] + 8
+    elif avalue < (1 << 24):
+        dbits = _NBITS[avalue >> 16] + 16
+    else:
+        dbits = _NBITS[avalue >> 24] + 24
+    return (dbits << 8) + _LOG2_T[(avalue >> (dbits - 9)) & 0xFF]
+
+
+def _words_hybrid_py(bs, out, nvalues, med, st, hyb, flags):
+    """Pure-Python get_word loop (read_words.c:67) for hybrid blocks."""
+    SLS, SLO = 8, 128
+    mono = bool(flags & MONO_DATA)
+    hbr = bool(flags & HYBRID_BITRATE)
+    hbal = bool(flags & HYBRID_BALANCE)
+    holding_one, holding_zero, zeros_acc = int(st[0]), int(st[1]), int(st[2])
+    error_limit = [0, 0]
+
+    def get_med(c, m):
+        return (int(med[c * 3 + m]) >> 4) + 1
+
+    def inc(c, m, div):
+        med[c * 3 + m] = (int(med[c * 3 + m])
+                          + ((int(med[c * 3 + m]) + div) // div) * 5) \
+            & 0xFFFFFFFF
+
+    def dec(c, m, div):
+        med[c * 3 + m] = (int(med[c * 3 + m])
+                          - ((int(med[c * 3 + m]) + div - 2) // div) * 2) \
+            & 0xFFFFFFFF
+
+    n = 0
+    while n < nvalues:
+        c = 0 if mono else (n & 1)
+        if med[0] < 2 and not holding_zero and not holding_one and med[3] < 2:
+            if zeros_acc:
+                zeros_acc -= 1
+                if zeros_acc:
+                    hyb[c] = _i32(int(hyb[c])
+                                  - ((int(hyb[c]) + SLO) >> SLS))
+                    out[n] = 0
+                    n += 1
+                    continue
+            else:
+                v = _unary_escape(bs)
+                if v is None:
+                    break
+                zeros_acc = v
+                if zeros_acc:
+                    hyb[c] = _i32(int(hyb[c])
+                                  - ((int(hyb[c]) + SLO) >> SLS))
+                    med[:] = 0
+                    out[n] = 0
+                    n += 1
+                    continue
+
+        if holding_zero:
+            ones_count = holding_zero = 0
+        else:
+            ones_count = 0
+            while ones_count < 17 and bs.getbit():
+                ones_count += 1
+            if ones_count == 17:
+                break
+            if ones_count == 16:
+                v = _unary_escape(bs)
+                if v is None:
+                    break
+                ones_count = v + 16
+            if holding_one:
+                holding_one = ones_count & 1
+                ones_count = (ones_count >> 1) + 1
+            else:
+                holding_one = ones_count & 1
+                ones_count >>= 1
+            holding_zero = (~holding_one) & 1
+
+        if c == 0:
+            # update_error_limit; bitrate_acc is uint32 (logical shift)
+            hyb[2] = _i32(int(hyb[2]) + int(hyb[4]))
+            b0 = (int(hyb[2]) & 0xFFFFFFFF) >> 16
+            if mono:
+                if hbr:
+                    sl0 = (int(hyb[0]) + SLO) >> SLS
+                    error_limit[0] = (_exp2s(sl0 - b0 + 0x100)
+                                      if sl0 - b0 > -0x100 else 0)
+                else:
+                    error_limit[0] = _exp2s(b0)
+            else:
+                hyb[3] = _i32(int(hyb[3]) + int(hyb[5]))
+                b1 = (int(hyb[3]) & 0xFFFFFFFF) >> 16
+                if hbr:
+                    sl0 = (int(hyb[0]) + SLO) >> SLS
+                    sl1 = (int(hyb[1]) + SLO) >> SLS
+                    if hbal:
+                        balance = (sl1 - sl0 + b1 + 1) >> 1
+                        if balance > b0:
+                            b1, b0 = b0 * 2, 0
+                        elif -balance > b0:
+                            b0, b1 = b0 * 2, 0
+                        else:
+                            b0, b1 = b0 - balance, b0 + balance
+                    error_limit[0] = (_exp2s(sl0 - b0 + 0x100)
+                                      if sl0 - b0 > -0x100 else 0)
+                    error_limit[1] = (_exp2s(sl1 - b1 + 0x100)
+                                      if sl1 - b1 > -0x100 else 0)
+                else:
+                    error_limit[0] = _exp2s(b0)
+                    error_limit[1] = _exp2s(b1)
+
+        if ones_count == 0:
+            low = 0
+            high = get_med(c, 0) - 1
+            dec(c, 0, 128)
+        else:
+            low = get_med(c, 0)
+            inc(c, 0, 128)
+            if ones_count == 1:
+                high = low + get_med(c, 1) - 1
+                dec(c, 1, 64)
+            else:
+                low += get_med(c, 1)
+                inc(c, 1, 64)
+                if ones_count == 2:
+                    high = low + get_med(c, 2) - 1
+                    dec(c, 2, 32)
+                else:
+                    low += (ones_count - 2) * get_med(c, 2)
+                    high = low + get_med(c, 2) - 1
+                    inc(c, 2, 32)
+
+        low &= 0x7FFFFFFF
+        high &= 0x7FFFFFFF
+        if low > high:
+            high = low
+        mid = (high + low + 1) >> 1
+        if not error_limit[c]:
+            mid = _read_code(bs, high - low) + low
+        else:
+            while high - low > error_limit[c]:
+                if bs.getbit():
+                    low = mid
+                    mid = (high + low + 1) >> 1
+                else:
+                    high = mid - 1
+                    mid = (high + low + 1) >> 1
+        sign = bs.getbit()
+        if hbr:
+            hyb[c] = _i32(int(hyb[c]) - ((int(hyb[c]) + SLO) >> SLS)
+                          + _wp_log2(mid))
+        out[n] = _i32(~mid) if sign else mid
+        n += 1
+
+    st[0], st[1], st[2], st[3] = holding_one, holding_zero, zeros_acc, n
+
+
 def _apply_weight(weight: int, sample: int) -> int:
     # exact int32-wrapping version of wavpack_local.h:532-548 apply_weight
     if -32768 <= sample <= 32767:
@@ -425,6 +617,8 @@ class _Block:
         self.int32_zeros = 0
         self.int32_ones = 0
         self.int32_dups = 0
+        # hybrid state: [slow0, slow1, acc0, acc1, delta0, delta1]
+        self.hyb = np.zeros(6, np.int32)
         self._parse_metadata(data)
 
     def _parse_metadata(self, data: bytes):
@@ -501,6 +695,32 @@ class _Block:
                 vals = struct.unpack_from(f"<{len(body) // 2}H", body, 0)
                 for i, v in enumerate(vals[: 3 if mono else 6]):
                     self.medians[i] = _exp2s(v) & 0xFFFFFFFF
+            elif mid == ID_HYBRID_PROFILE:
+                # read_hybrid_profile (entropy_utils.c)
+                bi = 0
+                if self.flags & HYBRID_BITRATE:
+                    self.hyb[0] = _exp2s(
+                        struct.unpack_from("<h", body, bi)[0])
+                    bi += 2
+                    if not mono:
+                        self.hyb[1] = _exp2s(
+                            struct.unpack_from("<h", body, bi)[0])
+                        bi += 2
+                self.hyb[2] = _i32(
+                    struct.unpack_from("<H", body, bi)[0] << 16)
+                bi += 2
+                if not mono:
+                    self.hyb[3] = _i32(
+                        struct.unpack_from("<H", body, bi)[0] << 16)
+                    bi += 2
+                if bi < len(body):
+                    self.hyb[4] = _exp2s(
+                        struct.unpack_from("<h", body, bi)[0])
+                    bi += 2
+                    if not mono:
+                        self.hyb[5] = _exp2s(
+                            struct.unpack_from("<h", body, bi)[0])
+                        bi += 2
             elif mid == ID_FLOAT_INFO and len(body) == 4:
                 self.float_flags = body[0]
                 self.float_shift = body[1]
@@ -520,29 +740,48 @@ class _Block:
     def decode(self) -> np.ndarray:
         """-> int32 array [block_samples * (1 or 2)] (pre-normalization)."""
         flags = self.flags
-        if flags & HYBRID_FLAG:
-            raise DecodeError("WavPack hybrid (lossy) streams not supported")
         if self.wvbits is None:
             raise DecodeError("WavPack block has no audio bitstream")
         mono = bool(flags & MONO_DATA)
+        hybrid = bool(flags & HYBRID_FLAG)
         nvalues = self.block_samples * (1 if mono else 2)
         out = np.zeros(nvalues, np.int32)
         st = np.zeros(4, np.uint32)
         L = native.lib()
         if L is not None and hasattr(L, "wv_words_lossless"):
             buf = self.wvbits + b"\xff" * 8
-            L.wv_words_lossless(
-                buf, len(self.wvbits) * 8, 0,
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                nvalues,
-                self.medians.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-                1 if mono else 0,
-            )
+            if hybrid:
+                hflg = ((1 if flags & HYBRID_BITRATE else 0)
+                        | (2 if flags & HYBRID_BALANCE else 0)
+                        | (4 if mono else 0))
+                L.wv_words_hybrid(
+                    buf, len(self.wvbits) * 8, 0,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    nvalues,
+                    self.medians.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint32)),
+                    st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    self.hyb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    hflg,
+                )
+            else:
+                L.wv_words_lossless(
+                    buf, len(self.wvbits) * 8, 0,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    nvalues,
+                    self.medians.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_uint32)),
+                    st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                    1 if mono else 0,
+                )
             got = int(st[3])
         else:
             bs = _LsbBits(self.wvbits)
-            _words_lossless_py(bs, out, nvalues, self.medians, st, mono)
+            if hybrid:
+                _words_hybrid_py(bs, out, nvalues, self.medians, st,
+                                 self.hyb, flags)
+            else:
+                _words_lossless_py(bs, out, nvalues, self.medians, st, mono)
             got = int(st[3])
         if got != nvalues:
             raise DecodeError("WavPack entropy decode ran out of data")
@@ -627,7 +866,13 @@ class _Block:
                     out = ((out + (out & 1)) << d) - (out & 1)
             else:
                 shift += z + sb + o + d
-        if shift:
+        if hybrid:
+            # lossy clip+shift (fixup_samples, unpack.c:750-785)
+            bits = ((flags & BYTES_STORED) + 1) * 8
+            min_v = -(1 << (bits - 1)) >> shift
+            max_v = ((1 << (bits - 1)) - 1) >> shift
+            out = np.clip(out, min_v, max_v) << shift
+        elif shift:
             out <<= shift
         if flags & FALSE_STEREO:
             out = np.repeat(out, 2)

@@ -485,3 +485,279 @@ void wv_float_values(int32_t *values, int64_t n, const unsigned char *wvx,
         out_bits[i] = (sign << 31) | (exponent << 23) | mantissa;
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* WavPack hybrid (lossy) entropy words (read_words.c:67 get_word,    */
+/* entropy_utils.c:update_error_limit / wp_log2 / wp_exp2s).          */
+/* ------------------------------------------------------------------ */
+
+static const unsigned char wv_nbits_table[256] = {
+    0,1,2,2,3,3,3,3,4,4,4,4,4,4,4,4,5,5,5,5,5,5,5,5,5,5,5,5,5,5,5,5,
+    6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,6,
+    7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,
+    7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,7,
+    8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,
+    8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,
+    8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,
+    8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8,8
+};
+
+static const unsigned char wv_log2_table[256] = {
+    0x00,0x01,0x03,0x04,0x06,0x07,0x09,0x0a,0x0b,0x0d,0x0e,0x10,0x11,0x12,0x14,0x15,
+    0x16,0x18,0x19,0x1a,0x1c,0x1d,0x1e,0x20,0x21,0x22,0x24,0x25,0x26,0x28,0x29,0x2a,
+    0x2c,0x2d,0x2e,0x2f,0x31,0x32,0x33,0x34,0x36,0x37,0x38,0x39,0x3b,0x3c,0x3d,0x3e,
+    0x3f,0x41,0x42,0x43,0x44,0x45,0x47,0x48,0x49,0x4a,0x4b,0x4d,0x4e,0x4f,0x50,0x51,
+    0x52,0x54,0x55,0x56,0x57,0x58,0x59,0x5a,0x5c,0x5d,0x5e,0x5f,0x60,0x61,0x62,0x63,
+    0x64,0x66,0x67,0x68,0x69,0x6a,0x6b,0x6c,0x6d,0x6e,0x6f,0x70,0x71,0x72,0x74,0x75,
+    0x76,0x77,0x78,0x79,0x7a,0x7b,0x7c,0x7d,0x7e,0x7f,0x80,0x81,0x82,0x83,0x84,0x85,
+    0x86,0x87,0x88,0x89,0x8a,0x8b,0x8c,0x8d,0x8e,0x8f,0x90,0x91,0x92,0x93,0x94,0x95,
+    0x96,0x97,0x98,0x99,0x9a,0x9b,0x9b,0x9c,0x9d,0x9e,0x9f,0xa0,0xa1,0xa2,0xa3,0xa4,
+    0xa5,0xa6,0xa7,0xa8,0xa9,0xa9,0xaa,0xab,0xac,0xad,0xae,0xaf,0xb0,0xb1,0xb2,0xb2,
+    0xb3,0xb4,0xb5,0xb6,0xb7,0xb8,0xb9,0xb9,0xba,0xbb,0xbc,0xbd,0xbe,0xbf,0xc0,0xc0,
+    0xc1,0xc2,0xc3,0xc4,0xc5,0xc6,0xc6,0xc7,0xc8,0xc9,0xca,0xcb,0xcb,0xcc,0xcd,0xce,
+    0xcf,0xd0,0xd0,0xd1,0xd2,0xd3,0xd4,0xd4,0xd5,0xd6,0xd7,0xd8,0xd8,0xd9,0xda,0xdb,
+    0xdc,0xdc,0xdd,0xde,0xdf,0xe0,0xe0,0xe1,0xe2,0xe3,0xe4,0xe4,0xe5,0xe6,0xe7,0xe7,
+    0xe8,0xe9,0xea,0xea,0xeb,0xec,0xed,0xee,0xee,0xef,0xf0,0xf1,0xf1,0xf2,0xf3,0xf4,
+    0xf4,0xf5,0xf6,0xf7,0xf7,0xf8,0xf9,0xf9,0xfa,0xfb,0xfc,0xfc,0xfd,0xfe,0xff,0xff
+};
+
+static const unsigned char wv_exp2_table[256] = {
+    0x00,0x01,0x01,0x02,0x03,0x03,0x04,0x05,0x06,0x06,0x07,0x08,0x08,0x09,0x0a,0x0b,
+    0x0b,0x0c,0x0d,0x0e,0x0e,0x0f,0x10,0x10,0x11,0x12,0x13,0x13,0x14,0x15,0x16,0x16,
+    0x17,0x18,0x19,0x19,0x1a,0x1b,0x1c,0x1d,0x1d,0x1e,0x1f,0x20,0x20,0x21,0x22,0x23,
+    0x24,0x24,0x25,0x26,0x27,0x28,0x28,0x29,0x2a,0x2b,0x2c,0x2c,0x2d,0x2e,0x2f,0x30,
+    0x30,0x31,0x32,0x33,0x34,0x35,0x35,0x36,0x37,0x38,0x39,0x3a,0x3a,0x3b,0x3c,0x3d,
+    0x3e,0x3f,0x40,0x41,0x41,0x42,0x43,0x44,0x45,0x46,0x47,0x48,0x48,0x49,0x4a,0x4b,
+    0x4c,0x4d,0x4e,0x4f,0x50,0x51,0x51,0x52,0x53,0x54,0x55,0x56,0x57,0x58,0x59,0x5a,
+    0x5b,0x5c,0x5d,0x5e,0x5e,0x5f,0x60,0x61,0x62,0x63,0x64,0x65,0x66,0x67,0x68,0x69,
+    0x6a,0x6b,0x6c,0x6d,0x6e,0x6f,0x70,0x71,0x72,0x73,0x74,0x75,0x76,0x77,0x78,0x79,
+    0x7a,0x7b,0x7c,0x7d,0x7e,0x7f,0x80,0x81,0x82,0x83,0x84,0x85,0x87,0x88,0x89,0x8a,
+    0x8b,0x8c,0x8d,0x8e,0x8f,0x90,0x91,0x92,0x93,0x95,0x96,0x97,0x98,0x99,0x9a,0x9b,
+    0x9c,0x9d,0x9f,0xa0,0xa1,0xa2,0xa3,0xa4,0xa5,0xa6,0xa8,0xa9,0xaa,0xab,0xac,0xad,
+    0xaf,0xb0,0xb1,0xb2,0xb3,0xb4,0xb6,0xb7,0xb8,0xb9,0xba,0xbc,0xbd,0xbe,0xbf,0xc0,
+    0xc2,0xc3,0xc4,0xc5,0xc6,0xc8,0xc9,0xca,0xcb,0xcd,0xce,0xcf,0xd0,0xd2,0xd3,0xd4,
+    0xd6,0xd7,0xd8,0xd9,0xdb,0xdc,0xdd,0xde,0xe0,0xe1,0xe2,0xe4,0xe5,0xe6,0xe8,0xe9,
+    0xea,0xec,0xed,0xee,0xf0,0xf1,0xf2,0xf4,0xf5,0xf6,0xf8,0xf9,0xfa,0xfc,0xfd,0xff
+};
+
+static int32_t wv_exp2s(int logval) {
+    uint32_t value;
+    if (logval < 0)
+        return -wv_exp2s(-logval);
+    value = wv_exp2_table[logval & 0xff] | 0x100;
+    logval >>= 8;
+    return (logval <= 9) ? (int32_t)(value >> (9 - logval))
+                         : (int32_t)(value << (logval - 9));
+}
+
+static int wv_log2(uint32_t avalue) {
+    int dbits;
+    if ((avalue += avalue >> 9) < (1 << 8)) {
+        dbits = wv_nbits_table[avalue];
+        return (dbits << 8) + wv_log2_table[(avalue << (9 - dbits)) & 0xff];
+    }
+    if (avalue < (1u << 16))
+        dbits = wv_nbits_table[avalue >> 8] + 8;
+    else if (avalue < (1u << 24))
+        dbits = wv_nbits_table[avalue >> 16] + 16;
+    else
+        dbits = wv_nbits_table[avalue >> 24] + 24;
+    return (dbits << 8) + wv_log2_table[(avalue >> (dbits - 9)) & 0xff];
+}
+
+#define WV_SLS 8
+#define WV_SLO (1 << (WV_SLS - 1))
+
+/* hs: [slow0, slow1, acc0, acc1, delta0, delta1] (int32), updated.
+   flg: bit0 hybrid_bitrate, bit1 hybrid_balance, bit2 mono.
+   st: [holding_one, holding_zero, zeros_acc, values_written]. */
+uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
+                         uint64_t pos, int32_t *out, int64_t nvalues,
+                         uint32_t *med, uint32_t *st, int32_t *hs, int flg)
+{
+    wv_bits bs = {buf, pos, limit_bits};
+    uint32_t holding_one = st[0], holding_zero = st[1], zeros_acc = st[2];
+    uint32_t error_limit[2] = {0, 0};
+    int mono = (flg >> 2) & 1, hbr = flg & 1, hbal = (flg >> 1) & 1;
+    int64_t n;
+
+    for (n = 0; n < nvalues; n++) {
+        int c = mono ? 0 : (int)(n & 1);
+        uint32_t ones_count, low, mid, high;
+        int sign;
+
+        if (!(med[0] & ~1u) && !holding_zero && !holding_one
+            && !(med[3] & ~1u)) {
+            if (zeros_acc) {
+                if (--zeros_acc) {
+                    hs[c] -= (hs[c] + WV_SLO) >> WV_SLS;
+                    out[n] = 0;
+                    continue;
+                }
+            }
+            else {
+                int cbits;
+                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
+                    ;
+                if (cbits == 33)
+                    break;
+                if (cbits < 2)
+                    zeros_acc = cbits;
+                else {
+                    uint32_t mask;
+                    for (mask = 1, zeros_acc = 0; --cbits; mask <<= 1)
+                        if (wv_getbit(&bs))
+                            zeros_acc |= mask;
+                    zeros_acc |= mask;
+                }
+                if (zeros_acc) {
+                    hs[c] -= (hs[c] + WV_SLO) >> WV_SLS;
+                    for (int i = 0; i < 6; i++)
+                        med[i] = 0;
+                    out[n] = 0;
+                    continue;
+                }
+            }
+        }
+
+        if (holding_zero)
+            ones_count = holding_zero = 0;
+        else {
+            for (ones_count = 0; ones_count < 17 && wv_getbit(&bs);
+                 ++ones_count)
+                ;
+            if (ones_count == 17)
+                break;
+            if (ones_count == 16) {
+                int cbits;
+                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
+                    ;
+                if (cbits == 33)
+                    break;
+                if (cbits < 2)
+                    ones_count = cbits;
+                else {
+                    uint32_t mask;
+                    for (mask = 1, ones_count = 0; --cbits; mask <<= 1)
+                        if (wv_getbit(&bs))
+                            ones_count |= mask;
+                    ones_count |= mask;
+                }
+                ones_count += 16;
+            }
+            if (holding_one) {
+                holding_one = ones_count & 1;
+                ones_count = (ones_count >> 1) + 1;
+            }
+            else {
+                holding_one = ones_count & 1;
+                ones_count >>= 1;
+            }
+            holding_zero = ~holding_one & 1;
+        }
+
+        if (c == 0) {
+            /* update_error_limit (entropy_utils.c); bitrate_acc is
+               uint32 -> logical shift */
+            int b0;
+            hs[2] = (int32_t)((uint32_t)hs[2] + (uint32_t)hs[4]);
+            b0 = (int)((uint32_t)hs[2] >> 16);
+            if (mono) {
+                if (hbr) {
+                    int sl0 = (hs[0] + WV_SLO) >> WV_SLS;
+                    error_limit[0] = (sl0 - b0 > -0x100)
+                        ? (uint32_t)wv_exp2s(sl0 - b0 + 0x100) : 0;
+                }
+                else
+                    error_limit[0] = (uint32_t)wv_exp2s(b0);
+            }
+            else {
+                int b1;
+                hs[3] = (int32_t)((uint32_t)hs[3] + (uint32_t)hs[5]);
+                b1 = (int)((uint32_t)hs[3] >> 16);
+                if (hbr) {
+                    int sl0 = (hs[0] + WV_SLO) >> WV_SLS;
+                    int sl1 = (hs[1] + WV_SLO) >> WV_SLS;
+                    if (hbal) {
+                        int balance = (sl1 - sl0 + b1 + 1) >> 1;
+                        if (balance > b0) {
+                            b1 = b0 * 2;
+                            b0 = 0;
+                        }
+                        else if (-balance > b0) {
+                            b0 = b0 * 2;
+                            b1 = 0;
+                        }
+                        else {
+                            b1 = b0 + balance;
+                            b0 = b0 - balance;
+                        }
+                    }
+                    error_limit[0] = (sl0 - b0 > -0x100)
+                        ? (uint32_t)wv_exp2s(sl0 - b0 + 0x100) : 0;
+                    error_limit[1] = (sl1 - b1 > -0x100)
+                        ? (uint32_t)wv_exp2s(sl1 - b1 + 0x100) : 0;
+                }
+                else {
+                    error_limit[0] = (uint32_t)wv_exp2s(b0);
+                    error_limit[1] = (uint32_t)wv_exp2s(b1);
+                }
+            }
+        }
+
+        if (ones_count == 0) {
+            low = 0;
+            high = WV_GET_MED(c, 0) - 1;
+            WV_DEC_MED0(c);
+        }
+        else {
+            low = WV_GET_MED(c, 0);
+            WV_INC_MED0(c);
+            if (ones_count == 1) {
+                high = low + WV_GET_MED(c, 1) - 1;
+                WV_DEC_MED1(c);
+            }
+            else {
+                low += WV_GET_MED(c, 1);
+                WV_INC_MED1(c);
+                if (ones_count == 2) {
+                    high = low + WV_GET_MED(c, 2) - 1;
+                    WV_DEC_MED2(c);
+                }
+                else {
+                    low += (ones_count - 2) * WV_GET_MED(c, 2);
+                    high = low + WV_GET_MED(c, 2) - 1;
+                    WV_INC_MED2(c);
+                }
+            }
+        }
+
+        low &= 0x7fffffff;
+        high &= 0x7fffffff;
+        if (low > high)
+            high = low;
+        mid = (high + low + 1) >> 1;
+
+        if (!error_limit[c])
+            mid = wv_read_code(&bs, high - low) + low;
+        else while (high - low > error_limit[c]) {
+            if (wv_getbit(&bs))
+                mid = (high + (low = mid) + 1) >> 1;
+            else
+                mid = ((high = mid - 1) + low + 1) >> 1;
+        }
+
+        sign = wv_getbit(&bs);
+        if (hbr) {
+            hs[c] -= (hs[c] + WV_SLO) >> WV_SLS;
+            hs[c] += wv_log2(mid);
+        }
+        out[n] = sign ? ~(int32_t)mid : (int32_t)mid;
+    }
+
+    st[0] = holding_one;
+    st[1] = holding_zero;
+    st[2] = zeros_acc;
+    st[3] = (uint32_t)n;
+    return bs.pos;
+}

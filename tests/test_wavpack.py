@@ -40,3 +40,31 @@ def test_wavpack_python_fallback(test_data_dir, monkeypatch):
 def test_wavpack_bad_data():
     with pytest.raises(DecodeError):
         nq.load(b"not wavpack data at all" * 4, extension="wv")
+
+
+@pytest.mark.parametrize(
+    "name", ["hybrid_stereo", "hybrid_shape", "hybrid_mono"]
+)
+def test_wavpack_hybrid(name):
+    """Hybrid (lossy) mode vs libwavpack — bit-exact reconstruction of
+    the quantized stream (fixtures encoded with the reference encoder,
+    tools built in /tmp; see tests/fixtures/)."""
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    audio = nq.load(str(fixtures / f"{name}.wv"))
+    g = load_golden(f"{name}_wv")
+    assert audio.sample_count == int(g["count"])
+    assert np.abs(audio.samples - g["full"]).max() == 0.0
+
+
+def test_wavpack_hybrid_python_fallback(monkeypatch):
+    import pathlib
+
+    from libnyquist_tpu.runtime import native
+
+    monkeypatch.setattr(native, "lib", lambda: None)
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    audio = nq.load(str(fixtures / "hybrid_mono.wv"))
+    g = load_golden("hybrid_mono_wv")
+    assert np.abs(audio.samples - g["full"]).max() == 0.0
