@@ -817,7 +817,7 @@ class Mp3Decoder:
                     gr.sfbtab[gr.n_long_sfb:],
                 )
             antialias(grbuf[ch], aa_bands)
-            mp3_synth.imdct_gr(
+            mp3_synth.imdct_gr_vec(
                 grbuf[ch], self.mdct_overlap[ch], gr.block_type,
                 n_long_bands,
             )
