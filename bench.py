@@ -133,16 +133,19 @@ def main():
     pcm, tails, hist, mem = synth(spec_d, tails, hist, mem)
     force(pcm)
 
+    # Device-to-host latency can reach tens of ms through tunnels, so
+    # chain CHUNK dependent iterations on device and pay one barrier per
+    # timing sample (run_benchmark.py-style trimmed median over samples).
+    chain = 25
     times = []
-    iters = 20
-    for _ in range(iters):
+    for _ in range(5):
         t0 = time.perf_counter()
-        pcm, tails, hist, mem = synth(spec_d, tails, hist, mem)
+        for _ in range(chain):
+            pcm, tails, hist, mem = synth(spec_d, tails, hist, mem)
         force(pcm)
-        times.append(time.perf_counter() - t0)
-    # Trimmed median like the reference's run_benchmark.py.
+        times.append((time.perf_counter() - t0) / chain)
     times.sort()
-    trimmed = times[2:-2] if len(times) > 8 else times
+    trimmed = times[1:-1] if len(times) > 4 else times
     sec = float(np.median(trimmed))
 
     total_audio = B * audio_seconds_per_stream

@@ -4,10 +4,10 @@ CELT deemphasis is a 1-pole IIR carried across every sample (reference:
 celt_decoder_clean.c:189-256 — `m = coef0*tmp` per sample), the classic
 sequential bottleneck. TPU-native formulation: split the stream into
 blocks of L samples; within a block the recurrence is a lower-triangular
-Toeplitz matmul y = T @ x (MXU), and the block-to-block carry is itself a
-first-order linear recurrence over one scalar per block, solved exactly
-with a log-depth `associative_scan`. Zero approximation error, no
-sequential sample loop.
+Toeplitz matmul y = T @ x (MXU); the block-to-block carry recurrence has
+ratio coef^L ~ 1e-9, so it collapses to one shifted multiply-add (terms
+from two blocks back are below float32 resolution). No sequential
+sample loop, no scan.
 """
 
 from __future__ import annotations
@@ -49,24 +49,17 @@ def deemphasis(x: jax.Array, mem: jax.Array, coef: float = 0.85000610351562500):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(B, nblk, BLOCK)
-    # Block carries: c_n = coef^L * c_{n-1} + y0_last[n]  (assoc. scan).
+    # Block carries: c_n = coef^L * c_{n-1} + y0_last[n]. The recurrence
+    # ratio coef^128 ~ 9e-10 makes contributions from two blocks back
+    # (~1e-18 relative) vanish below float32 resolution, so the exact
+    # log-depth scan reduces to a single shifted multiply-add.
     last = y0[:, :, -1]                           # [B, nblk]
     decay = jnp.float32(coef) ** BLOCK
-
-    def combine(a, b):
-        # elements are (mult, add): f(c) = mult*c + add
-        am, aa = a
-        bm, ba = b
-        return am * bm, aa * bm + ba
-
-    mults = jnp.full_like(last, decay)
-    carry_mult, carry_add = jax.lax.associative_scan(
-        combine, (mults, last), axis=1
-    )
-    carries = carry_mult * mem[:, None] + carry_add   # c_n (incl. block n)
+    shifted = jnp.concatenate([mem[:, None], last[:, :-1]], axis=1)
+    carries = last + decay * shifted              # c_n (incl. block n)
     prev_carry = jnp.concatenate(
         [mem[:, None], carries[:, :-1]], axis=1
-    )                                                  # c_{n-1} per block
+    )                                             # c_{n-1} per block
     # Add carried tail: y[n, i] = y0[n, i] + coef^(i+1) * c_{n-1}
     powers = jnp.float32(coef) ** jnp.arange(1, BLOCK + 1, dtype=jnp.float32)
     y = y0 + prev_carry[:, :, None] * powers[None, None, :]
