@@ -22,6 +22,8 @@ import pathlib
 
 import numpy as np
 
+BREAKDOWN = "--breakdown" in sys.argv
+
 
 def load_case0_infos(n_seconds=2.0):
     """Host entropy-decode golden case 0 (stereo CELT 20 ms music) once."""
@@ -147,6 +149,53 @@ def main():
     times.sort()
     trimmed = times[1:-1] if len(times) > 4 else times
     sec = float(np.median(trimmed))
+
+    if BREAKDOWN:
+        # Per-stage breakdown (SURVEY.md §5 tracing: the analog of the
+        # reference's CUDA-event stage printout, mdct_cuda_b8.cu:344-464).
+        @jax.jit
+        def imdct_stage(spec, tails):
+            flat = spec.reshape(rows * F, N)
+            main = jnp.dot(flat, Tm, preferred_element_type=jnp.float32,
+                           precision=hp)
+            prev = jnp.concatenate(
+                [jnp.zeros((rows, 1, N), jnp.float32), spec[:, :-1]], axis=1
+            ).reshape(rows * F, N)
+            raw = (main + jnp.dot(prev, Tp,
+                                  preferred_element_type=jnp.float32,
+                                  precision=hp)).reshape(rows, F, N)
+            return raw.at[:, 0, : mode.overlap].add(tails).reshape(rows, S)
+
+        @jax.jit
+        def comb_stage(raw, hist):
+            y, _ = comb_ops.comb_filter(raw, hist, T0, T1, g0, g1, fade)
+            return y
+
+        @jax.jit
+        def deemph_stage(y, mem):
+            out, _ = scan_iir.deemphasis(jnp.pad(y, ((0, 0), (0, pad))), mem)
+            return out
+
+        raw = imdct_stage(spec_d, tails)
+        yc = comb_stage(raw, hist)
+        force(deemph_stage(yc, mem))
+        stages = [("imdct+ola", imdct_stage, (spec_d, tails)),
+                  ("comb", comb_stage, (raw, hist)),
+                  ("deemph", deemph_stage, (yc, mem))]
+        stage_ms = {}
+        for name, fn, args in stages:
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(chain):
+                r = fn(*args)
+            force(r)
+            stage_ms[name] = (time.perf_counter() - t0) / chain * 1e3
+        total = sum(stage_ms.values())
+        for name, ms in stage_ms.items():
+            print(f"# {name:10s} {ms:7.3f} ms  {100 * ms / total:5.1f}%",
+                  file=sys.stderr)
+        print(f"# stage sum  {total:7.3f} ms vs fused {sec * 1e3:7.3f} ms",
+              file=sys.stderr)
 
     total_audio = B * audio_seconds_per_stream
     realtime_x = total_audio / sec
