@@ -1,0 +1,60 @@
+"""Batched multi-stream synthesis equals per-stream synthesis."""
+
+import struct
+import pathlib
+
+import numpy as np
+import pytest
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def _load_infos():
+    from libnyquist_tpu.formats.opus import celt
+    from libnyquist_tpu.formats.opus.packet import parse_packet
+
+    raw = (GOLDEN / "opus_packets.bin").read_bytes()
+    pos = 4
+    ch, sr, n_packets, frame = struct.unpack_from("<4i", raw, pos)
+    pos += 16
+    pkts = []
+    for _ in range(n_packets):
+        (ln,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        pkts.append(raw[pos : pos + ln])
+        pos += ln
+    st = celt.CeltDecoderState(channels=ch)
+    infos = []
+    for p in pkts:
+        pkt = parse_packet(p)
+        for fr in pkt.frames:
+            infos.append(
+                celt.celt_decode_frame_to_freq(st, fr, pkt.frame_size)
+            )
+    return infos, ch
+
+
+def test_batched_streams_match_single():
+    from libnyquist_tpu.runtime import opus_pipeline, serving
+
+    infos, ch = _load_infos()
+    if not infos:
+        pytest.skip("no packet fixture")
+    # three streams: full, full, and a truncated one (exercises padding)
+    streams = [infos, infos, infos[: max(1, len(infos) // 2)]]
+    batched = serving.synthesize_streams(streams, ch)
+    for s, got in zip(streams, batched):
+        ref = opus_pipeline.synthesize_stream(list(s), ch)
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-6
+
+
+def test_batched_signature_mismatch_raises():
+    from libnyquist_tpu.runtime import serving
+
+    infos, ch = _load_infos()
+    a = list(infos[:4])
+    b = list(infos[:4])
+    b[1] = dict(b[1], LM=b[1]["LM"] - 1 if b[1]["LM"] else b[1]["LM"] + 1)
+    with pytest.raises(ValueError):
+        serving.synthesize_streams([a, b], ch)
