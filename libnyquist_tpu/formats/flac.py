@@ -13,8 +13,6 @@ int32 samples / 2^(bps-1) -> float32.
 
 from __future__ import annotations
 
-import struct
-
 import numpy as np
 
 from ..audio_data import AudioData, PCMFormat

@@ -13,7 +13,6 @@ Pure-Python byte shuffling: this layer is control flow, not compute.
 from __future__ import annotations
 
 import struct
-import zlib
 from dataclasses import dataclass, field
 from typing import Dict, Iterator, List, Optional
 

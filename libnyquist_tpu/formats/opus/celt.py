@@ -20,7 +20,7 @@ reference's float32 keeps us well inside the 1e-4 accuracy target.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -11,7 +11,6 @@ silence-extension frames.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
@@ -23,7 +22,6 @@ from .celt import (
     mode48000,
 )
 from .packet import (
-    BW_FULLBAND,
     BW_MEDIUMBAND,
     BW_NARROWBAND,
     BW_SUPERWIDEBAND,

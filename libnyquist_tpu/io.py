@@ -13,10 +13,7 @@ import os
 from typing import Callable, Dict, Optional, Union
 
 from .audio_data import AudioData
-from .errors import (
-    NyquistError,
-    UnsupportedExtensionError,
-)
+from .errors import UnsupportedExtensionError
 
 # A decoder is a callable (data: bytes, audio: AudioData) -> None that fills
 # `audio` in place, mirroring BaseDecoder::LoadFromBuffer

@@ -16,8 +16,6 @@ is folded into per-chunk old/new gain weights.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

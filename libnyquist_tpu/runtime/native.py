@@ -10,10 +10,8 @@ works without a toolchain.
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
-import tempfile
 
 _NATIVE_DIR = pathlib.Path(__file__).resolve().parents[1] / "native"
 _LIB = None

@@ -17,11 +17,11 @@ loader.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 
-from ..formats.opus.celt import COMB_GAINS, COMBFILTER_MINPERIOD  # noqa: F401
+from ..formats.opus.celt import COMBFILTER_MINPERIOD
 from ..formats.opus.celt_tables import mode48000
 from ..ops import comb as comb_ops
 from ..ops import imdct as imdct_ops
