@@ -58,3 +58,22 @@ def test_batched_signature_mismatch_raises():
     b[1] = dict(b[1], LM=b[1]["LM"] - 1 if b[1]["LM"] else b[1]["LM"] + 1)
     with pytest.raises(ValueError):
         serving.synthesize_streams([a, b], ch)
+
+
+def test_mp3_stream_synthesis_matmul():
+    """Whole-stream MP3 synthesis as a 3-tap matmul FIR over granules
+    matches the sequential filterbank (probed linear maps, nilpotent
+    qmf state)."""
+    from libnyquist_tpu.ops import mp3_synth as M
+
+    rng = np.random.default_rng(1)
+    G = 6
+    grbufs = rng.standard_normal((G, 2, 576)).astype(np.float32) * 0.2
+    batch = M.synth_granules_stream(grbufs, 18, 1)
+    qmf = np.zeros(960, np.float32)
+    ref = np.concatenate(
+        [M.synth_granule(qmf, grbufs[g].copy(), 18, 1) for g in range(G)],
+        axis=0,
+    )
+    assert batch.shape == ref.shape
+    assert np.abs(batch - ref).max() < 1e-4
