@@ -13,7 +13,11 @@ import os
 from typing import Callable, Dict, Optional, Union
 
 from .audio_data import AudioData
-from .errors import UnsupportedExtensionError
+from .errors import (
+    DecodeError,
+    NyquistError,
+    UnsupportedExtensionError,
+)
 
 # A decoder is a callable (data: bytes, audio: AudioData) -> None that fills
 # `audio` in place, mirroring BaseDecoder::LoadFromBuffer
@@ -135,7 +139,14 @@ def load(
         )
 
     audio = AudioData()
-    _DECODER_TABLE[extension](data, audio)
+    try:
+        _DECODER_TABLE[extension](data, audio)
+    except NyquistError:
+        raise
+    except Exception as e:  # malformed input tripped an internal path
+        raise DecodeError(
+            f"malformed {extension} stream: {type(e).__name__}: {e}"
+        ) from e
     if audio.sample_rate > 0 and audio.channel_count > 0:
         audio.length_seconds = (
             audio.sample_count / audio.channel_count / audio.sample_rate
