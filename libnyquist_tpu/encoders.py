@@ -144,10 +144,53 @@ def encode_wav_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
     return int(EncoderError.NoError)
 
 
+def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
+                          bitrate_kbps: int = 96) -> bytes:
+    """Encode AudioData to Ogg Opus (CELT-only fullband 20 ms frames).
+
+    The reference declares this API but ships no implementation
+    (Encoders.h:40); this is a working encoder validated against both
+    our decoder and the reference's (opusfile) decoder. Non-48 kHz
+    input is resampled with the polyphase SRC first, per the header's
+    "re-formatted to satisfy the Ogg/Opus spec" contract.
+    """
+    if d.samples is None or len(d.samples) == 0:
+        raise ValueError(EncoderError.InsufficientSampleData.name)
+    ch = d.channel_count
+    if p.channel_count != ch:
+        if ch == 2 and p.channel_count == 1:
+            mono = 0.5 * (np.asarray(d.samples[0::2])
+                          + np.asarray(d.samples[1::2]))
+            samples, ch = mono.astype(np.float32), 1
+        else:
+            raise ValueError(EncoderError.UnsupportedChannelMix.name)
+    else:
+        samples = np.asarray(d.samples, np.float32)
+    if ch not in (1, 2):
+        raise ValueError(EncoderError.UnsupportedChannelConfiguration.name)
+    rate = d.sample_rate
+    if rate != 48000:
+        per = samples.reshape(-1, ch).T
+        from .ops.src import resample
+
+        per = np.asarray(resample(per, rate, 48000))
+        samples = per.T.reshape(-1).astype(np.float32)
+    from .formats.opus.celt_encoder import encode_ogg_opus
+
+    return encode_ogg_opus(samples, ch, 48000, bitrate_kbps)
+
+
 def encode_opus_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
-    """Reference signature (Encoders.h:40). Opus *encoding* is not yet
-    implemented (the decode side is complete); tracked for a later
-    milestone."""
-    raise NotImplementedError(
-        "Opus encoding is not implemented yet; use encode_wav_to_disk"
-    )
+    """Reference signature (Encoders.h:40): returns an EncoderError code."""
+    try:
+        buf = encode_opus_to_buffer(p, d)
+    except ValueError as e:
+        if str(e) in EncoderError.__members__:
+            return int(EncoderError[str(e)])
+        raise
+    try:
+        with open(path, "wb") as f:
+            f.write(buf)
+    except OSError:
+        return int(EncoderError.FileIOError)
+    return int(EncoderError.NoError)

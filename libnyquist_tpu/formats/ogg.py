@@ -166,3 +166,24 @@ def first_stream_matching(
         if st.packets and st.packets[0].data.startswith(magic):
             return st
     return None
+
+
+def write_page(packet: bytes, granule: int, serial: int, seq: int,
+               bos: bool = False, eos: bool = False) -> bytes:
+    """Serialize one Ogg page (RFC 3533; the mux dual of parse_pages)."""
+    import struct
+
+    lacing = []
+    n = len(packet)
+    while True:
+        lacing.append(min(n, 255))
+        n -= lacing[-1]
+        if lacing[-1] < 255:
+            break
+    header = struct.pack(
+        "<4sBBqIIIB", b"OggS", 0, (2 if bos else 0) | (4 if eos else 0),
+        granule, serial, seq, 0, len(lacing),
+    ) + bytes(lacing)
+    page = header + packet
+    crc = _ogg_crc(page)
+    return page[:22] + struct.pack("<I", crc) + page[26:]

@@ -289,6 +289,7 @@ def init_caps(mode, LM, C):
 def _interp_bits2pulses(
     mode, start, end, skip_start, bits1, bits2, thresh, cap, total, skip_rsv,
     intensity_rsv, dual_stereo_rsv, C, LM, dec,
+    encode=False, chosen_intensity=0, chosen_dual=0,
 ):
     eBands = mode.eBands
     alloc_floor = C << BITRES
@@ -337,6 +338,10 @@ def _interp_bits2pulses(
         band_width = int(eBands[codedBands] - eBands[j])
         band_bits = bits[j] + percoeff * band_width + rem
         if band_bits >= max(thresh[j], alloc_floor + (1 << BITRES)):
+            if encode:
+                # encoder choice: never skip bands (spec-valid)
+                dec.enc_bit_logp(1, 1)
+                break
             if dec.dec_bit_logp(1):
                 break
             psum += 1 << BITRES
@@ -353,13 +358,24 @@ def _interp_bits2pulses(
         codedBands -= 1
 
     if intensity_rsv > 0:
-        intensity = start + dec.dec_uint(codedBands + 1 - start)
+        if encode:
+            intensity = min(chosen_intensity, codedBands)
+            dec.enc_uint(intensity - start, codedBands + 1 - start)
+        else:
+            intensity = start + dec.dec_uint(codedBands + 1 - start)
     else:
         intensity = 0
     if intensity <= start:
         total += dual_stereo_rsv
         dual_stereo_rsv = 0
-    dual_stereo = dec.dec_bit_logp(1) if dual_stereo_rsv > 0 else 0
+    if dual_stereo_rsv > 0:
+        if encode:
+            dual_stereo = chosen_dual
+            dec.enc_bit_logp(dual_stereo, 1)
+        else:
+            dual_stereo = dec.dec_bit_logp(1)
+    else:
+        dual_stereo = 0
 
     left = total - psum
     percoeff = cdiv(left, int(eBands[codedBands] - eBands[start]))
@@ -425,7 +441,8 @@ def _interp_bits2pulses(
 
 
 def compute_allocation(
-    mode, start, end, offsets, cap, alloc_trim, total, C, LM, dec
+    mode, start, end, offsets, cap, alloc_trim, total, C, LM, dec,
+    encode=False, chosen_intensity=0, chosen_dual=0,
 ):
     eBands = mode.eBands
     total = max(total, 0)
@@ -504,6 +521,8 @@ def compute_allocation(
     return _interp_bits2pulses(
         mode, start, end, skip_start, bits1, bits2, thresh, cap, total,
         skip_rsv, intensity_rsv, dual_stereo_rsv, C, LM, dec,
+        encode=encode, chosen_intensity=chosen_intensity,
+        chosen_dual=chosen_dual,
     )
 
 
@@ -674,6 +693,106 @@ def alg_unquant(X, N, K, spread, B, dec, gain):
     return extract_collapse_mask(iy, N, B)
 
 
+def icwrs(n: int, y) -> int:
+    """Pulse vector -> index (reference: cwrs.c icwrs)."""
+    j = n - 1
+    i = 1 if y[j] < 0 else 0
+    k = abs(int(y[j]))
+    while j > 0:
+        j -= 1
+        i += pvq_u(n - j, k)
+        k += abs(int(y[j]))
+        if y[j] < 0:
+            i += pvq_u(n - j, k + 1)
+    return i
+
+
+def encode_pulses(iy, n: int, k: int, enc) -> None:
+    enc.enc_uint(icwrs(n, iy), pvq_v(n, k))
+
+
+def op_pvq_search(X, K: int, N: int):
+    """Greedy K-pulse PVQ search (reference: vq.c op_pvq_search).
+
+    Returns (iy, yy). Any |y|_1 = K vector is decodable; the search only
+    affects quality."""
+    signs = [1 if X[j] >= 0 else -1 for j in range(N)]
+    ax = [abs(float(X[j])) for j in range(N)]
+    total = sum(ax)
+    iy = [0] * N
+    if total <= 1e-15:
+        iy = [K] + [0] * (N - 1)
+        return iy, float(K * K)
+    # projection first pass
+    pulses_left = K
+    if K > (N >> 1):
+        rcp = (K - 1) / total
+        for j in range(N):
+            iy[j] = int(ax[j] * rcp)
+        pulses_left = K - sum(iy)
+    xy = sum(ax[j] * iy[j] for j in range(N))
+    yy = float(sum(v * v for v in iy))
+    while pulses_left > 0:
+        best = -1
+        best_num = -1.0
+        best_den = 0.0
+        for j in range(N):
+            num = (xy + ax[j]) * (xy + ax[j])
+            den = yy + 2.0 * iy[j] + 1.0
+            if best < 0 or num * best_den > best_num * den:
+                best = j
+                best_num = num
+                best_den = den
+        xy += ax[best]
+        yy += 2.0 * iy[best] + 1.0
+        iy[best] += 1
+        pulses_left -= 1
+    out = [signs[j] * iy[j] for j in range(N)]
+    return out, float(sum(v * v for v in out))
+
+
+def alg_quant(X, N, K, spread, B, enc, gain):
+    """PVQ quantize + encode + resynthesize (reference: vq.c alg_quant)."""
+    exp_rotation(X, N, 1, B, K, spread)
+    iy, yy = op_pvq_search(X, K, N)
+    encode_pulses(iy, N, K, enc)
+    g = gain / math.sqrt(yy)
+    for j in range(N):
+        X[j] = g * iy[j]
+    exp_rotation(X, N, -1, B, K, spread)
+    return extract_collapse_mask(iy, N, B)
+
+
+def laplace_encode(enc, value: int, fs: int, decay: int) -> int:
+    """Dual of laplace_decode (reference: laplace.c ec_laplace_encode).
+    Returns the (possibly saturated) value actually encoded."""
+    fl = 0
+    val = int(value)
+    if val:
+        s = -1 if val < 0 else 0
+        val = (val + s) ^ s
+        fl = fs
+        fs = _laplace_get_freq1(fs, decay)
+        i = 1
+        while fs > 0 and i < val:
+            fs *= 2
+            fl += fs + 2 * LAPLACE_MINP
+            fs = (fs * decay) >> 15
+            i += 1
+        if not fs:
+            ndi_max = (32768 - fl + LAPLACE_MINP - 1) >> LAPLACE_LOG_MINP
+            ndi_max = (ndi_max - s) >> 1
+            di = min(val - i, ndi_max - 1)
+            fl += (2 * di + 1 + s) * LAPLACE_MINP
+            fs = min(LAPLACE_MINP, 32768 - fl)
+            value = (i + di + s) ^ s
+        else:
+            fs += LAPLACE_MINP
+            fl += fs & ~s
+    enc.encode_bin(fl, fl + fs, 15)
+    return int(value)
+
+
 def renormalise_vector(X, N, gain):
     E = EPSILON + float(np.sum(X[:N] * X[:N]))
     g = gain / math.sqrt(E)
@@ -748,9 +867,12 @@ class BandCtx:
     intensity: int = 0
     spread: int = 0
     tf_change: int = 0
-    dec: RangeDecoder = None
+    dec: RangeDecoder = None   # RangeDecoder (decode) or RangeEncoder
     remaining_bits: int = 0
     seed: int = 0
+    encode: int = 0
+    bandE: object = None        # [C, nbEBands] band energies (encode side)
+    disable_inv: int = 1
 
 
 @dataclass
@@ -761,6 +883,25 @@ class SplitCtx:
     delta: int = 0
     itheta: int = 0
     qalloc: int = 0
+
+
+def _stereo_split(X, Y, N):
+    s = math.sqrt(0.5)
+    for j in range(N):
+        l = s * X[j]
+        r = s * Y[j]
+        X[j] = l + r
+        Y[j] = r - l
+
+
+def _intensity_stereo(mode, X, Y, bandE, bandID, N):
+    left = float(bandE[0][bandID])
+    right = float(bandE[1][bandID])
+    norm = EPSILON + math.sqrt(EPSILON + left * left + right * right)
+    a1 = left / norm
+    a2 = right / norm
+    for j in range(N):
+        X[j] = a1 * X[j] + a2 * Y[j]
 
 
 def compute_theta(ctx: BandCtx, X, Y, N, b, B, B0, LM, stereo, fill):
@@ -778,41 +919,85 @@ def compute_theta(ctx: BandCtx, X, Y, N, b, B, B0, LM, stereo, fill):
         qn = 1
     itheta = 0
     inv = 0
+    if ctx.encode:
+        # stereo_itheta (vq.c): angle between the two halves/channels
+        emid = 1e-15 + float(np.dot(X[:N], X[:N]))
+        eside = 1e-15 + float(np.dot(Y[:N], Y[:N]))
+        itheta = int(math.floor(0.5 + 16384 * 0.63662 * math.atan2(
+            math.sqrt(eside), math.sqrt(emid))))
     tell = dec.tell_frac()
     if qn != 1:
+        if ctx.encode:
+            itheta = (itheta * qn + 8192) >> 14
         if stereo and N > 2:
             p0 = 3
             x0 = qn // 2
             ft = p0 * (x0 + 1) + x0
-            fs = dec.decode(ft)
-            if fs < (x0 + 1) * p0:
-                x = fs // p0
+            if ctx.encode:
+                x = itheta
+                dec.encode(
+                    p0 * x if x <= x0 else (x - 1 - x0) + (x0 + 1) * p0,
+                    p0 * (x + 1) if x <= x0 else (x - x0) + (x0 + 1) * p0,
+                    ft,
+                )
             else:
-                x = x0 + 1 + (fs - (x0 + 1) * p0)
-            dec.update(
-                p0 * x if x <= x0 else (x - 1 - x0) + (x0 + 1) * p0,
-                p0 * (x + 1) if x <= x0 else (x - x0) + (x0 + 1) * p0,
-                ft,
-            )
+                fs = dec.decode(ft)
+                if fs < (x0 + 1) * p0:
+                    x = fs // p0
+                else:
+                    x = x0 + 1 + (fs - (x0 + 1) * p0)
+                dec.update(
+                    p0 * x if x <= x0 else (x - 1 - x0) + (x0 + 1) * p0,
+                    p0 * (x + 1) if x <= x0 else (x - x0) + (x0 + 1) * p0,
+                    ft,
+                )
             itheta = x
         elif B0 > 1 or stereo:
-            itheta = dec.dec_uint(qn + 1)
+            if ctx.encode:
+                dec.enc_uint(itheta, qn + 1)
+            else:
+                itheta = dec.dec_uint(qn + 1)
         else:
             ft = ((qn >> 1) + 1) * ((qn >> 1) + 1)
-            fm = dec.decode(ft)
-            if fm < ((qn >> 1) * ((qn >> 1) + 1) >> 1):
-                itheta = (math.isqrt(8 * fm + 1) - 1) >> 1
-                fs = itheta + 1
-                fl = itheta * (itheta + 1) >> 1
+            if ctx.encode:
+                if itheta <= (qn >> 1):
+                    fs = itheta + 1
+                    fl = itheta * (itheta + 1) >> 1
+                else:
+                    fs = qn + 1 - itheta
+                    fl = ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1)
+                dec.encode(fl, fl + fs, ft)
             else:
-                itheta = (2 * (qn + 1) - math.isqrt(8 * (ft - fm - 1) + 1)) >> 1
-                fs = qn + 1 - itheta
-                fl = ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1)
-            dec.update(fl, fl + fs, ft)
+                fm = dec.decode(ft)
+                if fm < ((qn >> 1) * ((qn >> 1) + 1) >> 1):
+                    itheta = (math.isqrt(8 * fm + 1) - 1) >> 1
+                    fs = itheta + 1
+                    fl = itheta * (itheta + 1) >> 1
+                else:
+                    itheta = (2 * (qn + 1)
+                              - math.isqrt(8 * (ft - fm - 1) + 1)) >> 1
+                    fs = qn + 1 - itheta
+                    fl = ft - ((qn + 1 - itheta) * (qn + 2 - itheta) >> 1)
+                dec.update(fl, fl + fs, ft)
         itheta = itheta * 16384 // qn
+        if ctx.encode and stereo:
+            if itheta == 0:
+                _intensity_stereo(ctx.mode, X, Y, ctx.bandE, i, N)
+            else:
+                _stereo_split(X, Y, N)
     elif stereo:
+        if ctx.encode:
+            inv = 1 if (itheta > 8192 and not ctx.disable_inv) else 0
+            if inv:
+                Y[:N] = -Y[:N]
+            _intensity_stereo(ctx.mode, X, Y, ctx.bandE, i, N)
         if b > 2 << BITRES and ctx.remaining_bits > 2 << BITRES:
-            inv = dec.dec_bit_logp(2)
+            if ctx.encode:
+                dec.enc_bit_logp(inv, 2)
+            else:
+                inv = dec.dec_bit_logp(2)
+        else:
+            inv = 0
         itheta = 0
     qalloc = dec.tell_frac() - tell
     b -= qalloc
@@ -845,7 +1030,11 @@ def quant_band_n1(ctx: BandCtx, X, Y, b, lowband_out):
     for x in ([X, Y] if stereo else [X]):
         sign = 0
         if ctx.remaining_bits >= 1 << BITRES:
-            sign = dec.dec_bits(1)
+            if ctx.encode:
+                sign = 1 if x[0] < 0 else 0
+                dec.enc_bits(sign, 1)
+            else:
+                sign = dec.dec_bits(1)
             ctx.remaining_bits -= 1 << BITRES
             b -= 1 << BITRES
         x[0] = -1.0 if sign else 1.0
@@ -915,7 +1104,10 @@ def quant_partition(ctx: BandCtx, X, N, b, B, lowband, LM, gain, fill):
             ctx.remaining_bits -= curr_bits
         if q != 0:
             K = get_pulses(q)
-            cm = alg_unquant(X, N, K, ctx.spread, B, dec, gain)
+            if ctx.encode:
+                cm = alg_quant(X, N, K, ctx.spread, B, dec, gain)
+            else:
+                cm = alg_unquant(X, N, K, ctx.spread, B, dec, gain)
         else:
             cm_mask = (1 << B) - 1
             fill &= cm_mask
@@ -969,7 +1161,8 @@ def quant_band(
 
     fill = int(fill)
     for k in range(recombine):
-        _haar1_lowband = lowband
+        if ctx.encode:
+            _haar1(X, N >> k, 1 << k)
         if lowband is not None:
             _haar1(lowband, N >> k, 1 << k)
         fill = (
@@ -980,6 +1173,8 @@ def quant_band(
     N_B <<= recombine
 
     while (N_B & 1) == 0 and tf_change < 0:
+        if ctx.encode:
+            _haar1(X, N_B, B)
         if lowband is not None:
             _haar1(lowband, N_B, B)
         fill |= fill << B
@@ -994,10 +1189,15 @@ def quant_band(
         _deinterleave_hadamard(
             lowband, N_B >> recombine, B0 << recombine, longBlocks
         )
+    if B0 > 1 and ctx.encode:
+        _deinterleave_hadamard(
+            X, N_B >> recombine, B0 << recombine, longBlocks
+        )
 
     cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill)
 
-    # Resynthesis (decoder always resynthesizes).
+    # Resynthesis (decoder always resynthesizes; the encoder does too,
+    # so the norm folding buffers match the decoder's).
     if B0 > 1:
         _interleave_hadamard(X, N_B >> recombine, B0 << recombine, longBlocks)
     N_B = N_B0
@@ -1047,7 +1247,11 @@ def quant_band_stereo(
         y2 = X if c else Y
         sign = 0
         if sbits:
-            sign = dec.dec_bits(1)
+            if ctx.encode:
+                sign = 1 if (x2[0] * y2[1] - x2[1] * y2[0]) < 0 else 0
+                dec.enc_bits(sign, 1)
+            else:
+                sign = dec.dec_bits(1)
         sign = 1 - 2 * sign
         cm = quant_band(
             ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
@@ -1122,7 +1326,7 @@ def _stereo_merge(X, Y, mid, N):
 def quant_all_bands(
     mode, start, end, X_, Y_, collapse_masks, pulses, shortBlocks, spread,
     dual_stereo, intensity, tf_res, total_bits, balance, dec, LM,
-    codedBands, seed,
+    codedBands, seed, encode=0, bandE=None,
 ):
     eBands = mode.eBands
     M = 1 << LM
@@ -1137,7 +1341,7 @@ def quant_all_bands(
     lowband_offset = 0
     update_lowband = True
     ctx = BandCtx(mode=mode, intensity=intensity, spread=spread, dec=dec,
-                  seed=seed)
+                  seed=seed, encode=encode, bandE=bandE)
 
     for i in range(start, end):
         ctx.i = i

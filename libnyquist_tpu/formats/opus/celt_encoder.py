@@ -1,0 +1,433 @@
+"""CELT encoder (mono/stereo, long blocks) — the dual of celt.py.
+
+The reference fork declares encode_opus_to_disk but ships no encoder
+implementation (Encoders.h:40; the opus encoder objects are compiled but
+unreachable). This module implements a working CELT-only encoder from
+the decoder's spec (the decoder IS the normative half of CELT): forward
+MDCT (reference: celt/mdct.c:116-217 clt_mdct_forward), band energies +
+intra coarse/fine energy coding (quant_bands.c duals of our
+unquant_*), PVQ search + CWRS index encoding (vq.c alg_quant,
+cwrs.c icwrs), and the same allocation/band-recursion control flow as
+celt.py with every range-decoder call replaced by its encoder dual.
+
+Deliberate encoder choices (all spec-valid): long blocks only, intra
+energy every frame, no postfilter, spread=NORMAL, no dynalloc boosts,
+trim=5, tf off. Quality is tuned for correctness-first round-trips, not
+for matching libopus rate-distortion decisions.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .celt import (
+    BITRES,
+    COMBFILTER_MINPERIOD,
+    LOG2_FRAC_TABLE,
+    SPREAD_ICDF,
+    TRIM_ICDF,
+    TF_SELECT_TABLE,
+    bits2pulses,
+    cdiv,
+    compute_allocation,
+    exp_rotation,
+    pvq_u,
+    pvq_v,
+)
+from .celt_tables import mode48000
+from .range_coder import RangeEncoder, ilog
+
+_EMEANS_SCALE = 6.0  # eMeans are in Q? (float mode: direct)
+
+
+def celt_window(overlap: int) -> np.ndarray:
+    i = np.arange(overlap, dtype=np.float64)
+    return np.sin(0.5 * np.pi * np.sin(0.5 * np.pi * (i + 0.5) / overlap) ** 2)
+
+
+def mdct_forward(x: np.ndarray, N: int, overlap: int) -> np.ndarray:
+    """NumPy port of clt_mdct_forward (mdct.c:116-217), B=1, stride 1.
+
+    Args:
+      x: [..., N2 + overlap] input window (frame advance is N2).
+      N: transform size (l->n >> shift); N2 = N//2 output bins.
+    Returns [..., N2] spectrum.
+    """
+    N2, N4 = N // 2, N // 4
+    w = celt_window(overlap)
+    t = np.cos(2 * np.pi * np.arange(N4 + 1, dtype=np.float64) / N)
+    sine = 2 * np.pi * 0.125 / N
+    x = x.astype(np.float64)
+    batch = x.shape[:-1]
+    half = overlap // 2
+    q = (overlap + 3) >> 2
+
+    f_re = np.zeros(batch + (N4,), np.float64)
+    f_im = np.zeros(batch + (N4,), np.float64)
+    i1 = np.arange(q)
+    # region 1: windowed fold of the tail into the head
+    xp1 = half + 2 * i1
+    xp2 = N2 - 1 + half - 2 * i1
+    f_re[..., :q] = (w[half - 1 - 2 * i1] * x[..., xp1 + N2]
+                     + w[half + 2 * i1] * x[..., xp2])
+    f_im[..., :q] = (w[half + 2 * i1] * x[..., xp1]
+                     - w[half - 1 - 2 * i1] * x[..., xp2 - N2])
+    # region 2: pass-through
+    i2 = np.arange(q, N4 - q)
+    f_re[..., q : N4 - q] = x[..., N2 - 1 + half - 2 * i2]
+    f_im[..., q : N4 - q] = x[..., half + 2 * i2]
+    # region 3: windowed fold of the head
+    i3 = np.arange(N4 - q, N4)
+    j3 = i3 - (N4 - q)
+    xp1 = half + 2 * i3
+    xp2 = N2 - 1 + half - 2 * i3
+    f_re[..., N4 - q :] = (-w[2 * j3] * x[..., xp1 - N2]
+                           + w[overlap - 1 - 2 * j3] * x[..., xp2])
+    f_im[..., N4 - q :] = (w[overlap - 1 - 2 * j3] * x[..., xp1]
+                           + w[2 * j3] * x[..., xp2 + N2])
+
+    # pre-rotation
+    ti = t[:N4]
+    tn = t[N4:0:-1]
+    yr = -f_re * ti - f_im * tn
+    yi = -f_im * ti + f_re * tn
+    fr = yr + yi * sine
+    fi = yi - yr * sine
+
+    # forward N/4 complex FFT, downscaled by 4/N (kiss convention)
+    z = np.fft.fft(fr + 1j * fi, axis=-1) / N4
+    zr, zi = z.real, z.imag
+
+    # post-rotation
+    yr = zi * tn + zr * ti
+    yi = zr * tn - zi * ti
+    out = np.zeros(batch + (N2,), np.float64)
+    out[..., 0::2] = yr - yi * sine
+    out[..., 1::2] = (yi + yr * sine)[..., ::-1]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Energy envelope encoding (duals of celt.py unquant_* / quant_bands.c)
+# ---------------------------------------------------------------------------
+
+from .celt import (  # noqa: E402
+    BETA_INTRA,
+    MAX_FINE_BITS,
+    SMALL_ENERGY_ICDF,
+    SPREAD_NORMAL,
+    init_caps,
+    laplace_encode,
+    quant_all_bands,
+)
+
+
+def quant_coarse_energy(mode, start, end, bandLogE, oldEBands, enc, C, LM,
+                        budget):
+    """Intra-only coarse energy encode (quant_bands.c quant_coarse_energy)."""
+    prob_model = mode.e_prob_model[LM][1]  # intra
+    coef, beta = 0.0, BETA_INTRA
+    prev = [0.0, 0.0]
+    error = np.zeros((C, mode.nbEBands))
+    for i in range(start, end):
+        for c in range(C):
+            x = float(bandLogE[c][i])
+            old = max(-9.0, float(oldEBands[c, i]))
+            f = x - coef * old - prev[c]
+            qi = int(math.floor(0.5 + f))
+            tell = enc.tell()
+            bits_left = budget - tell - 3 * C * (end - i)
+            if i != start and bits_left < 30:
+                qi = min(qi, 1)
+                qi = max(qi, -1)
+            if budget - tell >= 15:
+                pi = 2 * min(i, 20)
+                qi = laplace_encode(
+                    enc, qi,
+                    int(prob_model[pi]) << 7, int(prob_model[pi + 1]) << 6,
+                )
+            elif budget - tell >= 2:
+                qi = max(-1, min(qi, 1))
+                enc.enc_icdf(2 * qi ^ -(1 if qi < 0 else 0),
+                             SMALL_ENERGY_ICDF, 2)
+            elif budget - tell >= 1:
+                qi = min(0, qi)
+                enc.enc_bit_logp(-qi, 1)
+            else:
+                qi = -1
+            error[c][i] = f - qi
+            q = float(qi)
+            tmp = coef * old + prev[c] + q
+            oldEBands[c, i] = tmp
+            prev[c] = prev[c] + q - beta * q
+    return error
+
+
+def quant_fine_energy(mode, start, end, oldEBands, error, fine_quant, enc, C):
+    for i in range(start, end):
+        if fine_quant[i] <= 0:
+            continue
+        frac = 1 << fine_quant[i]
+        for c in range(C):
+            q2 = int(math.floor((float(error[c][i]) + 0.5) * frac))
+            q2 = max(0, min(frac - 1, q2))
+            enc.enc_bits(q2, fine_quant[i])
+            offset = (q2 + 0.5) * (1 << (14 - fine_quant[i])) / 16384.0 - 0.5
+            oldEBands[c, i] += offset
+            error[c][i] -= offset
+
+
+def quant_energy_finalise(mode, start, end, oldEBands, error, fine_quant,
+                          fine_priority, bits_left, enc, C):
+    for prio in range(2):
+        i = start
+        while i < end and bits_left >= C:
+            if fine_quant[i] >= MAX_FINE_BITS or fine_priority[i] != prio:
+                i += 1
+                continue
+            for c in range(C):
+                q2 = 0 if error[c][i] < 0 else 1
+                enc.enc_bits(q2, 1)
+                offset = (q2 - 0.5) * (1 << (14 - fine_quant[i] - 1)) / 16384.0
+                oldEBands[c, i] += offset
+                bits_left -= 1
+            i += 1
+
+
+def tf_encode_zeros(start, end, isTransient, LM, enc):
+    """tf_encode with all-zero tf_res (celt_encoder.c tf_encode)."""
+    budget = enc.storage * 8
+    tell = enc.tell()
+    logp = 2 if isTransient else 4
+    tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+    budget -= tf_select_rsv
+    curr = 0
+    for i in range(start, end):
+        if tell + logp <= budget:
+            enc.enc_bit_logp(0 ^ curr, logp)
+            tell = enc.tell()
+        logp = 4 if isTransient else 5
+    # tf_changed stays 0; TF_SELECT_TABLE rows 0/2 differ for some LM,
+    # in which case a tf_select bit is written (0)
+    base = 4 * (1 if isTransient else 0)
+    if tf_select_rsv and (
+        TF_SELECT_TABLE[LM][base + 0] != TF_SELECT_TABLE[LM][base + 2]
+    ):
+        enc.enc_bit_logp(0, 1)
+
+
+def compute_band_energies(mode, freq, C, M):
+    """bands.c compute_band_energies: bandE[c][i] = ||freq band||."""
+    eBands = mode.eBands
+    bandE = np.zeros((C, mode.nbEBands))
+    for c in range(C):
+        for i in range(mode.nbEBands):
+            j0, j1 = M * int(eBands[i]), M * int(eBands[i + 1])
+            bandE[c][i] = math.sqrt(
+                1e-27 + float(np.dot(freq[c][j0:j1], freq[c][j0:j1]))
+            )
+    return bandE
+
+
+def normalise_bands(mode, freq, bandE, C, M):
+    eBands = mode.eBands
+    X = np.zeros((C, M * int(eBands[mode.nbEBands])))
+    for c in range(C):
+        for i in range(mode.nbEBands):
+            j0, j1 = M * int(eBands[i]), M * int(eBands[i + 1])
+            g = 1.0 / (1e-27 + bandE[c][i])
+            X[c][j0:j1] = freq[c][j0:j1] * g
+    return X
+
+
+class CeltEncoderState:
+    def __init__(self, channels: int):
+        mode = mode48000()
+        self.channels = channels
+        self.start = 0
+        self.end = mode.effEBands
+        self.oldEBands = np.zeros((2, mode.nbEBands))
+        self.rng = 0
+        self.overlap_mem = np.zeros((channels, mode.overlap))
+
+
+def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
+                      nbytes: int) -> bytes:
+    """Encode one 20 ms CELT frame (long blocks, intra energy).
+
+    Args:
+      pcm_win: [C, N + overlap] input windows (frame advance N), scaled
+        to the CELT signal domain (+-32768 * gain handled by caller).
+      nbytes: target packet payload size (CBR, excluding the TOC byte).
+    Returns the compressed frame payload.
+    """
+    mode = mode48000()
+    C = st.channels
+    LM = 3
+    M = 1 << LM
+    N = M * mode.shortMdctSize
+    eBands = mode.eBands
+    nbEBands = mode.nbEBands
+
+    enc = RangeEncoder(nbytes)
+    total_bits = nbytes * 8
+
+    freq = np.stack([
+        mdct_forward(pcm_win[c], 2 * N, mode.overlap) for c in range(C)
+    ])
+    effEnd = min(st.end, mode.effEBands)
+    freq[:, M * int(eBands[effEnd]):] = 0.0
+
+    bandE = compute_band_energies(mode, freq, C, M)
+    X = normalise_bands(mode, freq, bandE, C, M)
+    bandLogE = np.log2(np.maximum(bandE, 1e-27)) - np.asarray(
+        mode.eMeans[:nbEBands]
+    )
+
+    tell = enc.tell()
+    # silence flag
+    if tell + 15 <= total_bits:
+        enc.enc_bit_logp(0, 15)
+    tell = enc.tell()
+    # postfilter (start == 0): off
+    if st.start == 0 and tell + 16 <= total_bits:
+        enc.enc_bit_logp(0, 1)
+        tell = enc.tell()
+    # transient: long blocks only
+    isTransient = 0
+    if LM > 0 and tell + 3 <= total_bits:
+        enc.enc_bit_logp(0, 3)
+        tell = enc.tell()
+    shortBlocks = 0
+    # intra energy
+    if tell + 3 <= total_bits:
+        enc.enc_bit_logp(1, 3)
+    error = quant_coarse_energy(
+        mode, st.start, st.end, bandLogE, st.oldEBands, enc, C, LM,
+        total_bits,
+    )
+    tf_encode_zeros(st.start, st.end, isTransient, LM, enc)
+
+    tell = enc.tell()
+    if tell + 4 <= total_bits:
+        enc.enc_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
+
+    cap = init_caps(mode, LM, C)
+    offsets = [0] * nbEBands
+    dynalloc_logp = 6
+    total_bits_q3 = total_bits << BITRES
+    tell_q3 = enc.tell_frac()
+    for i in range(st.start, st.end):
+        width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
+        quanta = min(width << BITRES, max(6 << BITRES, width))
+        dynalloc_loop_logp = dynalloc_logp
+        boost = 0
+        # encoder choice: no boosts; a single 0 flag when budget allows
+        if (tell_q3 + (dynalloc_loop_logp << BITRES) < total_bits_q3
+                and boost < cap[i]):
+            enc.enc_bit_logp(0, dynalloc_loop_logp)
+            tell_q3 = enc.tell_frac()
+        offsets[i] = boost
+
+    alloc_trim = 5
+    if tell_q3 + (6 << BITRES) <= total_bits_q3:
+        enc.enc_icdf(alloc_trim, TRIM_ICDF, 7)
+        tell_q3 = enc.tell_frac()
+
+    bits = (nbytes * 8 << BITRES) - enc.tell_frac() - 1
+    anti_collapse_rsv = 0
+    (codedBands, balance, pulses, fine_quant, fine_priority,
+     intensity, dual_stereo) = compute_allocation(
+        mode, st.start, st.end, offsets, cap, alloc_trim, bits, C, LM, enc,
+        encode=True, chosen_intensity=st.end, chosen_dual=0,
+    )
+
+    quant_fine_energy(
+        mode, st.start, st.end, st.oldEBands, error, fine_quant, enc, C
+    )
+
+    collapse_masks = [0] * (C * nbEBands)
+    Xflat = np.concatenate([X[c] for c in range(C)])
+    Xv = Xflat[: M * int(eBands[nbEBands])]
+    Yv = Xflat[M * int(eBands[nbEBands]):] if C == 2 else None
+    st.rng = quant_all_bands(
+        mode, st.start, st.end, Xv, Yv, collapse_masks, pulses,
+        shortBlocks, SPREAD_NORMAL, dual_stereo, intensity, [0] * nbEBands,
+        nbytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, LM,
+        codedBands, st.rng, encode=1, bandE=bandE,
+    )
+
+    quant_energy_finalise(
+        mode, st.start, st.end, st.oldEBands, error, fine_quant,
+        fine_priority, nbytes * 8 - enc.tell(), enc, C,
+    )
+
+    data = enc.done()
+    if enc.error:
+        raise RuntimeError("range encoder overflow")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# Ogg Opus file encoding (RFC 7845 mux around the CELT frames)
+# ---------------------------------------------------------------------------
+
+PREEMPH_COEF = 0.85000610351562500
+FRAME = 960            # 20 ms at 48 kHz
+PRESKIP = 312
+
+
+def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
+                    bitrate_kbps: int = 96) -> bytes:
+    """Encode interleaved float32 [-1, 1] PCM to an Ogg Opus byte string.
+
+    CELT-only fullband 20 ms frames, CBR. Input must be 48 kHz (callers
+    resample first — ops/src.py); mono or stereo.
+    """
+    import struct
+
+    from ..ogg import write_page
+
+    if sample_rate != 48000:
+        raise ValueError("opus encoding requires 48 kHz input (resample)")
+    if channels not in (1, 2):
+        raise ValueError("opus encoding supports mono or stereo")
+
+    pcm = np.asarray(samples, np.float64).reshape(-1, channels).T  # [C, S]
+    S = pcm.shape[1]
+    # preskip priming + frame padding
+    lead = np.zeros((channels, PRESKIP), np.float64)
+    pcm = np.concatenate([lead, pcm], axis=1)
+    F = -(-pcm.shape[1] // FRAME)
+    pad = F * FRAME + mode48000().overlap - pcm.shape[1]
+    pcm = np.concatenate([pcm, np.zeros((channels, pad))], axis=1)
+
+    # celt_preemphasis (celt.c): x'[n] = SIG_SCALE*(x[n] - c*x[n-1])
+    pre = np.empty_like(pcm)
+    pre[:, 0] = 32768.0 * pcm[:, 0]
+    pre[:, 1:] = 32768.0 * (pcm[:, 1:] - PREEMPH_COEF * pcm[:, :-1])
+
+    nbytes = max(20, int(bitrate_kbps * 1000 * 0.02 / 8))
+    st = CeltEncoderState(channels)
+    toc = (31 << 3) | ((1 if channels == 2 else 0) << 2)  # CELT FB 20ms
+    packets = []
+    overlap = mode48000().overlap
+    for k in range(F):
+        win = pre[:, k * FRAME : k * FRAME + FRAME + overlap]
+        packets.append(bytes([toc]) + celt_encode_frame(st, win, nbytes))
+
+    head = (b"OpusHead" + bytes([1, channels])
+            + struct.pack("<HIh", PRESKIP, 48000, 0) + bytes([0]))
+    tags = (b"OpusTags" + struct.pack("<I", 14) + b"libnyquist_tpu"
+            + struct.pack("<I", 0))
+    serial = 0x4C4E5154
+    pages = [write_page(head, 0, serial, 0, bos=True),
+             write_page(tags, 0, serial, 1)]
+    total = PRESKIP + S
+    for i, pkt in enumerate(packets):
+        granule = min(FRAME * (i + 1), total)
+        pages.append(write_page(pkt, granule, serial, 2 + i,
+                                eos=(i == len(packets) - 1)))
+    return b"".join(pages)

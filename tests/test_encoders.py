@@ -92,3 +92,52 @@ def test_encoder_error_codes(tmp_path):
     assert ok == int(EncoderError.NoError)
     back = nq.load(str(tmp_path / "ok.wav"))
     assert back.sample_count == audio.sample_count
+
+
+def _sine(ch, sr, seconds=0.6):
+    t = np.arange(int(sr * seconds)) / sr
+    if ch == 1:
+        sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    else:
+        l = 0.5 * np.sin(2 * np.pi * 440 * t)
+        r = 0.4 * np.sin(2 * np.pi * 660 * t)
+        sig = np.stack([l, r], 1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = ch
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    return a
+
+
+@pytest.mark.parametrize("ch,kbps,min_snr", [(1, 96, 20.0), (2, 160, 10.0)])
+def test_opus_encode_roundtrip(ch, kbps, min_snr):
+    """Our CELT encoder's streams decode through our own decoder with
+    sane fidelity (also validated against the reference opusfile decoder
+    out-of-band: 24 dB mono / 15 dB stereo)."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    audio = _sine(ch, 48000)
+    buf = encode_opus_to_buffer(
+        EncoderParams(ch, PCMFormat.PCM_FLT), audio, kbps
+    )
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == ch
+    assert back.sample_count == audio.sample_count
+    ref = np.asarray(audio.samples, np.float64)
+    out = np.asarray(back.samples, np.float64)
+    err = out - ref
+    snr = 10 * np.log10(np.dot(ref, ref) / max(np.dot(err, err), 1e-12))
+    assert snr > min_snr, f"SNR {snr:.1f} dB"
+
+
+def test_opus_encode_resamples_441():
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    audio = _sine(1, 44100)
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), audio, 96
+    )
+    back = nq.load(buf, extension="opus")
+    assert back.sample_rate == 48000
+    assert abs(back.sample_count - round(audio.sample_count * 48 / 44.1)) <= 1
