@@ -920,9 +920,16 @@ def compute_theta(ctx: BandCtx, X, Y, N, b, B, B0, LM, stereo, fill):
     itheta = 0
     inv = 0
     if ctx.encode:
-        # stereo_itheta (vq.c): angle between the two halves/channels
-        emid = 1e-15 + float(np.dot(X[:N], X[:N]))
-        eside = 1e-15 + float(np.dot(Y[:N], Y[:N]))
+        # stereo_itheta (vq.c): mid/side angle for stereo, half/half for
+        # a mono split
+        if stereo:
+            m = 0.5 * (X[:N] + Y[:N])
+            sd = 0.5 * (X[:N] - Y[:N])
+            emid = 1e-15 + float(np.dot(m, m))
+            eside = 1e-15 + float(np.dot(sd, sd))
+        else:
+            emid = 1e-15 + float(np.dot(X[:N], X[:N]))
+            eside = 1e-15 + float(np.dot(Y[:N], Y[:N]))
         itheta = int(math.floor(0.5 + 16384 * 0.63662 * math.atan2(
             math.sqrt(eside), math.sqrt(emid))))
     tell = dec.tell_frac()
