@@ -65,10 +65,13 @@ def main(argv=None) -> int:
         return 1
 
     if args.save:
-        err = encode_wav_to_disk(
-            EncoderParams(audio.channel_count, PCMFormat.PCM_16),
-            audio, args.save,
-        )
+        params = EncoderParams(audio.channel_count, PCMFormat.PCM_16)
+        if args.save.lower().endswith(".opus"):
+            from libnyquist_tpu.encoders import encode_opus_to_disk
+
+            err = encode_opus_to_disk(params, audio, args.save)
+        else:
+            err = encode_wav_to_disk(params, audio, args.save)
         if err:
             print(f"save failed: {err}")
             return 1

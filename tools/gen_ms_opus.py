@@ -22,7 +22,7 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-from libnyquist_tpu.formats.ogg import _ogg_crc, demux  # noqa: E402
+from libnyquist_tpu.formats.ogg import demux, write_page  # noqa: E402
 
 N_PACKETS = 150
 SERIAL = 0x52414348
@@ -42,20 +42,7 @@ def self_delimit(pkt: bytes) -> bytes:
 
 
 def ogg_page(packet: bytes, granule: int, seq: int, bos=False, eos=False):
-    lacing = []
-    n = len(packet)
-    while True:
-        lacing.append(min(n, 255))
-        n -= lacing[-1]
-        if lacing[-1] < 255:
-            break
-    header = struct.pack(
-        "<4sBBqIIIB", b"OggS", 0, (2 if bos else 0) | (4 if eos else 0),
-        granule, SERIAL, seq, 0, len(lacing),
-    ) + bytes(lacing)
-    page = header + packet
-    crc = _ogg_crc(page)
-    return page[:22] + struct.pack("<I", crc) + page[26:]
+    return write_page(packet, granule, SERIAL, seq, bos=bos, eos=eos)
 
 
 def main():
