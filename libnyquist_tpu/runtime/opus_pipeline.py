@@ -8,8 +8,8 @@ call — cuda/mdct_cuda.cu:505-556; SURVEY.md §6 identifies that as the
 bottleneck):
 
   [F, N2] spectra --MXU matmul--> frame contributions --shifted add-->
-  raw synthesis --comb scan--> postfiltered --deemph (Toeplitz+scan)-->
-  PCM in [-1, 1]
+  raw synthesis --comb (Pallas kernel on TPU / scan on CPU)-->
+  postfiltered --deemph (Toeplitz matmul + carry)--> PCM in [-1, 1]
 
 Streams are batched along a leading axis; multi-chip scaling shards that
 axis (pure data parallel, no collectives — parallel/mesh.py).
