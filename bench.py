@@ -53,6 +53,12 @@ def load_case0_infos(n_seconds=2.0):
 
 def main():
     import jax
+
+    try:  # persistent compile cache cuts repeat-run latency
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from libnyquist_tpu.formats.opus.celt_tables import mode48000

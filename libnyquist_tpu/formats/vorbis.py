@@ -637,6 +637,7 @@ def _decode_stream_packets(st):
     prev_n = 0
     total = 0
     end_granule = st.last_granule
+    staged = []
     for pkt in packets[3:]:
         if not pkt.data:
             continue
@@ -688,16 +689,42 @@ def _decode_stream_packets(st):
             res_out[mag] = M2
             res_out[ang] = A2
 
-        td = np.zeros((channels, n), np.float64)
+        specs = np.zeros((channels, n2), np.float64)
         for c in range(channels):
             if nonzero[c]:
                 fl = floors[mapping.submap_floor[mapping.mux[c]]]
                 curve = fl.compute(floors_out[c], n2)
-                spec = res_out[c] * curve
-                td[c] = imdct_apply(spec, n)
+                specs[c] = res_out[c] * curve
 
+        staged.append((specs, n, blockflag, long_prev, long_next,
+                       list(nonzero)))
+
+    # Batched IMDCT: one matmul per blocksize over every staged spectrum
+    # (the per-packet matvec re-reads the n2 x n matrix each call and
+    # dominates decode time; batching amortizes it on BLAS).
+    td_all = {}
+    for bs in set(item[1] for item in staged):
+        rows = []
+        index = []
+        for k, (specs, n, *_rest) in enumerate(staged):
+            if n != bs:
+                continue
+            for c in range(channels):
+                rows.append(specs[c])
+                index.append((k, c))
+        if rows:
+            out_rows = imdct_apply(np.stack(rows), bs)
+            for (k, c), row in zip(index, out_rows):
+                td_all.setdefault(k, np.zeros((channels, bs)))[c] = row
+
+    for k, (specs, n, blockflag, long_prev, long_next, nz_flags) in             enumerate(staged):
+        n2 = n // 2
+        td = td_all.get(k, np.zeros((channels, n)))
+        for c in range(channels):
+            if not nz_flags[c]:
+                td[c] = 0.0
         w = _lap_window(n, blocksizes, blockflag, long_prev, long_next)
-        td *= w[None, :]
+        td = td * w[None, :]
 
         # Lapping (spec §1.3.2/4.3.9): emit from the previous window's
         # center to this window's center (prev_n/4 + n/4 samples); the
