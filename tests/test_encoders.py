@@ -141,3 +141,24 @@ def test_opus_encode_resamples_441():
     back = nq.load(buf, extension="opus")
     assert back.sample_rate == 48000
     assert abs(back.sample_count - round(audio.sample_count * 48 / 44.1)) <= 1
+
+
+def test_opus_encode_edges():
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    # silence
+    a = AudioData()
+    a.samples = np.zeros(4800, np.float32)
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(EncoderParams(1, PCMFormat.PCM_FLT), a, 64)
+    back = nq.load(buf, extension="opus")
+    assert back.sample_count == 4800
+    assert np.abs(back.samples).max() < 1e-6
+
+    # shorter than one frame
+    a.samples = np.full(100, 0.3, np.float32)
+    buf = encode_opus_to_buffer(EncoderParams(1, PCMFormat.PCM_FLT), a, 64)
+    back = nq.load(buf, extension="opus")
+    assert back.sample_count == 100
