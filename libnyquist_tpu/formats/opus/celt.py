@@ -1330,6 +1330,71 @@ def _stereo_merge(X, Y, mid, N):
         Y[j] = rgain * (l + r)
 
 
+
+def _quant_all_bands_native(mode, start, end, X_, Y_, collapse_masks, pulses,
+                            shortBlocks, spread, dual_stereo, intensity,
+                            tf_res, total_bits, balance, dec, LM,
+                            codedBands, seed):
+    """Dispatch decode to the native band loop (native/celt_bands.c), a C
+    translation of the Python below. Returns the new seed, or None if the
+    native library is unavailable (pure-Python fallback runs instead)."""
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_CELT"):
+        return None
+    from ...runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "celt_bands_decode"):
+        return None
+    import ctypes
+
+    M = 1 << LM
+    C = 2 if Y_ is not None else 1
+    N_full = M * int(mode.eBands[mode.nbEBands])
+    X = np.zeros(C * N_full, np.float64)
+    X[:N_full] = X_[:N_full]
+    if C == 2:
+        X[N_full:] = Y_[:N_full]
+    masks = np.zeros(C * mode.nbEBands, np.uint8)
+    masks[: len(collapse_masks)] = collapse_masks
+    ec = np.array(
+        [dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+         dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext, dec.error],
+        np.int64,
+    )
+    eb = np.ascontiguousarray(mode.eBands, np.int16)
+    ln = np.ascontiguousarray(mode.logN, np.int16)
+    ci = np.ascontiguousarray(mode.cache_index, np.int16)
+    cb = np.ascontiguousarray(mode.cache_bits, np.uint8).tobytes()
+    tf = np.ascontiguousarray(tf_res, np.int32)
+    pl = np.ascontiguousarray(pulses, np.int32)
+    new_seed = L.celt_bands_decode(
+        dec.buf, dec.storage,
+        ec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), mode.nbEBands,
+        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cb,
+        int(start), int(end), int(shortBlocks), int(spread),
+        int(dual_stereo), int(intensity),
+        tf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(total_bits), int(balance),
+        pl.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), int(LM),
+        int(codedBands), int(seed) & 0xFFFFFFFF, C,
+        X.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        masks.ctypes.data_as(ctypes.c_char_p),
+    )
+    X_[:N_full] = X[:N_full]
+    if C == 2:
+        Y_[:N_full] = X[N_full:]
+    for i in range(C * mode.nbEBands):
+        collapse_masks[i] = int(masks[i])
+    (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+     dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
+     dec.error) = (int(v) for v in ec)
+    return int(new_seed) & 0xFFFFFFFF
+
+
 def quant_all_bands(
     mode, start, end, X_, Y_, collapse_masks, pulses, shortBlocks, spread,
     dual_stereo, intensity, tf_res, total_bits, balance, dec, LM,
@@ -1344,6 +1409,15 @@ def quant_all_bands(
     norm = np.zeros(norm_len, dtype=np.float64)
     norm2 = np.zeros(norm_len, dtype=np.float64) if C == 2 else norm
     scratch = np.zeros(M * int(eBands[mode.nbEBands]), dtype=np.float64)
+
+    if not encode:
+        native_seed = _quant_all_bands_native(
+            mode, start, end, X_, Y_, collapse_masks, pulses, shortBlocks,
+            spread, dual_stereo, intensity, tf_res, total_bits, balance,
+            dec, LM, codedBands, seed,
+        )
+        if native_seed is not None:
+            return native_seed
 
     lowband_offset = 0
     update_lowband = True

@@ -1,0 +1,1070 @@
+/* Native CELT band decoding: the host hot path of Opus decode.
+ *
+ * C translation of OUR Python implementation in formats/opus/celt.py
+ * (quant_all_bands + range decoder + PVQ/CWRS + theta splits), which is
+ * itself validated bit-exactly against reference goldens. The Python
+ * path remains the fallback and the spec; this file exists because the
+ * per-symbol entropy loops bound multi-stream host throughput
+ * (SURVEY.md §7 "host decode throughput").
+ *
+ * Float math is double precision in the same operation order as the
+ * Python, so outputs agree to ~1e-12.
+ */
+#include <stdint.h>
+#include <string.h>
+#include <math.h>
+
+/* ------------------------- range decoder ------------------------- */
+
+#define EC_SYM_BITS 8
+#define EC_CODE_BITS 32
+#define EC_SYM_MAX 255u
+#define EC_CODE_TOP (1u << 31)
+#define EC_CODE_BOT (EC_CODE_TOP >> EC_SYM_BITS)
+#define EC_CODE_EXTRA 7
+#define EC_UINT_BITS 8
+#define EC_WINDOW_SIZE 32
+#define BITRES 3
+
+typedef struct {
+    const uint8_t *buf;
+    uint32_t storage;
+    uint32_t offs, end_offs;
+    uint64_t end_window;
+    int nend_bits;
+    int nbits_total;
+    uint32_t rng, val, ext;
+    int rem;
+    int error;
+} ecdec;
+
+static int ec_ilog(uint32_t v) {
+    int r = 0;
+    while (v) { r++; v >>= 1; }
+    return r;
+}
+
+static int ec_read_byte(ecdec *d) {
+    return d->offs < d->storage ? d->buf[d->offs++] : 0;
+}
+
+static int ec_read_byte_from_end(ecdec *d) {
+    return d->end_offs < d->storage
+        ? d->buf[d->storage - ++(d->end_offs)] : 0;
+}
+
+static void ec_normalize(ecdec *d) {
+    while (d->rng <= EC_CODE_BOT) {
+        int sym;
+        d->nbits_total += EC_SYM_BITS;
+        d->rng <<= EC_SYM_BITS;
+        sym = d->rem;
+        d->rem = ec_read_byte(d);
+        sym = ((sym << EC_SYM_BITS) | d->rem) >> (EC_SYM_BITS - EC_CODE_EXTRA);
+        d->val = ((d->val << EC_SYM_BITS) + (EC_SYM_MAX & ~(uint32_t)sym))
+                 & (EC_CODE_TOP - 1);
+    }
+}
+
+static uint32_t ec_decode(ecdec *d, uint32_t ft) {
+    uint32_t s;
+    d->ext = d->rng / ft;
+    s = d->val / d->ext;
+    return ft - ((s + 1 < ft ? s + 1 : ft));
+}
+
+static void ec_update(ecdec *d, uint32_t fl, uint32_t fh, uint32_t ft) {
+    uint32_t s = d->ext * (ft - fh);
+    d->val -= s;
+    d->rng = fl > 0 ? d->ext * (fh - fl) : d->rng - s;
+    ec_normalize(d);
+}
+
+static int ec_dec_bit_logp(ecdec *d, unsigned logp) {
+    uint32_t r = d->rng, dv = d->val, s = r >> logp;
+    int ret = dv < s;
+    if (!ret) d->val = dv - s;
+    d->rng = ret ? s : r - s;
+    ec_normalize(d);
+    return ret;
+}
+
+static uint32_t ec_dec_bits(ecdec *d, unsigned bits) {
+    uint64_t window = d->end_window;
+    int available = d->nend_bits;
+    uint32_t ret;
+    if ((unsigned)available < bits) {
+        do {
+            window |= (uint64_t)ec_read_byte_from_end(d) << available;
+            available += EC_SYM_BITS;
+        } while (available <= EC_WINDOW_SIZE - EC_SYM_BITS);
+    }
+    ret = (uint32_t)(window & (((uint64_t)1 << bits) - 1));
+    window >>= bits;
+    available -= bits;
+    d->end_window = window;
+    d->nend_bits = available;
+    d->nbits_total += bits;
+    return ret;
+}
+
+static uint32_t ec_dec_uint(ecdec *d, uint32_t ft) {
+    int ftb;
+    ft--;
+    ftb = ec_ilog(ft);
+    if (ftb > EC_UINT_BITS) {
+        uint32_t ft_hi, s, t;
+        ftb -= EC_UINT_BITS;
+        ft_hi = (ft >> ftb) + 1;
+        s = ec_decode(d, ft_hi);
+        ec_update(d, s, s + 1, ft_hi);
+        t = (s << ftb) | ec_dec_bits(d, ftb);
+        if (t <= ft) return t;
+        d->error = 1;
+        return ft;
+    }
+    ft++;
+    {
+        uint32_t s = ec_decode(d, ft);
+        ec_update(d, s, s + 1, ft);
+        return s;
+    }
+}
+
+static int ec_tell(const ecdec *d) {
+    return d->nbits_total - ec_ilog(d->rng);
+}
+
+static int64_t ec_tell_frac(const ecdec *d) {
+    int64_t nbits = (int64_t)d->nbits_total << BITRES;
+    int l = ec_ilog(d->rng);
+    uint32_t r = d->rng >> (l - 16);
+    int i;
+    for (i = 0; i < BITRES; i++) {
+        int b;
+        r = (r * r) >> 15;
+        b = r >> 16;
+        l = (l << 1) | b;
+        r >>= b;
+    }
+    return nbits - l;
+}
+
+/* ----------------------------- CWRS ------------------------------ */
+
+#define UMAX_N 242
+#define UMAX_K 242
+static uint64_t u_table[UMAX_N][UMAX_K];
+static int u_table_init = 0;
+
+static void pvq_init(void) {
+    int n, k;
+    if (u_table_init) return;
+    /* U(0,0)=1, U(0,K>0)=0, U(N>0,0)=0;
+       U(n,k) = U(n-1,k) + U(n,k-1) + U(n-1,k-1).
+       Cells whose true value exceeds u64 wrap harmlessly: codable
+       streams never index them (V(N,K) < 2^32 by construction). */
+    memset(u_table, 0, sizeof(u_table));
+    u_table[0][0] = 1;
+    for (n = 1; n < UMAX_N; n++)
+        for (k = 1; k < UMAX_K; k++)
+            u_table[n][k] = u_table[n - 1][k] + u_table[n][k - 1]
+                            + u_table[n - 1][k - 1];
+    u_table_init = 1;
+}
+
+static uint64_t pvq_u(int n, int k) {
+    int a, b;
+    if (n < 0 || k < 0) return 0;
+    a = n <= k ? n : k;
+    b = n <= k ? k : n;
+    if (a == 0) return (b == 0) ? 1 : 0;
+    return u_table[a][b];
+}
+
+static uint64_t pvq_v(int n, int k) { return pvq_u(n, k) + pvq_u(n, k + 1); }
+
+static void cwrsi(int n, int k, uint64_t i, int *y) {
+    int idx = 0;
+    while (n > 2) {
+        uint64_t p, q;
+        int s, k0, val;
+        if (k >= n) {
+            p = pvq_u(n, k + 1);
+            s = i >= p;
+            if (s) i -= p;
+            k0 = k;
+            q = pvq_u(n, n);
+            if (q > i) {
+                k = n;
+                do {
+                    k--;
+                    p = pvq_u(k, n);
+                } while (p > i);
+            }
+            else {
+                p = pvq_u(n, k);
+                while (p > i) {
+                    k--;
+                    p = pvq_u(n, k);
+                }
+            }
+            i -= p;
+            val = k0 - k;
+            y[idx++] = s ? -val : val;
+        }
+        else {
+            p = pvq_u(k, n);
+            q = pvq_u(k + 1, n);
+            if (p <= i && i < q) {
+                i -= p;
+                y[idx++] = 0;
+            }
+            else {
+                int s2 = i >= q;
+                if (s2) i -= q;
+                k0 = k;
+                do {
+                    k--;
+                    p = pvq_u(k, n);
+                } while (p > i);
+                i -= p;
+                val = k0 - k;
+                y[idx++] = s2 ? -val : val;
+            }
+        }
+        n--;
+    }
+    /* n == 2 */
+    {
+        uint64_t p = 2 * (uint64_t)k + 1;
+        int s = i >= p;
+        int k0, val;
+        if (s) i -= p;
+        k0 = k;
+        k = (int)((i + 1) >> 1);
+        if (k) i -= 2 * (uint64_t)k - 1;
+        val = k0 - k;
+        y[idx++] = s ? -val : val;
+    }
+    /* n == 1 */
+    y[idx++] = (i > 0) ? -k : k;
+}
+
+/* --------------------------- helpers ----------------------------- */
+
+#define SPREAD_NONE 0
+#define SPREAD_AGGRESSIVE 3
+#define QTHETA_OFFSET 4
+#define QTHETA_OFFSET_TWOPHASE 16
+#define LOG_MAX_PSEUDO 6
+#define EPSILON 1e-15
+
+static const int SPREAD_FACTOR[3] = {15, 10, 5};
+static const int BIT_ILV[16] = {0,1,1,1,2,3,3,3,2,3,3,3,2,3,3,3};
+static const int BIT_DILV[16] = {0x00,0x03,0x0C,0x0F,0x30,0x33,0x3C,0x3F,
+                                 0xC0,0xC3,0xCC,0xCF,0xF0,0xF3,0xFC,0xFF};
+static const int ORDERY2[2] = {1,0};
+static const int ORDERY4[4] = {3,0,2,1};
+static const int ORDERY8[8] = {7,0,4,3,6,1,5,2};
+static const int ORDERY16[16] = {15,0,8,7,12,3,11,4,14,1,9,6,13,2,10,5};
+
+static const int *ordery(int stride) {
+    switch (stride) {
+    case 2: return ORDERY2;
+    case 4: return ORDERY4;
+    case 8: return ORDERY8;
+    default: return ORDERY16;
+    }
+}
+
+static int cdiv(int64_t a, int64_t b) {
+    /* C truncating division (Python port uses cdiv everywhere) */
+    return (int)(a / b);
+}
+
+static int frac_mul16(int a, int b) {
+    return (int)((16384 + (int64_t)(int16_t)a * (int16_t)b) >> 15);
+}
+
+static int bitexact_cos(int x) {
+    int tmp = (4096 + x * x) >> 13;
+    int x2 = tmp;
+    x2 = (32767 - x2) + frac_mul16(
+        x2, -7651 + frac_mul16(x2, 8277 + frac_mul16(-626, x2)));
+    return 1 + x2;
+}
+
+static int bitexact_log2tan(int isin, int icos) {
+    int lc = ec_ilog(icos);
+    int ls = ec_ilog(isin);
+    icos <<= 15 - lc;
+    isin <<= 15 - ls;
+    return (ls - lc) * (1 << 11)
+        + frac_mul16(isin, frac_mul16(isin, -2597) + 7932)
+        - frac_mul16(icos, frac_mul16(icos, -2597) + 7932);
+}
+
+static uint32_t lcg_rand(uint32_t seed) {
+    return 1664525u * seed + 1013904223u;
+}
+
+static void exp_rotation1(double *X, int len, int stride, double c, double s) {
+    int i;
+    for (i = 0; i < len - stride; i++) {
+        double x1 = X[i], x2 = X[i + stride];
+        X[i + stride] = c * x2 + s * x1;
+        X[i] = c * x1 - s * x2;
+    }
+    for (i = len - 2 * stride - 1; i >= 0; i--) {
+        double x1 = X[i], x2 = X[i + stride];
+        X[i + stride] = c * x2 + s * x1;
+        X[i] = c * x1 - s * x2;
+    }
+}
+
+static void exp_rotation(double *X, int len, int dir, int stride, int K,
+                         int spread) {
+    double factor, gain, theta, c, s;
+    int stride2 = 0, i;
+    if (2 * K >= len || spread == SPREAD_NONE) return;
+    factor = SPREAD_FACTOR[spread - 1];
+    gain = 1.0 * len / (len + factor * K);
+    theta = 0.5 * gain * gain;
+    c = cos(0.5 * M_PI * theta);
+    s = cos(0.5 * M_PI * (1.0 - theta));
+    if (len >= 8 * stride) {
+        stride2 = 1;
+        while ((stride2 * stride2 + stride2) * stride + (stride >> 2) < len)
+            stride2++;
+    }
+    len /= stride;
+    for (i = 0; i < stride; i++) {
+        double *seg = X + i * len;
+        if (dir < 0) {
+            if (stride2) exp_rotation1(seg, len, stride2, s, c);
+            exp_rotation1(seg, len, 1, c, s);
+        }
+        else {
+            exp_rotation1(seg, len, 1, c, -s);
+            if (stride2) exp_rotation1(seg, len, stride2, s, -c);
+        }
+    }
+}
+
+static int extract_collapse_mask(const int *iy, int N, int B) {
+    int N0, mask = 0, i, j;
+    if (B <= 1) return 1;
+    N0 = N / B;
+    for (i = 0; i < B; i++) {
+        int sub = 0;
+        for (j = 0; j < N0; j++) sub |= iy[i * N0 + j];
+        mask |= (sub != 0) << i;
+    }
+    return mask;
+}
+
+static int alg_unquant(double *X, int N, int K, int spread, int B, ecdec *dec,
+                       double gain) {
+    int iy[256];
+    double Ryy = 0, g;
+    int j;
+    cwrsi(N, K, ec_dec_uint(dec, (uint32_t)pvq_v(N, K)), iy);
+    for (j = 0; j < N; j++) Ryy += (double)iy[j] * iy[j];
+    g = gain / sqrt(Ryy);
+    for (j = 0; j < N; j++) X[j] = g * iy[j];
+    exp_rotation(X, N, -1, B, K, spread);
+    return extract_collapse_mask(iy, N, B);
+}
+
+static void renormalise_vector(double *X, int N, double gain) {
+    double E = EPSILON;
+    int j;
+    for (j = 0; j < N; j++) E += X[j] * X[j];
+    {
+        double g = gain / sqrt(E);
+        for (j = 0; j < N; j++) X[j] *= g;
+    }
+}
+
+static void haar1(double *X, int n0, int stride) {
+    int i, j;
+    double s = sqrt(0.5);
+    n0 >>= 1;
+    for (i = 0; i < stride; i++)
+        for (j = 0; j < n0; j++) {
+            int a = stride * 2 * j + i;
+            int b = stride * (2 * j + 1) + i;
+            double t1 = s * X[a], t2 = s * X[b];
+            X[a] = t1 + t2;
+            X[b] = t1 - t2;
+        }
+}
+
+static void deinterleave_hadamard(double *X, int N0, int stride, int had) {
+    double tmp[1024];
+    int N = N0 * stride, i, j;
+    if (had) {
+        const int *ord = ordery(stride);
+        for (i = 0; i < stride; i++)
+            for (j = 0; j < N0; j++)
+                tmp[ord[i] * N0 + j] = X[j * stride + i];
+    }
+    else {
+        for (i = 0; i < stride; i++)
+            for (j = 0; j < N0; j++)
+                tmp[i * N0 + j] = X[j * stride + i];
+    }
+    memcpy(X, tmp, N * sizeof(double));
+}
+
+static void interleave_hadamard(double *X, int N0, int stride, int had) {
+    double tmp[1024];
+    int N = N0 * stride, i, j;
+    if (had) {
+        const int *ord = ordery(stride);
+        for (i = 0; i < stride; i++)
+            for (j = 0; j < N0; j++)
+                tmp[j * stride + i] = X[ord[i] * N0 + j];
+    }
+    else {
+        for (i = 0; i < stride; i++)
+            for (j = 0; j < N0; j++)
+                tmp[j * stride + i] = X[i * N0 + j];
+    }
+    memcpy(X, tmp, N * sizeof(double));
+}
+
+/* ------------------------- band context -------------------------- */
+
+typedef struct {
+    const int16_t *eBands;
+    const int16_t *logN;
+    const int16_t *cache_index;
+    const uint8_t *cache_bits;
+    int nbEBands;
+    int band;
+    int intensity;
+    int spread;
+    int tf_change;
+    ecdec *dec;
+    int64_t remaining_bits;
+    uint32_t seed;
+} bctx;
+
+static const uint8_t *band_cache(const bctx *c, int band, int LM) {
+    return c->cache_bits + c->cache_index[(LM + 1) * c->nbEBands + band];
+}
+
+static int get_pulses(int i) {
+    return i < 8 ? i : (8 + (i & 7)) << ((i >> 3) - 1);
+}
+
+static int bits2pulses(const bctx *c, int band, int LM, int bits) {
+    const uint8_t *cache = band_cache(c, band, LM);
+    int lo = 0, hi = cache[0], it;
+    bits--;
+    for (it = 0; it < LOG_MAX_PSEUDO; it++) {
+        int mid = (lo + hi + 1) >> 1;
+        if ((int)cache[mid] >= bits) hi = mid;
+        else lo = mid;
+    }
+    if (bits - (lo == 0 ? -1 : (int)cache[lo]) <= (int)cache[hi] - bits)
+        return lo;
+    return hi;
+}
+
+static int pulses2bits(const bctx *c, int band, int LM, int pulses) {
+    const uint8_t *cache = band_cache(c, band, LM);
+    return pulses == 0 ? 0 : (int)cache[pulses] + 1;
+}
+
+static int compute_qn(int N, int b, int offset, int pulse_cap, int stereo) {
+    static const int exp2t[8] = {16384, 17866, 19483, 21247, 23170, 25267,
+                                 27554, 30048};
+    int N2 = 2 * N - 1, qb, qn;
+    if (stereo && N == 2) N2--;
+    qb = cdiv((int64_t)b + (int64_t)N2 * offset, N2);
+    if (b - pulse_cap - (4 << BITRES) < qb) qb = b - pulse_cap - (4 << BITRES);
+    if (qb > (8 << BITRES)) qb = 8 << BITRES;
+    if (qb < (1 << BITRES >> 1)) qn = 1;
+    else {
+        qn = exp2t[qb & 0x7] >> (14 - (qb >> BITRES));
+        qn = ((qn + 1) >> 1) << 1;
+    }
+    return qn;
+}
+
+typedef struct {
+    int inv, imid, iside, delta, itheta;
+    int64_t qalloc;
+} splitctx;
+
+static int isqrt64(uint64_t v) {
+    uint64_t r = (uint64_t)sqrt((double)v);
+    while (r * r > v) r--;
+    while ((r + 1) * (r + 1) <= v) r++;
+    return (int)r;
+}
+
+static void compute_theta(bctx *ctx, splitctx *sctx, int N, int *b, int B,
+                          int B0, int LM, int stereo, int *fill) {
+    ecdec *dec = ctx->dec;
+    int i = ctx->band;
+    int pulse_cap = ctx->logN[i] + LM * (1 << BITRES);
+    int offset = (pulse_cap >> 1)
+        - ((stereo && N == 2) ? QTHETA_OFFSET_TWOPHASE : QTHETA_OFFSET);
+    int qn = compute_qn(N, *b, offset, pulse_cap, stereo);
+    int itheta = 0, inv = 0;
+    int imid, iside, delta;
+    int64_t tell;
+    if (stereo && i >= ctx->intensity) qn = 1;
+    tell = ec_tell_frac(dec);
+    if (qn != 1) {
+        if (stereo && N > 2) {
+            int p0 = 3, x0 = qn / 2;
+            uint32_t ft = (uint32_t)(p0 * (x0 + 1) + x0);
+            uint32_t fs = ec_decode(dec, ft);
+            int x;
+            if (fs < (uint32_t)((x0 + 1) * p0)) x = fs / p0;
+            else x = x0 + 1 + (fs - (x0 + 1) * p0);
+            ec_update(dec,
+                      x <= x0 ? p0 * x : (x - 1 - x0) + (x0 + 1) * p0,
+                      x <= x0 ? p0 * (x + 1) : (x - x0) + (x0 + 1) * p0,
+                      ft);
+            itheta = x;
+        }
+        else if (B0 > 1 || stereo) {
+            itheta = (int)ec_dec_uint(dec, qn + 1);
+        }
+        else {
+            uint32_t ft = (uint32_t)(((qn >> 1) + 1) * ((qn >> 1) + 1));
+            uint32_t fm = ec_decode(dec, ft);
+            uint32_t fl, fs;
+            if (fm < (uint32_t)((qn >> 1) * ((qn >> 1) + 1) >> 1)) {
+                itheta = (isqrt64(8 * (uint64_t)fm + 1) - 1) >> 1;
+                fs = itheta + 1;
+                fl = (uint32_t)(itheta * (itheta + 1) >> 1);
+            }
+            else {
+                itheta = (2 * (qn + 1)
+                          - isqrt64(8 * (uint64_t)(ft - fm - 1) + 1)) >> 1;
+                fs = qn + 1 - itheta;
+                fl = ft - (uint32_t)((qn + 1 - itheta) * (qn + 2 - itheta)
+                                     >> 1);
+            }
+            ec_update(dec, fl, fl + fs, ft);
+        }
+        itheta = (int)(((int64_t)itheta * 16384) / qn);
+    }
+    else if (stereo) {
+        if (*b > 2 << BITRES && ctx->remaining_bits > 2 << BITRES)
+            inv = ec_dec_bit_logp(dec, 2);
+        itheta = 0;
+    }
+    sctx->qalloc = ec_tell_frac(dec) - tell;
+    *b -= (int)sctx->qalloc;
+
+    if (itheta == 0) {
+        imid = 32767;
+        iside = 0;
+        *fill &= (1 << B) - 1;
+        delta = -16384;
+    }
+    else if (itheta == 16384) {
+        imid = 0;
+        iside = 32767;
+        *fill &= ((1 << B) - 1) << B;
+        delta = 16384;
+    }
+    else {
+        imid = bitexact_cos(itheta);
+        iside = bitexact_cos(16384 - itheta);
+        delta = frac_mul16((N - 1) << 7, bitexact_log2tan(iside, imid));
+    }
+    sctx->inv = inv;
+    sctx->imid = imid;
+    sctx->iside = iside;
+    sctx->delta = delta;
+    sctx->itheta = itheta;
+}
+
+static int quant_band(bctx *ctx, double *X, int N, int b, int B,
+                      double *lowband, int LM, double *lowband_out,
+                      double gain, double *lowband_scratch, int fill);
+
+static int quant_band_n1(bctx *ctx, double *X, double *Y, int b,
+                         double *lowband_out) {
+    ecdec *dec = ctx->dec;
+    double *chans[2];
+    int nch = Y ? 2 : 1, c;
+    chans[0] = X;
+    chans[1] = Y;
+    for (c = 0; c < nch; c++) {
+        int sign = 0;
+        if (ctx->remaining_bits >= 1 << BITRES) {
+            sign = (int)ec_dec_bits(dec, 1);
+            ctx->remaining_bits -= 1 << BITRES;
+            b -= 1 << BITRES;
+        }
+        chans[c][0] = sign ? -1.0 : 1.0;
+    }
+    if (lowband_out) lowband_out[0] = X[0];
+    return 1;
+}
+
+static int quant_partition(bctx *ctx, double *X, int N, int b, int B,
+                           double *lowband, int LM, double gain, int fill) {
+    int i = ctx->band;
+    ecdec *dec = ctx->dec;
+    int B0 = B;
+    const uint8_t *cache = band_cache(ctx, i, LM);
+    int cm;
+    if (LM != -1 && b > (int)cache[cache[0]] + 12 && N > 2) {
+        double *Y;
+        splitctx sctx;
+        int imid, iside, delta, itheta;
+        double mid, side;
+        int mbits, sbits;
+        int64_t rebalance;
+        double *next_lowband2 = 0;
+        N >>= 1;
+        Y = X + N;
+        LM -= 1;
+        if (B == 1) fill = (fill & 1) | (fill << 1);
+        B = (B + 1) >> 1;
+        compute_theta(ctx, &sctx, N, &b, B, B0, LM, 0, &fill);
+        imid = sctx.imid;
+        iside = sctx.iside;
+        delta = sctx.delta;
+        itheta = sctx.itheta;
+        mid = imid / 32768.0;
+        side = iside / 32768.0;
+        if (B0 > 1 && (itheta & 0x3FFF)) {
+            if (itheta > 8192) delta -= delta >> (4 - LM);
+            else {
+                int t = delta + (N << BITRES >> (5 - LM));
+                delta = t < 0 ? t : 0;
+            }
+        }
+        mbits = cdiv(b - delta, 2);
+        if (mbits > b) mbits = b;
+        if (mbits < 0) mbits = 0;
+        sbits = b - mbits;
+        ctx->remaining_bits -= sctx.qalloc;
+        if (lowband) next_lowband2 = lowband + N;
+        rebalance = ctx->remaining_bits;
+        if (mbits >= sbits) {
+            cm = quant_partition(ctx, X, N, mbits, B, lowband, LM,
+                                 gain * mid, fill);
+            rebalance = mbits - (rebalance - ctx->remaining_bits);
+            if (rebalance > 3 << BITRES && itheta != 0)
+                sbits += (int)(rebalance - (3 << BITRES));
+            cm |= quant_partition(ctx, Y, N, sbits, B, next_lowband2, LM,
+                                  gain * side, fill >> B) << (B0 >> 1);
+        }
+        else {
+            cm = quant_partition(ctx, Y, N, sbits, B, next_lowband2, LM,
+                                 gain * side, fill >> B) << (B0 >> 1);
+            rebalance = sbits - (rebalance - ctx->remaining_bits);
+            if (rebalance > 3 << BITRES && itheta != 16384)
+                mbits += (int)(rebalance - (3 << BITRES));
+            cm |= quant_partition(ctx, X, N, mbits, B, lowband, LM,
+                                  gain * mid, fill);
+        }
+    }
+    else {
+        int q = bits2pulses(ctx, i, LM, b);
+        int curr_bits = pulses2bits(ctx, i, LM, q);
+        ctx->remaining_bits -= curr_bits;
+        while (ctx->remaining_bits < 0 && q > 0) {
+            ctx->remaining_bits += curr_bits;
+            q--;
+            curr_bits = pulses2bits(ctx, i, LM, q);
+            ctx->remaining_bits -= curr_bits;
+        }
+        if (q != 0) {
+            int K = get_pulses(q);
+            cm = alg_unquant(X, N, K, ctx->spread, B, dec, gain);
+        }
+        else {
+            int cm_mask = (1 << B) - 1;
+            fill &= cm_mask;
+            if (!fill) {
+                memset(X, 0, N * sizeof(double));
+                cm = 0;
+            }
+            else {
+                int j;
+                if (!lowband) {
+                    for (j = 0; j < N; j++) {
+                        ctx->seed = lcg_rand(ctx->seed);
+                        X[j] = (double)((int32_t)ctx->seed >> 20);
+                    }
+                    cm = cm_mask;
+                }
+                else {
+                    for (j = 0; j < N; j++) {
+                        double tmp;
+                        ctx->seed = lcg_rand(ctx->seed);
+                        tmp = (ctx->seed & 0x8000) ? (1.0 / 256) : -(1.0 / 256);
+                        X[j] = lowband[j] + tmp;
+                    }
+                    cm = fill;
+                }
+                renormalise_vector(X, N, gain);
+            }
+        }
+    }
+    return cm;
+}
+
+static int quant_band(bctx *ctx, double *X, int N, int b, int B,
+                      double *lowband, int LM, double *lowband_out,
+                      double gain, double *lowband_scratch, int fill) {
+    int N0 = N, N_B = N, N_B0;
+    int B0 = B, time_divide = 0, recombine = 0;
+    int longBlocks = B0 == 1;
+    int tf_change = ctx->tf_change;
+    int k, cm;
+
+    N_B /= B;
+    if (N == 1)
+        return quant_band_n1(ctx, X, 0, b, lowband_out);
+
+    if (tf_change > 0) recombine = tf_change;
+    if (lowband_scratch && lowband
+        && (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
+        memcpy(lowband_scratch, lowband, N * sizeof(double));
+        lowband = lowband_scratch;
+    }
+
+    for (k = 0; k < recombine; k++) {
+        if (lowband) haar1(lowband, N >> k, 1 << k);
+        fill = BIT_ILV[fill & 0xF] | BIT_ILV[fill >> 4] << 2;
+    }
+    B >>= recombine;
+    N_B <<= recombine;
+
+    while ((N_B & 1) == 0 && tf_change < 0) {
+        if (lowband) haar1(lowband, N_B, B);
+        fill |= fill << B;
+        B <<= 1;
+        N_B >>= 1;
+        time_divide++;
+        tf_change++;
+    }
+    B0 = B;
+    N_B0 = N_B;
+
+    if (B0 > 1 && lowband)
+        deinterleave_hadamard(lowband, N_B >> recombine, B0 << recombine,
+                              longBlocks);
+
+    cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill);
+
+    /* resynthesis */
+    if (B0 > 1)
+        interleave_hadamard(X, N_B >> recombine, B0 << recombine, longBlocks);
+    N_B = N_B0;
+    B = B0;
+    for (k = 0; k < time_divide; k++) {
+        B >>= 1;
+        N_B <<= 1;
+        cm |= cm >> B;
+        haar1(X, N_B, B);
+    }
+    for (k = 0; k < recombine; k++) {
+        cm = BIT_DILV[cm];
+        haar1(X, N0 >> k, 1 << k);
+    }
+    B <<= recombine;
+
+    if (lowband_out) {
+        int j;
+        double n = sqrt((double)N0);
+        for (j = 0; j < N0; j++) lowband_out[j] = n * X[j];
+    }
+    cm &= (1 << B) - 1;
+    return cm;
+}
+
+static void stereo_merge(double *X, double *Y, double mid, int N) {
+    double xp = 0, side = 0, El, Er, lgain, rgain;
+    int j;
+    for (j = 0; j < N; j++) {
+        xp += Y[j] * X[j];
+        side += Y[j] * Y[j];
+    }
+    xp *= mid;
+    El = mid * mid + side - 2 * xp;
+    Er = mid * mid + side + 2 * xp;
+    if (Er < 6e-4 || El < 6e-4) {
+        memcpy(Y, X, N * sizeof(double));
+        return;
+    }
+    lgain = 1.0 / sqrt(El);
+    rgain = 1.0 / sqrt(Er);
+    for (j = 0; j < N; j++) {
+        double l = mid * X[j], r = Y[j];
+        X[j] = lgain * (l - r);
+        Y[j] = rgain * (l + r);
+    }
+}
+
+static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
+                             int B, double *lowband, int LM,
+                             double *lowband_out, double *lowband_scratch,
+                             int fill) {
+    ecdec *dec = ctx->dec;
+    splitctx sctx;
+    int imid, iside, itheta, inv;
+    double mid, side;
+    int cm;
+    int orig_fill = fill;
+    if (N == 1)
+        return quant_band_n1(ctx, X, Y, b, lowband_out);
+    compute_theta(ctx, &sctx, N, &b, B, B, LM, 1, &fill);
+    inv = sctx.inv;
+    imid = sctx.imid;
+    iside = sctx.iside;
+    itheta = sctx.itheta;
+    mid = imid / 32768.0;
+    side = iside / 32768.0;
+
+    if (N == 2) {
+        int mbits = b, sbits = 0, c, sign = 0;
+        double *x2, *y2, tmp;
+        if (itheta != 0 && itheta != 16384) sbits = 1 << BITRES;
+        mbits -= sbits;
+        c = itheta > 8192;
+        ctx->remaining_bits -= sctx.qalloc + sbits;
+        x2 = c ? Y : X;
+        y2 = c ? X : Y;
+        if (sbits) sign = (int)ec_dec_bits(dec, 1);
+        sign = 1 - 2 * sign;
+        cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
+                        lowband_scratch, orig_fill);
+        y2[0] = -sign * x2[1];
+        y2[1] = sign * x2[0];
+        X[0] *= mid;
+        X[1] *= mid;
+        Y[0] *= side;
+        Y[1] *= side;
+        tmp = X[0];
+        X[0] = tmp - Y[0];
+        Y[0] = tmp + Y[0];
+        tmp = X[1];
+        X[1] = tmp - Y[1];
+        Y[1] = tmp + Y[1];
+    }
+    else {
+        int mbits = cdiv(b - sctx.delta, 2), sbits;
+        int64_t rebalance;
+        if (mbits > b) mbits = b;
+        if (mbits < 0) mbits = 0;
+        sbits = b - mbits;
+        ctx->remaining_bits -= sctx.qalloc;
+        rebalance = ctx->remaining_bits;
+        if (mbits >= sbits) {
+            cm = quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out,
+                            1.0, lowband_scratch, fill);
+            rebalance = mbits - (rebalance - ctx->remaining_bits);
+            if (rebalance > 3 << BITRES && itheta != 0)
+                sbits += (int)(rebalance - (3 << BITRES));
+            cm |= quant_band(ctx, Y, N, sbits, B, 0, LM, 0, side, 0,
+                             fill >> B);
+        }
+        else {
+            cm = quant_band(ctx, Y, N, sbits, B, 0, LM, 0, side, 0,
+                            fill >> B);
+            rebalance = sbits - (rebalance - ctx->remaining_bits);
+            if (rebalance > 3 << BITRES && itheta != 16384)
+                mbits += (int)(rebalance - (3 << BITRES));
+            cm |= quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out,
+                             1.0, lowband_scratch, fill);
+        }
+    }
+    if (N != 2)
+        stereo_merge(X, Y, mid, N);
+    if (inv) {
+        int j;
+        for (j = 0; j < N; j++) Y[j] = -Y[j];
+    }
+    return cm;
+}
+
+/* --------------------------- entry point -------------------------- */
+
+/* ec state layout (int64 x10): offs, end_offs, end_window, nend_bits,
+   nbits_total, rng, rem, val, ext, error */
+uint32_t celt_bands_decode(
+    const uint8_t *buf, uint32_t storage, int64_t *ec,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const int16_t *cache_index, const uint8_t *cache_bits,
+    int start, int end, int shortBlocks, int spread, int dual_stereo,
+    int intensity, const int32_t *tf_res, int64_t total_bits,
+    int64_t balance, const int32_t *pulses, int LM, int codedBands,
+    uint32_t seed, int C, double *X_, uint8_t *collapse_masks)
+{
+    ecdec dec;
+    bctx ctx;
+    int M = 1 << LM;
+    int B = shortBlocks ? shortBlocks : 1;
+    int norm_offset = M * eBands[start];
+    int norm_len = M * eBands[nbEBands - 1] - norm_offset;
+    double norm_buf[2 * 1696];
+    double scratch[1920];
+    double *norm = norm_buf;
+    double *norm2 = (C == 2) ? norm_buf + norm_len : norm_buf;
+    int lowband_offset = 0;
+    int update_lowband = 1;
+    int i;
+    int N_full = M * eBands[nbEBands];
+
+    pvq_init();
+    memset(norm_buf, 0, sizeof(norm_buf));
+
+    dec.buf = buf;
+    dec.storage = storage;
+    dec.offs = (uint32_t)ec[0];
+    dec.end_offs = (uint32_t)ec[1];
+    dec.end_window = (uint64_t)ec[2];
+    dec.nend_bits = (int)ec[3];
+    dec.nbits_total = (int)ec[4];
+    dec.rng = (uint32_t)ec[5];
+    dec.rem = (int)ec[6];
+    dec.val = (uint32_t)ec[7];
+    dec.ext = (uint32_t)ec[8];
+    dec.error = (int)ec[9];
+
+    ctx.eBands = eBands;
+    ctx.logN = logN;
+    ctx.cache_index = cache_index;
+    ctx.cache_bits = cache_bits;
+    ctx.nbEBands = nbEBands;
+    ctx.intensity = intensity;
+    ctx.spread = spread;
+    ctx.dec = &dec;
+    ctx.seed = seed;
+
+    for (i = start; i < end; i++) {
+        int last = (i == end - 1);
+        double *X = X_ + M * eBands[i];
+        double *Y = (C == 2) ? X_ + N_full + M * eBands[i] : 0;
+        int N = M * eBands[i + 1] - M * eBands[i];
+        int64_t tell = ec_tell_frac(&dec);
+        int b, tf_change, x_cm, y_cm;
+        int effective_lowband = -1;
+        double *lowband_scratch;
+
+        ctx.band = i;
+        if (i != start) balance -= tell;
+        ctx.remaining_bits = total_bits - tell - 1;
+        if (i <= codedBands - 1) {
+            int cb = codedBands - i;
+            int64_t curr_balance;
+            if (cb > 3) cb = 3;
+            curr_balance = balance / cb;  /* cdiv semantics: both >= 0 or
+                                             C-truncation; balance may be
+                                             negative -> truncate */
+            if (balance < 0) curr_balance = -((-balance) / cb);
+            {
+                int64_t bb = pulses[i] + curr_balance;
+                if (bb > ctx.remaining_bits + 1) bb = ctx.remaining_bits + 1;
+                if (bb > 16383) bb = 16383;
+                if (bb < 0) bb = 0;
+                b = (int)bb;
+            }
+        }
+        else b = 0;
+
+        if (M * eBands[i] - N >= M * eBands[start]
+            && (update_lowband || lowband_offset == 0))
+            lowband_offset = i;
+
+        tf_change = tf_res[i];
+        ctx.tf_change = tf_change;
+        lowband_scratch = scratch;
+        if (i == end - 1) lowband_scratch = 0;
+
+        if (lowband_offset != 0
+            && (spread != SPREAD_AGGRESSIVE || B > 1 || tf_change < 0)) {
+            int fold_start, fold_end, fold_i;
+            effective_lowband = M * eBands[lowband_offset] - norm_offset - N;
+            if (effective_lowband < 0) effective_lowband = 0;
+            fold_start = lowband_offset;
+            while (M * eBands[fold_start - 1]
+                   > effective_lowband + norm_offset)
+                fold_start--;
+            fold_start--;
+            fold_end = lowband_offset - 1;
+            do {
+                fold_end++;
+            } while (M * eBands[fold_end]
+                     < effective_lowband + norm_offset + N);
+            x_cm = y_cm = 0;
+            for (fold_i = fold_start; fold_i < fold_end; fold_i++) {
+                x_cm |= collapse_masks[fold_i * C + 0];
+                y_cm |= collapse_masks[fold_i * C + C - 1];
+            }
+        }
+        else
+            x_cm = y_cm = (1 << B) - 1;
+
+        if (dual_stereo && i == intensity) {
+            int j;
+            dual_stereo = 0;
+            for (j = 0; j < M * eBands[i] - norm_offset; j++)
+                norm[j] = 0.5 * (norm[j] + norm2[j]);
+        }
+
+        if (dual_stereo) {
+            x_cm = quant_band(&ctx, X, N, b / 2, B,
+                              effective_lowband != -1
+                                  ? norm + effective_lowband : 0,
+                              LM,
+                              last ? 0 : norm + M * eBands[i] - norm_offset,
+                              1.0, lowband_scratch, x_cm);
+            y_cm = quant_band(&ctx, Y, N, b / 2, B,
+                              effective_lowband != -1
+                                  ? norm2 + effective_lowband : 0,
+                              LM,
+                              last ? 0 : norm2 + M * eBands[i] - norm_offset,
+                              1.0, lowband_scratch, y_cm);
+        }
+        else {
+            if (Y) {
+                x_cm = quant_band_stereo(
+                    &ctx, X, Y, N, b, B,
+                    effective_lowband != -1 ? norm + effective_lowband : 0,
+                    LM, last ? 0 : norm + M * eBands[i] - norm_offset,
+                    lowband_scratch, x_cm | y_cm);
+            }
+            else {
+                x_cm = quant_band(
+                    &ctx, X, N, b, B,
+                    effective_lowband != -1 ? norm + effective_lowband : 0,
+                    LM, last ? 0 : norm + M * eBands[i] - norm_offset, 1.0,
+                    lowband_scratch, x_cm | y_cm);
+            }
+            y_cm = x_cm;
+        }
+        collapse_masks[i * C + 0] = (uint8_t)x_cm;
+        collapse_masks[i * C + C - 1] = (uint8_t)y_cm;
+        balance += pulses[i] + tell;
+        update_lowband = b > (N << BITRES);
+    }
+
+    ec[0] = dec.offs;
+    ec[1] = dec.end_offs;
+    ec[2] = (int64_t)dec.end_window;
+    ec[3] = dec.nend_bits;
+    ec[4] = dec.nbits_total;
+    ec[5] = dec.rng;
+    ec[6] = dec.rem;
+    ec[7] = dec.val;
+    ec[8] = dec.ext;
+    ec[9] = dec.error;
+    return ctx.seed;
+}

@@ -19,13 +19,16 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    src = _NATIVE_DIR / "hostops.c"
+    srcs = [_NATIVE_DIR / "hostops.c", _NATIVE_DIR / "celt_bands.c"]
     out = _NATIVE_DIR / "libhostops.so"
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    if out.exists() and all(
+        out.stat().st_mtime >= s.stat().st_mtime for s in srcs
+    ):
         return out
     try:
         subprocess.run(
-            ["cc", "-O3", "-fPIC", "-shared", str(src), "-o", str(out)],
+            ["cc", "-O3", "-fPIC", "-shared", *map(str, srcs),
+             "-o", str(out), "-lm"],
             check=True, capture_output=True, timeout=120,
         )
         return out
@@ -73,6 +76,21 @@ def lib():
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
+        ]
+        L.celt_bands_decode.restype = ctypes.c_uint32
+        L.celt_bands_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),                 # ec state
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int,   # eBands
+            ctypes.POINTER(ctypes.c_int16),                 # logN
+            ctypes.POINTER(ctypes.c_int16),                 # cache_index
+            ctypes.c_char_p,                                # cache_bits
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,                     # ... intensity
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_uint32, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
         ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [

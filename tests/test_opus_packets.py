@@ -83,3 +83,51 @@ def test_hybrid_cases(idx):
     if not CASES:
         pytest.skip("opus packet goldens not generated")
     run_case(idx)
+
+
+def test_native_band_decode_matches_python(monkeypatch):
+    """native/celt_bands.c must agree with the Python band decoder."""
+    import numpy as np
+
+    from libnyquist_tpu.formats.opus import celt
+    from libnyquist_tpu.formats.opus.packet import parse_packet
+
+    from .helpers import GOLDEN_DIR
+    import struct
+
+    path = GOLDEN_DIR / "opus_packets.bin"
+    if not path.exists():
+        import pytest
+
+        pytest.skip("packet fixture missing")
+    raw = path.read_bytes()
+    pos = 4
+    ch, sr, n_packets, frame = struct.unpack_from("<4i", raw, pos)
+    pos += 16
+    pkts = []
+    for _ in range(min(n_packets, 40)):
+        (ln,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        pkts.append(raw[pos : pos + ln])
+        pos += ln
+
+    def run(no_native):
+        if no_native:
+            monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_CELT", "1")
+        else:
+            monkeypatch.delenv("LIBNYQUIST_NO_NATIVE_CELT", raising=False)
+        st = celt.CeltDecoderState(channels=ch)
+        out = []
+        for p in pkts:
+            pkt = parse_packet(p)
+            for fr in pkt.frames:
+                out.append(
+                    celt.celt_decode_frame_to_freq(st, fr, pkt.frame_size)[
+                        "freq"
+                    ]
+                )
+        return np.concatenate([f.ravel() for f in out])
+
+    a = run(True)
+    b = run(False)
+    assert np.abs(a - b).max() < 1e-9
