@@ -673,8 +673,19 @@ def reorder(grbuf, offset, sfb):
 
 
 def antialias(grbuf, nbands):
+    if nbands <= 0:
+        return
     t = T()
     g_aa = t["g_aa"]
+    # vectorized over bands: butterflies across each band boundary
+    v = (grbuf[: 18 * (nbands + 1)].reshape(nbands + 1, 18)
+         if grbuf.size >= 18 * (nbands + 1) else None)
+    if v is not None:
+        u = v[1 : nbands + 1, 0:8].copy()
+        d = v[0:nbands, 10:18][:, ::-1].copy()
+        v[1 : nbands + 1, 0:8] = u * g_aa[0] - d * g_aa[1]
+        v[0:nbands, 10:18] = (u * g_aa[1] + d * g_aa[0])[:, ::-1]
+        return
     for b in range(nbands):
         off = 18 * b
         u = grbuf[off + 18 : off + 26].copy()
