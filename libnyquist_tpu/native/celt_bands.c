@@ -131,10 +131,6 @@ static uint32_t ec_dec_uint(ecdec *d, uint32_t ft) {
     }
 }
 
-static int ec_tell(const ecdec *d) {
-    return d->nbits_total - ec_ilog(d->rng);
-}
-
 static int64_t ec_tell_frac(const ecdec *d) {
     int64_t nbits = (int64_t)d->nbits_total << BITRES;
     int l = ec_ilog(d->rng);
