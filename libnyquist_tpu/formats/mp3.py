@@ -443,7 +443,74 @@ def pow_43(x: int) -> float:
     ) * mult
 
 
+
+@functools.lru_cache(maxsize=1)
+def _native_lib():
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_MP3"):
+        return None
+    from ..runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "mp3_l3_huffman"):
+        return None
+    return L
+
+
+@functools.lru_cache(maxsize=1)
+def _native_tables():
+    import ctypes
+
+    t = T()
+    arrs = {
+        k: np.ascontiguousarray(t[k], np.int32)
+        for k in ("tabs", "tab32", "tab33", "tabindex", "g_linbits")
+    }
+    arrs["g_pow43"] = np.ascontiguousarray(t["g_pow43"], np.float64)
+    out = dict(arrs)  # keep arrays alive
+    for k, a in arrs.items():
+        ptr_t = (ctypes.POINTER(ctypes.c_double) if a.dtype == np.float64
+                 else ctypes.POINTER(ctypes.c_int32))
+        out[k + "_p"] = a.ctypes.data_as(ptr_t)
+    out["tabs_len"] = np.int32(arrs["tabs"].size)
+    return out
+
+
+def _l3_huffman_native(dst, bs: Bits, gr: GrInfo, scf, layer3gr_limit):
+    """Dispatch to native/mp3_huff.c; returns False to use the Python
+    fallback (no native lib, or LIBNYQUIST_NO_NATIVE_MP3 set)."""
+    L = _native_lib()
+    if L is None:
+        return False
+    import ctypes
+
+    nt = _native_tables()
+    buf = bs.buf + b"\x00" * 8
+    sfb = np.ascontiguousarray(gr.sfbtab, np.int32)
+    scfa = np.ascontiguousarray(scf, np.float64)
+    ts = np.ascontiguousarray(gr.table_select, np.int32)
+    rc = np.ascontiguousarray(gr.region_count, np.int32)
+
+    L.mp3_l3_huffman(
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        buf, len(bs.buf), bs.pos,
+        nt["tabs_p"], nt["tab32_p"], nt["tab33_p"],
+        nt["tabindex_p"], nt["g_linbits_p"], nt["g_pow43_p"],
+        sfb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        scfa.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(gr.big_values),
+        ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        int(gr.count1_table), int(layer3gr_limit), nt["tabs_len"],
+    )
+    bs.pos = layer3gr_limit
+    return True
+
+
 def l3_huffman(dst, bs: Bits, gr: GrInfo, scf, layer3gr_limit):
+    if _l3_huffman_native(dst, bs, gr, scf, layer3gr_limit):
+        return
     t = T()
     tabs = t["tabs"]
     tab32 = t["tab32"]

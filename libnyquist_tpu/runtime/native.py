@@ -19,7 +19,8 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    srcs = [_NATIVE_DIR / "hostops.c", _NATIVE_DIR / "celt_bands.c"]
+    srcs = [_NATIVE_DIR / "hostops.c", _NATIVE_DIR / "celt_bands.c",
+            _NATIVE_DIR / "mp3_huff.c"]
     out = _NATIVE_DIR / "libhostops.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in srcs
@@ -76,6 +77,18 @@ def lib():
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
+        ]
+        L.mp3_l3_huffman.restype = None
+        L.mp3_l3_huffman.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int32,
         ]
         L.celt_bands_decode.restype = ctypes.c_uint32
         L.celt_bands_decode.argtypes = [
