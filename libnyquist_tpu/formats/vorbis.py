@@ -82,6 +82,14 @@ class LsbBits:
     def read1(self) -> int:
         return self.read(1)
 
+    def peek(self, n: int) -> int:
+        """Peek n bits without consuming; past-end bits read as zero."""
+        byte = self.pos >> 3
+        off = self.pos & 7
+        nbytes = (off + n + 7) >> 3
+        chunk = int.from_bytes(self.data[byte : byte + nbytes], "little")
+        return (chunk >> off) & ((1 << n) - 1)
+
 
 def build_codewords(lengths):
     """Assign codewords per the Vorbis I spec (§3.2.1 decision tree):
@@ -199,8 +207,32 @@ class VorbisCodebook:
                 self.decode_map[(ln, codes[i])] = i
                 self.min_len = min(self.min_len, ln)
                 self.max_len = max(self.max_len, ln)
+        # Fast path: a W-bit LUT over the LSB-first peek window. Codeword
+        # bits arrive MSB-of-codeword first, so the key is the
+        # bit-reversed codeword with every upper-bit suffix filled in.
+        W = min(self.max_len, 11) if self.max_len > 0 else 0
+        self.lut_w = W
+        if W > 0:
+            lut = np.full(1 << W, -1, np.int32)
+            for (ln, code), i in self.decode_map.items():
+                if ln <= W:
+                    rev = int(format(code, f"0{ln}b")[::-1], 2)
+                    lut[rev :: 1 << ln] = (i << 6) | ln
+            self.lut = lut
+        else:
+            self.lut = None
 
     def decode_scalar(self, bits: LsbBits) -> int:
+        if self.lut is not None:
+            v = int(self.lut[bits.peek(self.lut_w)])
+            if v >= 0:
+                ln = v & 63
+                if bits.pos + ln > bits.limit:
+                    bits.eop = True
+                    bits.pos = bits.limit
+                    raise EndOfPacket()
+                bits.pos += ln
+                return v >> 6
         code = 0
         ln = 0
         dm = self.decode_map
