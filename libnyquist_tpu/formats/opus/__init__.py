@@ -210,6 +210,50 @@ class OpusMultistreamDecoder:
         return pkt, end
 
 
+def _decode_celt_only_pipeline(st, head):
+    """Fast path: single-stream CELT-only files go through the batched
+    synthesis pipeline (the production route: host entropy decode +
+    batched IMDCT/comb/deemph) instead of per-frame host synthesis.
+    Returns pcm [n, channels] or None when the stream doesn't qualify.
+    """
+    from .celt import CeltDecoderState, celt_decode_frame_to_freq
+    from .decoder import _endband_for_bandwidth
+    from .packet import MODE_CELT_ONLY, parse_packet
+
+    pkts = []
+    for pkt in st.packets[2:]:
+        if len(pkt.data) == 0:
+            continue
+        try:
+            parsed = parse_packet(pkt.data)
+        except Exception:
+            return None
+        if (parsed.mode != MODE_CELT_ONLY
+                or parsed.stream_channels != head.channels
+                or parsed.frame_size < 120):
+            return None
+        pkts.append(parsed)
+    if not pkts:
+        return None
+
+    cs = CeltDecoderState(channels=head.channels)
+    infos = []
+    for parsed in pkts:
+        cs.end = _endband_for_bandwidth(parsed.bandwidth)
+        cs.stream_channels = parsed.stream_channels
+        for fr in parsed.frames:
+            infos.append(
+                celt_decode_frame_to_freq(cs, fr, parsed.frame_size)
+            )
+
+    from ...runtime.opus_pipeline import synthesize_stream
+
+    pcm = np.asarray(synthesize_stream(infos, head.channels), np.float64)
+    if head.output_gain_q8:
+        pcm = pcm * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
+    return pcm
+
+
 def decode_ogg_opus(data: bytes):
     """Full Ogg Opus decode -> (float64 [n, channels], head)."""
     streams = ogg.demux(data)
@@ -219,22 +263,32 @@ def decode_ogg_opus(data: bytes):
     head = parse_opus_head(st.packets[0].data)
     if head.version >> 4 != 0:
         raise DecodeError("unsupported OpusHead version")
-    # packets[1] is OpusTags; audio packets start at index 2.
-    ms = OpusMultistreamDecoder(head)
-    chunks = []
-    total = 0
     end_granule = None
     for pkt in st.packets[2:]:
-        if len(pkt.data) == 0:
-            continue
-        out = ms.decode_packet(pkt.data)
-        chunks.append(out)
-        total += out.shape[0]
         if pkt.granule_pos >= 0:
             end_granule = pkt.granule_pos
-    if not chunks:
-        return np.zeros((0, head.channels)), head
-    pcm = np.concatenate(chunks, axis=0)
+
+    # The batched device pipeline is the multi-stream serving route
+    # (runtime/serving.py); for single-file loads it only wins when the
+    # accelerator is local, so it is opt-in here.
+    pcm = None
+    if head.stream_count == 1 and head.coupled_count in (0, 1):
+        import os
+
+        if os.environ.get("LIBNYQUIST_OPUS_PIPELINE"):
+            pcm = _decode_celt_only_pipeline(st, head)
+
+    if pcm is None:
+        # general path: per-packet decode (SILK/hybrid/transitions)
+        ms = OpusMultistreamDecoder(head)
+        chunks = []
+        for pkt in st.packets[2:]:
+            if len(pkt.data) == 0:
+                continue
+            chunks.append(ms.decode_packet(pkt.data))
+        if not chunks:
+            return np.zeros((0, head.channels)), head
+        pcm = np.concatenate(chunks, axis=0)
     # Trim: drop pre-skip, honor final granule position (opusfile
     # op_pcm_total semantics).
     start = head.pre_skip

@@ -61,3 +61,18 @@ def test_tpu_pipeline_matches_reference(idx):
     n = out.size
     err = np.abs(out.reshape(-1) - ref[:n]).max()
     assert err < 1e-4, f"pipeline err {err}"
+
+
+def test_load_via_pipeline_matches_host(test_data_dir, monkeypatch):
+    """Opt-in pipeline decode path (LIBNYQUIST_OPUS_PIPELINE=1) matches
+    the per-frame host path on a real file."""
+    import numpy as np
+
+    import libnyquist_tpu as nq
+
+    path = str(test_data_dir / "short.opus")
+    a = nq.load(path)
+    monkeypatch.setenv("LIBNYQUIST_OPUS_PIPELINE", "1")
+    b = nq.load(path)
+    assert a.sample_count == b.sample_count
+    assert np.abs(a.samples - b.samples).max() < 1e-4
