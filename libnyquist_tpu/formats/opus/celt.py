@@ -19,6 +19,7 @@ reference's float32 keeps us well inside the 1e-4 accuracy target.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -1856,6 +1857,8 @@ def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,
 
     x/y are the same decode-history array; `off` is the start index of the
     N-sample region being filtered (reads reach back off - T - 2).
+    Vectorized in chunks of min(T0, T1) - 2 samples: the lag keeps every
+    read strictly before the chunk, so chunks are data-parallel.
     """
     if g0 == 0.0 and g1 == 0.0:
         return
@@ -1865,40 +1868,52 @@ def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,
     g10 = g1 * COMB_GAINS[tapset1][0]
     g11 = g1 * COMB_GAINS[tapset1][1]
     g12 = g1 * COMB_GAINS[tapset1][2]
-    x1 = x[off - T1 + 1]
-    x2 = x[off - T1]
-    x3 = x[off - T1 - 1]
-    x4 = x[off - T1 - 2]
-    if g0 == g1 and T0 == T1 and tapset0 == tapset1:
-        i = 0
-    else:
-        for i in range(overlap):
-            f = window[i] * window[i]
-            x0 = x[off + i - T1 + 2]
-            y[off + i] = (
-                x[off + i]
-                + (1 - f) * g00 * x[off + i - T0]
-                + (1 - f) * g01 * (x[off + i - T0 + 1] + x[off + i - T0 - 1])
-                + (1 - f) * g02 * (x[off + i - T0 + 2] + x[off + i - T0 - 2])
-                + f * g10 * x2
-                + f * g11 * (x1 + x3)
-                + f * g12 * (x0 + x4)
+
+    w2 = window * window
+    i = 0
+    if not (g0 == g1 and T0 == T1 and tapset0 == tapset1):
+        ov = min(overlap, N)
+        step = max(1, min(T0, T1) - 2)
+        while i < ov:
+            n = min(step, ov - i)
+            j = off + i
+            f = w2[i : i + n]
+            a0 = x[j - T0 : j - T0 + n]
+            a1 = x[j - T0 + 1 : j - T0 + 1 + n] + x[j - T0 - 1 : j - T0 - 1 + n]
+            a2 = x[j - T0 + 2 : j - T0 + 2 + n] + x[j - T0 - 2 : j - T0 - 2 + n]
+            b0 = x[j - T1 : j - T1 + n]
+            b1 = x[j - T1 + 1 : j - T1 + 1 + n] + x[j - T1 - 1 : j - T1 - 1 + n]
+            b2 = x[j - T1 + 2 : j - T1 + 2 + n] + x[j - T1 - 2 : j - T1 - 2 + n]
+            y[j : j + n] = (
+                x[j : j + n]
+                + (1 - f) * (g00 * a0 + g01 * a1 + g02 * a2)
+                + f * (g10 * b0 + g11 * b1 + g12 * b2)
             )
-            x4, x3, x2, x1 = x3, x2, x1, x0
-        i = overlap
+            i += n
         if g1 == 0.0:
             return
     # Constant-parameter tail (comb_filter_const)
-    x4 = x[off + i - T1 - 2]
-    x3 = x[off + i - T1 - 1]
-    x2 = x[off + i - T1]
-    x1 = x[off + i - T1 + 1]
-    for j in range(i, N):
-        x0 = x[off + j - T1 + 2]
-        y[off + j] = (
-            x[off + j] + g10 * x2 + g11 * (x1 + x3) + g12 * (x0 + x4)
-        )
-        x4, x3, x2, x1 = x3, x2, x1, x0
+    step = max(1, T1 - 2)
+    while i < N:
+        n = min(step, N - i)
+        j = off + i
+        b0 = x[j - T1 : j - T1 + n]
+        b1 = x[j - T1 + 1 : j - T1 + 1 + n] + x[j - T1 - 1 : j - T1 - 1 + n]
+        b2 = x[j - T1 + 2 : j - T1 + 2 + n] + x[j - T1 - 2 : j - T1 - 2 + n]
+        y[j : j + n] = x[j : j + n] + g10 * b0 + g11 * b1 + g12 * b2
+        i += n
+
+
+
+@functools.lru_cache(maxsize=8)
+def _deemph_toeplitz(coef: float, n: int):
+    i = np.arange(n)
+    d = i[:, None] - i[None, :]
+    L = np.where(d >= 0, np.power(coef, np.maximum(d, 0.0)), 0.0)
+    # the carried m is already coef*y_prev, so it enters y[0]
+    # with unit weight: m-term coefficient for y[j] is coef^j
+    powers = np.power(coef, i.astype(np.float64))
+    return L, powers
 
 
 def celt_synthesize_host(st: CeltDecoderState, info) -> np.ndarray:
@@ -1976,16 +1991,14 @@ def celt_synthesize_host(st: CeltDecoderState, info) -> np.ndarray:
         st.postfilter_tapset_old = st.postfilter_tapset
 
     # Deemphasis (reference: celt_decoder_clean.c deemphasis :189-256)
+    # y[j] = x[j] + VERY_SMALL + coef*y[j-1]: solved as a lower-triangular
+    # Toeplitz matmul (coef^(i-j)) plus the carried-in memory term.
     coef0 = mode.preemph[0]
+    L, powers = _deemph_toeplitz(coef0, N)
     pcm = np.zeros((N, CC))
     for c in range(CC):
         m = st.preemph_memD[c]
-        x = out[c]
-        y = np.empty(N)
-        for j in range(N):
-            tmp = x[j] + m + VERY_SMALL
-            m = coef0 * tmp
-            y[j] = tmp
-        st.preemph_memD[c] = m
+        y = L @ (out[c] + VERY_SMALL) + powers * m
+        st.preemph_memD[c] = coef0 * y[N - 1]
         pcm[:, c] = y * (1.0 / CELT_SIG_SCALE)
     return pcm
