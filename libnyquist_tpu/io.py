@@ -151,6 +151,15 @@ def load(
         audio.length_seconds = (
             audio.sample_count / audio.channel_count / audio.sample_rate
         )
+    if not audio.frame_size and audio.channel_count:
+        from .audio_data import PCMFormat
+
+        bps = {
+            PCMFormat.PCM_U8: 1, PCMFormat.PCM_S8: 1, PCMFormat.PCM_16: 2,
+            PCMFormat.PCM_24: 3, PCMFormat.PCM_32: 4, PCMFormat.PCM_64: 8,
+            PCMFormat.PCM_FLT: 4, PCMFormat.PCM_DBL: 8,
+        }.get(audio.source_format, 0)
+        audio.frame_size = audio.channel_count * bps
     return audio
 
 
