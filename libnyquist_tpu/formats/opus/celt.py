@@ -441,10 +441,68 @@ def _interp_bits2pulses(
     return codedBands, balance, bits, ebits, fine_priority, intensity, dual_stereo
 
 
+
+def _compute_allocation_native(mode, start, end, offsets, cap, alloc_trim,
+                               total, C, LM, dec):
+    """Decode-side dispatch to native/celt_bands.c
+    celt_compute_allocation; None -> Python fallback."""
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_CELT"):
+        return None
+    from ...runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "celt_compute_allocation"):
+        return None
+    import ctypes
+
+    nb = mode.nbEBands
+    ec = np.array(
+        [dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+         dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext, dec.error],
+        np.int64,
+    )
+    eb = np.ascontiguousarray(mode.eBands, np.int16)
+    ln = np.ascontiguousarray(mode.logN, np.int16)
+    av = np.ascontiguousarray(mode.allocVectors, np.uint8).tobytes()
+    capa = np.ascontiguousarray(cap, np.int32)
+    offa = np.ascontiguousarray(offsets, np.int32)
+    pulses = np.zeros(nb, np.int32)
+    ebits = np.zeros(nb, np.int32)
+    fprio = np.zeros(nb, np.int32)
+    res = np.zeros(4, np.int32)
+
+    def ip(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    L.celt_compute_allocation(
+        dec.buf, dec.storage,
+        ec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), nb,
+        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        av, int(mode.nbAllocVectors),
+        ip(capa), ip(offa),
+        int(start), int(end), int(alloc_trim), int(total), int(C), int(LM),
+        ip(pulses), ip(ebits), ip(fprio), ip(res),
+    )
+    (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+     dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
+     dec.error) = (int(v) for v in ec)
+    return (int(res[0]), int(res[3]), pulses.tolist(), ebits.tolist(),
+            fprio.tolist(), int(res[1]), int(res[2]))
+
+
 def compute_allocation(
     mode, start, end, offsets, cap, alloc_trim, total, C, LM, dec,
     encode=False, chosen_intensity=0, chosen_dual=0,
 ):
+    if not encode:
+        r = _compute_allocation_native(
+            mode, start, end, offsets, cap, alloc_trim, total, C, LM, dec
+        )
+        if r is not None:
+            return r
     eBands = mode.eBands
     total = max(total, 0)
     length = mode.nbEBands

@@ -1064,3 +1064,288 @@ uint32_t celt_bands_decode(
     ec[9] = dec.error;
     return ctx.seed;
 }
+
+/* ---------------- allocation (rate.c port of our Python) ---------- */
+
+#define ALLOC_STEPS 6
+#define MAX_FINE_BITS 8
+#define FINE_OFFSET 21
+
+static const int LOG2_FRAC[25] = {0, 8, 13, 16, 19, 21, 23, 24, 26, 27, 28,
+                                  29, 30, 31, 32, 32, 33, 34, 34, 35, 36,
+                                  36, 37, 37, 38};
+
+/* ec state array layout identical to celt_bands_decode */
+void celt_compute_allocation(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const uint8_t *allocVectors, int nbAllocVectors,
+    const int32_t *cap, const int32_t *offsets,
+    int start, int end, int alloc_trim, int64_t total_in, int C, int LM,
+    /* outputs */
+    int32_t *pulses, int32_t *ebits, int32_t *fine_priority,
+    int32_t *result /* [codedBands, balance_lo64?? -> use 2 slots],
+                       layout: codedBands, intensity, dual, balance */)
+{
+    ecdec dec;
+    int64_t total = total_in;
+    int skip_start = start;
+    int skip_rsv, intensity_rsv = 0, dual_stereo_rsv = 0;
+    int thresh[32], trim_offset[32], bits1[32], bits2[32], bits[32];
+    int lo, hi, j, codedBands, intensity = 0, dual_stereo = 0;
+    int alloc_floor = C << BITRES;
+    int stereo = C > 1 ? 1 : 0;
+    int logM = LM << BITRES;
+    int64_t psum, balance;
+    int left, percoeff, done;
+
+    dec.buf = buf;
+    dec.storage = storage;
+    dec.offs = (uint32_t)ecst[0];
+    dec.end_offs = (uint32_t)ecst[1];
+    dec.end_window = (uint64_t)ecst[2];
+    dec.nend_bits = (int)ecst[3];
+    dec.nbits_total = (int)ecst[4];
+    dec.rng = (uint32_t)ecst[5];
+    dec.rem = (int)ecst[6];
+    dec.val = (uint32_t)ecst[7];
+    dec.ext = (uint32_t)ecst[8];
+    dec.error = (int)ecst[9];
+
+    if (total < 0) total = 0;
+    skip_rsv = total >= (1 << BITRES) ? (1 << BITRES) : 0;
+    total -= skip_rsv;
+    if (C == 2) {
+        intensity_rsv = LOG2_FRAC[end - start];
+        if (intensity_rsv > total) intensity_rsv = 0;
+        else {
+            total -= intensity_rsv;
+            dual_stereo_rsv = total >= (1 << BITRES) ? (1 << BITRES) : 0;
+            total -= dual_stereo_rsv;
+        }
+    }
+
+    for (j = start; j < end; j++) {
+        int N = eBands[j + 1] - eBands[j];
+        int t = (3 * N << LM << BITRES) >> 4;
+        thresh[j] = t > (C << BITRES) ? t : (C << BITRES);
+        trim_offset[j] = (C * N * (alloc_trim - 5 - LM) * (end - j - 1)
+                          * (1 << (LM + BITRES))) >> 6;
+        if ((N << LM) == 1) trim_offset[j] -= C << BITRES;
+    }
+
+    lo = 1;
+    hi = nbAllocVectors - 1;
+    while (lo <= hi) {
+        int mid = (lo + hi) >> 1;
+        done = 0;
+        psum = 0;
+        for (j = end - 1; j >= start; j--) {
+            int N = eBands[j + 1] - eBands[j];
+            int bitsj = (C * N * allocVectors[mid * nbEBands + j]
+                         << LM) >> 2;
+            if (bitsj > 0) {
+                bitsj += trim_offset[j];
+                if (bitsj < 0) bitsj = 0;
+            }
+            bitsj += offsets[j];
+            if (bitsj >= thresh[j] || done) {
+                done = 1;
+                psum += bitsj < cap[j] ? bitsj : cap[j];
+            }
+            else if (bitsj >= alloc_floor)
+                psum += alloc_floor;
+        }
+        if (psum > total) hi = mid - 1;
+        else lo = mid + 1;
+    }
+    hi = lo;
+    lo--;
+    for (j = start; j < end; j++) {
+        int N = eBands[j + 1] - eBands[j];
+        int bits1j = (C * N * allocVectors[lo * nbEBands + j] << LM) >> 2;
+        int bits2j = hi >= nbAllocVectors ? cap[j]
+            : (C * N * allocVectors[hi * nbEBands + j] << LM) >> 2;
+        if (bits1j > 0) {
+            bits1j += trim_offset[j];
+            if (bits1j < 0) bits1j = 0;
+        }
+        if (bits2j > 0) {
+            bits2j += trim_offset[j];
+            if (bits2j < 0) bits2j = 0;
+        }
+        if (lo > 0) bits1j += offsets[j];
+        bits2j += offsets[j];
+        if (offsets[j] > 0) skip_start = j;
+        bits2j -= bits1j;
+        if (bits2j < 0) bits2j = 0;
+        bits1[j] = bits1j;
+        bits2[j] = bits2j;
+    }
+
+    /* interp_bits2pulses */
+    lo = 0;
+    hi = 1 << ALLOC_STEPS;
+    for (int it = 0; it < ALLOC_STEPS; it++) {
+        int mid = (lo + hi) >> 1;
+        psum = 0;
+        done = 0;
+        for (j = end - 1; j >= start; j--) {
+            int tmp = bits1[j] + ((mid * bits2[j]) >> ALLOC_STEPS);
+            if (tmp >= thresh[j] || done) {
+                done = 1;
+                psum += tmp < cap[j] ? tmp : cap[j];
+            }
+            else if (tmp >= alloc_floor)
+                psum += alloc_floor;
+        }
+        if (psum > total) hi = mid;
+        else lo = mid;
+    }
+    psum = 0;
+    done = 0;
+    for (j = end - 1; j >= start; j--) {
+        int tmp = bits1[j] + ((lo * bits2[j]) >> ALLOC_STEPS);
+        if (tmp < thresh[j] && !done)
+            tmp = tmp >= alloc_floor ? alloc_floor : 0;
+        else
+            done = 1;
+        tmp = tmp < cap[j] ? tmp : cap[j];
+        bits[j] = tmp;
+        psum += tmp;
+    }
+
+    codedBands = end;
+    for (;;) {
+        int band_bits, band_width, rem;
+        j = codedBands - 1;
+        if (j <= skip_start) {
+            total += skip_rsv;
+            break;
+        }
+        left = (int)(total - psum);
+        percoeff = left / (eBands[codedBands] - eBands[start]);
+        left -= (eBands[codedBands] - eBands[start]) * percoeff;
+        rem = left - (eBands[j] - eBands[start]);
+        if (rem < 0) rem = 0;
+        band_width = eBands[codedBands] - eBands[j];
+        band_bits = bits[j] + percoeff * band_width + rem;
+        {
+            int th = thresh[j] > alloc_floor + (1 << BITRES)
+                ? thresh[j] : alloc_floor + (1 << BITRES);
+            if (band_bits >= th) {
+                if (ec_dec_bit_logp(&dec, 1))
+                    break;
+                psum += 1 << BITRES;
+                band_bits -= 1 << BITRES;
+            }
+        }
+        psum -= bits[j] + intensity_rsv;
+        if (intensity_rsv > 0)
+            intensity_rsv = LOG2_FRAC[j - start];
+        psum += intensity_rsv;
+        if (band_bits >= alloc_floor) {
+            psum += alloc_floor;
+            bits[j] = alloc_floor;
+        }
+        else
+            bits[j] = 0;
+        codedBands--;
+    }
+
+    if (intensity_rsv > 0)
+        intensity = start + (int)ec_dec_uint(&dec, codedBands + 1 - start);
+    else
+        intensity = 0;
+    if (intensity <= start) {
+        total += dual_stereo_rsv;
+        dual_stereo_rsv = 0;
+    }
+    dual_stereo = dual_stereo_rsv > 0 ? ec_dec_bit_logp(&dec, 1) : 0;
+
+    left = (int)(total - psum);
+    percoeff = left / (eBands[codedBands] - eBands[start]);
+    left -= (eBands[codedBands] - eBands[start]) * percoeff;
+    for (j = start; j < codedBands; j++)
+        bits[j] += percoeff * (eBands[j + 1] - eBands[j]);
+    for (j = start; j < codedBands; j++) {
+        int tmp = left < (eBands[j + 1] - eBands[j])
+            ? left : (eBands[j + 1] - eBands[j]);
+        bits[j] += tmp;
+        left -= tmp;
+    }
+
+    balance = 0;
+    for (j = start; j < codedBands; j++) {
+        int N0 = eBands[j + 1] - eBands[j];
+        int N = N0 << LM;
+        int64_t bit = (int64_t)bits[j] + balance;
+        int excess = 0;
+        if (N > 1) {
+            int den, NClogN, offset2;
+            excess = (int)(bit - cap[j]);
+            if (excess < 0) excess = 0;
+            bits[j] = (int)(bit - excess);
+            den = C * N + ((C == 2 && N > 2 && !dual_stereo
+                            && j < intensity) ? 1 : 0);
+            NClogN = den * (logN[j] + logM);
+            offset2 = (NClogN >> 1) - den * FINE_OFFSET;
+            if (N == 2) offset2 += den << BITRES >> 2;
+            if (bits[j] + offset2 < (den * 2) << BITRES)
+                offset2 += NClogN >> 2;
+            else if (bits[j] + offset2 < (den * 3) << BITRES)
+                offset2 += NClogN >> 3;
+            {
+                int eb = (bits[j] + offset2 + (den << (BITRES - 1)))
+                         / (den << BITRES);
+                if (eb < 0) eb = 0;
+                if (C * eb > (bits[j] >> BITRES))
+                    eb = bits[j] >> stereo >> BITRES;
+                if (eb > MAX_FINE_BITS) eb = MAX_FINE_BITS;
+                ebits[j] = eb;
+                fine_priority[j] =
+                    eb * (den << BITRES) >= bits[j] + offset2;
+                bits[j] -= C * eb << BITRES;
+            }
+        }
+        else {
+            excess = (int)(bit - (C << BITRES));
+            if (excess < 0) excess = 0;
+            bits[j] = (int)(bit - excess);
+            ebits[j] = 0;
+            fine_priority[j] = 1;
+        }
+        if (excess > 0) {
+            int extra_fine = excess >> (stereo + BITRES);
+            int extra_bits;
+            if (extra_fine > MAX_FINE_BITS - ebits[j])
+                extra_fine = MAX_FINE_BITS - ebits[j];
+            ebits[j] += extra_fine;
+            extra_bits = extra_fine * C << BITRES;
+            fine_priority[j] = extra_bits >= excess - (int)balance;
+            excess -= extra_bits;
+        }
+        balance = excess;
+    }
+    for (j = codedBands; j < end; j++) {
+        ebits[j] = bits[j] >> stereo >> BITRES;
+        bits[j] = 0;
+        fine_priority[j] = ebits[j] < 1;
+    }
+    for (j = start; j < end; j++) pulses[j] = bits[j];
+
+    ecst[0] = dec.offs;
+    ecst[1] = dec.end_offs;
+    ecst[2] = (int64_t)dec.end_window;
+    ecst[3] = dec.nend_bits;
+    ecst[4] = dec.nbits_total;
+    ecst[5] = dec.rng;
+    ecst[6] = dec.rem;
+    ecst[7] = dec.val;
+    ecst[8] = dec.ext;
+    ecst[9] = dec.error;
+    result[0] = codedBands;
+    result[1] = intensity;
+    result[2] = dual_stereo;
+    result[3] = (int32_t)balance;
+}

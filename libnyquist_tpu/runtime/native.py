@@ -105,6 +105,19 @@ def lib():
             ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
         ]
+        L.celt_compute_allocation.restype = None
+        L.celt_compute_allocation.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
