@@ -160,8 +160,67 @@ BETA_COEF = [30147 / 32768.0, 22282 / 32768.0, 12124 / 32768.0, 6554 / 32768.0]
 BETA_INTRA = 4915 / 32768.0
 
 
+def _native_celt():
+    """The native CELT hot-loop library, or None (env-gated fallback)."""
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_CELT"):
+        return None
+    from ...runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "celt_coarse_energy"):
+        return None
+    return L
+
+
+def _ec_pack(dec):
+    return np.array(
+        [dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+         dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext, dec.error],
+        np.int64,
+    )
+
+
+def _ec_unpack(dec, ec):
+    (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+     dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
+     dec.error) = (int(v) for v in ec)
+
+
+_I64P = None
+_I32P = None
+_F64P = None
+
+
+def _ec_ptrs():
+    global _I64P, _I32P, _F64P
+    if _I64P is None:
+        import ctypes
+
+        _I64P = ctypes.POINTER(ctypes.c_int64)
+        _I32P = ctypes.POINTER(ctypes.c_int32)
+        _F64P = ctypes.POINTER(ctypes.c_double)
+    return _I64P, _I32P, _F64P
+
+
 def unquant_coarse_energy(mode, start, end, oldEBands, intra, dec, C, LM):
     prob_model = mode.e_prob_model[LM][1 if intra else 0]
+    L = _native_celt()
+    if L is not None and isinstance(dec.buf, bytes):
+        i64p, i32p, f64p = _ec_ptrs()
+        ec = _ec_pack(dec)
+        pm = np.ascontiguousarray(prob_model, np.int32)
+        eb = np.ascontiguousarray(oldEBands, np.float64)
+        L.celt_coarse_energy(
+            dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            pm.ctypes.data_as(i32p), int(start), int(end),
+            eb.ctypes.data_as(f64p), eb.shape[1], int(bool(intra)),
+            int(C), int(LM),
+        )
+        oldEBands[:, :] = eb
+        _ec_unpack(dec, ec)
+        return
     if intra:
         coef, beta = 0.0, BETA_INTRA
     else:
@@ -191,6 +250,20 @@ def unquant_coarse_energy(mode, start, end, oldEBands, intra, dec, C, LM):
 
 
 def unquant_fine_energy(mode, start, end, oldEBands, fine_quant, dec, C):
+    L = _native_celt()
+    if L is not None and isinstance(dec.buf, bytes):
+        i64p, i32p, f64p = _ec_ptrs()
+        ec = _ec_pack(dec)
+        fq = np.ascontiguousarray(fine_quant, np.int32)
+        eb = np.ascontiguousarray(oldEBands, np.float64)
+        L.celt_fine_energy(
+            dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            fq.ctypes.data_as(i32p), eb.ctypes.data_as(f64p), eb.shape[1],
+            int(start), int(end), int(C),
+        )
+        oldEBands[:, :] = eb
+        _ec_unpack(dec, ec)
+        return
     for i in range(start, end):
         if fine_quant[i] <= 0:
             continue
@@ -203,6 +276,22 @@ def unquant_fine_energy(mode, start, end, oldEBands, fine_quant, dec, C):
 def unquant_energy_finalise(
     mode, start, end, oldEBands, fine_quant, fine_priority, bits_left, dec, C
 ):
+    L = _native_celt()
+    if L is not None and isinstance(dec.buf, bytes):
+        i64p, i32p, f64p = _ec_ptrs()
+        ec = _ec_pack(dec)
+        fq = np.ascontiguousarray(fine_quant, np.int32)
+        fp = np.ascontiguousarray(fine_priority, np.int32)
+        eb = np.ascontiguousarray(oldEBands, np.float64)
+        L.celt_energy_finalise(
+            dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            fq.ctypes.data_as(i32p), fp.ctypes.data_as(i32p),
+            int(bits_left), eb.ctypes.data_as(f64p), eb.shape[1],
+            int(start), int(end), int(C),
+        )
+        oldEBands[:, :] = eb
+        _ec_unpack(dec, ec)
+        return
     for prio in range(2):
         i = start
         while i < end and bits_left >= C:
@@ -221,6 +310,20 @@ def unquant_energy_finalise(
 # tf_decode (reference: celt_decoder_clean.c:314-351)
 # --------------------------------------------------------------------------
 def tf_decode(start, end, isTransient, tf_res, LM, dec):
+    L = _native_celt()
+    if L is not None and isinstance(dec.buf, bytes):
+        i64p, i32p, _ = _ec_ptrs()
+        ec = _ec_pack(dec)
+        tf = np.zeros(len(tf_res), np.int32)
+        tf[:] = tf_res
+        L.celt_tf_decode(
+            dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            int(start), int(end), int(isTransient),
+            tf.ctypes.data_as(i32p), int(LM),
+        )
+        tf_res[:] = [int(v) for v in tf]
+        _ec_unpack(dec, ec)
+        return
     budget = dec.storage * 8
     tell = dec.tell()
     logp = 2 if isTransient else 4

@@ -1349,3 +1349,232 @@ void celt_compute_allocation(
     result[2] = dual_stereo;
     result[3] = (int32_t)balance;
 }
+
+/* --------------- energy envelope + tf_decode (quant_bands.c) -----------
+ * C translations of unquant_coarse_energy / unquant_fine_energy /
+ * unquant_energy_finalise (reference: celt/quant_bands.c:427-550) and
+ * tf_decode (celt_decoder_clean.c:314-351), same ec-state handoff as
+ * celt_bands_decode above. */
+
+static void ec_load(ecdec *d, const uint8_t *buf, uint32_t storage,
+                    const int64_t *st) {
+    d->buf = buf;
+    d->storage = storage;
+    d->offs = (uint32_t)st[0];
+    d->end_offs = (uint32_t)st[1];
+    d->end_window = (uint64_t)st[2];
+    d->nend_bits = (int)st[3];
+    d->nbits_total = (int)st[4];
+    d->rng = (uint32_t)st[5];
+    d->rem = (int)st[6];
+    d->val = (uint32_t)st[7];
+    d->ext = (uint32_t)st[8];
+    d->error = (int)st[9];
+}
+
+static void ec_store(const ecdec *d, int64_t *st) {
+    st[0] = d->offs;
+    st[1] = d->end_offs;
+    st[2] = (int64_t)d->end_window;
+    st[3] = d->nend_bits;
+    st[4] = d->nbits_total;
+    st[5] = d->rng;
+    st[6] = d->rem;
+    st[7] = d->val;
+    st[8] = d->ext;
+    st[9] = d->error;
+}
+
+static int64_t ec_tell(const ecdec *d) {
+    return d->nbits_total - ec_ilog(d->rng);
+}
+
+static uint32_t ec_decode_bin(ecdec *d, unsigned bits) {
+    uint32_t s;
+    d->ext = d->rng >> bits;
+    s = d->val / d->ext;
+    return ((uint32_t)1 << bits)
+        - (s + 1 < ((uint32_t)1 << bits) ? s + 1 : ((uint32_t)1 << bits));
+}
+
+static int ec_dec_icdf(ecdec *d, const uint8_t *icdf, unsigned ftb) {
+    uint32_t r, s, t;
+    int ret = -1;
+    s = d->rng;
+    r = s >> ftb;
+    do {
+        ret++;
+        t = s;
+        s = r * icdf[ret];
+    } while (d->val < s);
+    d->val -= s;
+    d->rng = t - s;
+    ec_normalize(d);
+    return ret;
+}
+
+/* laplace.c ec_laplace_decode with LOG_MINP=0 (MINP=1), NMIN=16 */
+static int ec_laplace_decode(ecdec *d, unsigned fs, int decay) {
+    int val = 0;
+    unsigned fl = 0;
+    unsigned fm = ec_decode_bin(d, 15);
+    if (fm >= fs) {
+        val++;
+        fl = fs;
+        fs = (unsigned)(((32768 - 32 - (int)fs) * (16384 - decay)) >> 15) + 1;
+        while (fs > 1 && fm >= fl + 2 * fs) {
+            fs *= 2;
+            fl += fs;
+            fs = (unsigned)(((int)(fs - 2) * decay) >> 15);
+            fs += 1;
+            val++;
+        }
+        if (fs <= 1) {
+            int di = (int)(fm - fl) >> 1;
+            val += di;
+            fl += 2u * (unsigned)di;
+        }
+        if (fm < fl + fs) val = -val;
+        else fl += fs;
+    }
+    ec_update(d, fl, fl + fs < 32768 ? fl + fs : 32768, 32768);
+    return val;
+}
+
+void celt_coarse_energy(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    const int32_t *prob_model /* [42] for this (LM, intra) */,
+    int start, int end, double *oldEBands /* [2*nbE] */, int nbE,
+    int intra, int C, int LM)
+{
+    static const double pred_coef[4] = {
+        29440 / 32768.0, 26112 / 32768.0, 21248 / 32768.0, 16384 / 32768.0};
+    static const double beta_coef[4] = {
+        30147 / 32768.0, 22282 / 32768.0, 12124 / 32768.0, 6554 / 32768.0};
+    static const uint8_t small_energy_icdf[3] = {2, 1, 0};
+    ecdec dec;
+    double coef, beta;
+    double prev[2] = {0.0, 0.0};
+    int64_t budget = (int64_t)storage * 8;
+    int i, c;
+
+    ec_load(&dec, buf, storage, ecst);
+    if (intra) { coef = 0.0; beta = 4915 / 32768.0; }
+    else { coef = pred_coef[LM]; beta = beta_coef[LM]; }
+    for (i = start; i < end; i++) {
+        for (c = 0; c < C; c++) {
+            int64_t tell = ec_tell(&dec);
+            int qi;
+            double q, old, tmp;
+            if (budget - tell >= 15) {
+                int pi = 2 * (i < 20 ? i : 20);
+                qi = ec_laplace_decode(
+                    &dec, (unsigned)prob_model[pi] << 7,
+                    prob_model[pi + 1] << 6);
+            } else if (budget - tell >= 2) {
+                qi = ec_dec_icdf(&dec, small_energy_icdf, 2);
+                qi = (qi >> 1) ^ -(qi & 1);
+            } else if (budget - tell >= 1) {
+                qi = -ec_dec_bit_logp(&dec, 1);
+            } else {
+                qi = -1;
+            }
+            q = (double)qi;
+            old = oldEBands[c * nbE + i];
+            if (old < -9.0) old = -9.0;
+            tmp = coef * old + prev[c] + q;
+            oldEBands[c * nbE + i] = tmp;
+            prev[c] = prev[c] + q - beta * q;
+        }
+    }
+    ec_store(&dec, ecst);
+}
+
+void celt_fine_energy(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    const int32_t *fine_quant, double *oldEBands, int nbE,
+    int start, int end, int C)
+{
+    ecdec dec;
+    int i, c;
+    ec_load(&dec, buf, storage, ecst);
+    for (i = start; i < end; i++) {
+        if (fine_quant[i] <= 0) continue;
+        for (c = 0; c < C; c++) {
+            uint32_t q2 = ec_dec_bits(&dec, (unsigned)fine_quant[i]);
+            double offset =
+                (q2 + 0.5) * (double)(1 << (14 - fine_quant[i])) / 16384.0
+                - 0.5;
+            oldEBands[c * nbE + i] += offset;
+        }
+    }
+    ec_store(&dec, ecst);
+}
+
+/* returns bits_left after consumption */
+int64_t celt_energy_finalise(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    const int32_t *fine_quant, const int32_t *fine_priority,
+    int64_t bits_left, double *oldEBands, int nbE,
+    int start, int end, int C)
+{
+    ecdec dec;
+    int prio, i, c;
+    ec_load(&dec, buf, storage, ecst);
+    for (prio = 0; prio < 2; prio++) {
+        for (i = start; i < end && bits_left >= C; i++) {
+            if (fine_quant[i] >= 8 /* MAX_FINE_BITS */
+                || fine_priority[i] != prio)
+                continue;
+            for (c = 0; c < C; c++) {
+                uint32_t q2 = ec_dec_bits(&dec, 1);
+                double offset = ((double)q2 - 0.5)
+                    * (double)(1 << (14 - fine_quant[i] - 1)) / 16384.0;
+                oldEBands[c * nbE + i] += offset;
+                bits_left--;
+            }
+        }
+    }
+    ec_store(&dec, ecst);
+    return bits_left;
+}
+
+void celt_tf_decode(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    int start, int end, int isTransient, int32_t *tf_res, int LM)
+{
+    static const int tf_select_table[4][8] = {
+        {0, -1, 0, -1, 0, -1, 0, -1},
+        {0, -1, 0, -2, 1, 0, 1, -1},
+        {0, -2, 0, -3, 2, 0, 1, -1},
+        {0, -2, 0, -3, 3, 0, 1, -1},
+    };
+    ecdec dec;
+    int64_t budget, tell;
+    int logp, tf_select_rsv, tf_changed = 0, curr = 0, tf_select = 0;
+    int base, i;
+
+    ec_load(&dec, buf, storage, ecst);
+    budget = (int64_t)storage * 8;
+    tell = ec_tell(&dec);
+    logp = isTransient ? 2 : 4;
+    tf_select_rsv = (LM > 0 && tell + logp + 1 <= budget) ? 1 : 0;
+    budget -= tf_select_rsv;
+    for (i = start; i < end; i++) {
+        if (tell + logp <= budget) {
+            curr ^= ec_dec_bit_logp(&dec, logp);
+            tell = ec_tell(&dec);
+            tf_changed |= curr;
+        }
+        tf_res[i] = curr;
+        logp = isTransient ? 4 : 5;
+    }
+    base = isTransient ? 4 : 0;
+    if (tf_select_rsv
+        && tf_select_table[LM][base + 0 + tf_changed]
+           != tf_select_table[LM][base + 2 + tf_changed])
+        tf_select = ec_dec_bit_logp(&dec, 1);
+    for (i = start; i < end; i++)
+        tf_res[i] = tf_select_table[LM][base + 2 * tf_select + tf_res[i]];
+    ec_store(&dec, ecst);
+}

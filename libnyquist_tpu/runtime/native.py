@@ -118,6 +118,40 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ]
+        L.celt_coarse_energy.restype = None
+        L.celt_coarse_energy.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),                 # ec state
+            ctypes.POINTER(ctypes.c_int32),                 # prob_model[42]
+            ctypes.c_int, ctypes.c_int,                     # start, end
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,  # oldEBands, nbE
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,       # intra, C, LM
+        ]
+        L.celt_fine_energy.restype = None
+        L.celt_fine_energy.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),                 # fine_quant
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        L.celt_energy_finalise.restype = ctypes.c_int64
+        L.celt_energy_finalise.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),                 # fine_quant
+            ctypes.POINTER(ctypes.c_int32),                 # fine_priority
+            ctypes.c_int64,                                 # bits_left
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        L.celt_tf_decode.restype = None
+        L.celt_tf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,       # start,end,trans
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,   # tf_res, LM
+        ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
