@@ -204,17 +204,48 @@ def _ec_ptrs():
     return _I64P, _I32P, _F64P
 
 
+_MODE_PTRS = {}
+
+
+def _mode_ptrs(mode):
+    """Per-mode ctypes pointers to the static tables (built once; the
+    arrays are kept alive in the cache entry)."""
+    p = _MODE_PTRS.get(id(mode))
+    if p is not None:
+        return p
+    import ctypes
+
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    _, i32p, _ = _ec_ptrs()
+    eb = np.ascontiguousarray(mode.eBands, np.int16)
+    ln = np.ascontiguousarray(mode.logN, np.int16)
+    ci = np.ascontiguousarray(mode.cache_index, np.int16)
+    cb = np.ascontiguousarray(mode.cache_bits, np.uint8).tobytes()
+    av = np.ascontiguousarray(mode.allocVectors, np.uint8).tobytes()
+    pm = np.ascontiguousarray(mode.e_prob_model, np.int32)
+    p = dict(
+        eb=eb, ln=ln, ci=ci, cb=cb, av=av, pm=pm,
+        eb_p=eb.ctypes.data_as(i16p),
+        ln_p=ln.ctypes.data_as(i16p),
+        ci_p=ci.ctypes.data_as(i16p),
+        pm_p=[[pm[lm, it].ctypes.data_as(i32p) for it in range(2)]
+              for lm in range(pm.shape[0])],
+    )
+    _MODE_PTRS[id(mode)] = p
+    return p
+
+
 def unquant_coarse_energy(mode, start, end, oldEBands, intra, dec, C, LM):
     prob_model = mode.e_prob_model[LM][1 if intra else 0]
     L = _native_celt()
     if L is not None and isinstance(dec.buf, bytes):
         i64p, i32p, f64p = _ec_ptrs()
         ec = _ec_pack(dec)
-        pm = np.ascontiguousarray(prob_model, np.int32)
+        pm_p = _mode_ptrs(mode)["pm_p"][LM][1 if intra else 0]
         eb = np.ascontiguousarray(oldEBands, np.float64)
         L.celt_coarse_energy(
             dec.buf, dec.storage, ec.ctypes.data_as(i64p),
-            pm.ctypes.data_as(i32p), int(start), int(end),
+            pm_p, int(start), int(end),
             eb.ctypes.data_as(f64p), eb.shape[1], int(bool(intra)),
             int(C), int(LM),
         )
@@ -566,9 +597,7 @@ def _compute_allocation_native(mode, start, end, offsets, cap, alloc_trim,
          dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext, dec.error],
         np.int64,
     )
-    eb = np.ascontiguousarray(mode.eBands, np.int16)
-    ln = np.ascontiguousarray(mode.logN, np.int16)
-    av = np.ascontiguousarray(mode.allocVectors, np.uint8).tobytes()
+    mp = _mode_ptrs(mode)
     capa = np.ascontiguousarray(cap, np.int32)
     offa = np.ascontiguousarray(offsets, np.int32)
     pulses = np.zeros(nb, np.int32)
@@ -582,9 +611,9 @@ def _compute_allocation_native(mode, start, end, offsets, cap, alloc_trim,
     L.celt_compute_allocation(
         dec.buf, dec.storage,
         ec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), nb,
-        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        av, int(mode.nbAllocVectors),
+        mp["eb_p"], nb,
+        mp["ln_p"],
+        mp["av"], int(mode.nbAllocVectors),
         ip(capa), ip(offa),
         int(start), int(end), int(alloc_trim), int(total), int(C), int(LM),
         ip(pulses), ip(ebits), ip(fprio), ip(res),
@@ -1525,18 +1554,15 @@ def _quant_all_bands_native(mode, start, end, X_, Y_, collapse_masks, pulses,
          dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext, dec.error],
         np.int64,
     )
-    eb = np.ascontiguousarray(mode.eBands, np.int16)
-    ln = np.ascontiguousarray(mode.logN, np.int16)
-    ci = np.ascontiguousarray(mode.cache_index, np.int16)
-    cb = np.ascontiguousarray(mode.cache_bits, np.uint8).tobytes()
+    mp = _mode_ptrs(mode)
     tf = np.ascontiguousarray(tf_res, np.int32)
     pl = np.ascontiguousarray(pulses, np.int32)
     new_seed = L.celt_bands_decode(
         dec.buf, dec.storage,
         ec.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        eb.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), mode.nbEBands,
-        ln.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), cb,
+        mp["eb_p"], mode.nbEBands,
+        mp["ln_p"],
+        mp["ci_p"], mp["cb"],
         int(start), int(end), int(shortBlocks), int(spread),
         int(dual_stereo), int(intensity),
         tf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -1728,16 +1754,16 @@ def anti_collapse(
 
 
 def denormalise_bands(mode, X, freq, bandLogE_row, start, end, M):
-    """One channel: X [N] unit bands -> freq [N] scaled spectra."""
+    """One channel: X [N] unit bands -> freq [N] scaled spectra
+    (vectorized: per-band gains expanded with np.repeat)."""
     N = M * mode.shortMdctSize
-    freq[: M * int(mode.eBands[start])] = 0.0
-    for i in range(start, end):
-        j0 = M * int(mode.eBands[i])
-        j1 = M * int(mode.eBands[i + 1])
-        lg = bandLogE_row[i] + mode.eMeans[i]
-        g = math.exp(0.6931471805599453094 * lg)
-        freq[j0:j1] = X[j0:j1] * g
-    freq[M * int(mode.eBands[end]):N] = 0.0
+    eb = np.asarray(mode.eBands[start : end + 1], np.int64) * M
+    lg = (np.asarray(bandLogE_row[start:end], np.float64)
+          + np.asarray(mode.eMeans[start:end], np.float64))
+    g = np.exp(0.6931471805599453094 * lg)
+    freq[: eb[0]] = 0.0
+    freq[eb[0] : eb[-1]] = X[eb[0] : eb[-1]] * np.repeat(g, np.diff(eb))
+    freq[eb[-1] : N] = 0.0
 
 
 # --------------------------------------------------------------------------
@@ -1883,34 +1909,52 @@ def celt_decode_frame_to_freq(
 
     cap = init_caps(mode, LM, C)
     offsets = [0] * nbEBands
-    dynalloc_logp = 6
     total_bits <<= BITRES
-    tell = dec.tell_frac()
-    for i in range(st.start, st.end):
-        width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
-        quanta = min(width << BITRES, max(6 << BITRES, width))
-        dynalloc_loop_logp = dynalloc_logp
-        boost = 0
-        while (
-            tell + (dynalloc_loop_logp << BITRES) < total_bits
-            and boost < cap[i]
-        ):
-            flag = dec.dec_bit_logp(dynalloc_loop_logp)
-            tell = dec.tell_frac()
-            if not flag:
-                break
-            boost += quanta
-            total_bits -= quanta
-            dynalloc_loop_logp = 1
-        offsets[i] = boost
-        if boost > 0:
-            dynalloc_logp = max(2, dynalloc_logp - 1)
+    L = _native_celt()
+    if (L is not None and isinstance(dec.buf, bytes)
+            and hasattr(L, "celt_dynalloc")):
+        i64p, i32p, _ = _ec_ptrs()
+        ec = _ec_pack(dec)
+        capa = np.ascontiguousarray(cap, np.int32)
+        offa = np.zeros(nbEBands, np.int32)
+        trim = np.zeros(1, np.int32)
+        total_bits = int(L.celt_dynalloc(
+            dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            _mode_ptrs(mode)["eb_p"], st.start, st.end, int(C), int(LM),
+            capa.ctypes.data_as(i32p), int(total_bits),
+            offa.ctypes.data_as(i32p), trim.ctypes.data_as(i32p),
+        ))
+        offsets = [int(v) for v in offa]
+        alloc_trim = int(trim[0])
+        _ec_unpack(dec, ec)
+    else:
+        dynalloc_logp = 6
+        tell = dec.tell_frac()
+        for i in range(st.start, st.end):
+            width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
+            quanta = min(width << BITRES, max(6 << BITRES, width))
+            dynalloc_loop_logp = dynalloc_logp
+            boost = 0
+            while (
+                tell + (dynalloc_loop_logp << BITRES) < total_bits
+                and boost < cap[i]
+            ):
+                flag = dec.dec_bit_logp(dynalloc_loop_logp)
+                tell = dec.tell_frac()
+                if not flag:
+                    break
+                boost += quanta
+                total_bits -= quanta
+                dynalloc_loop_logp = 1
+            offsets[i] = boost
+            if boost > 0:
+                dynalloc_logp = max(2, dynalloc_logp - 1)
 
-    alloc_trim = (
-        dec.dec_icdf(TRIM_ICDF, 7)
-        if tell + (6 << BITRES) <= total_bits
-        else 5
-    )
+        alloc_trim = (
+            dec.dec_icdf(TRIM_ICDF, 7)
+            if tell + (6 << BITRES) <= total_bits
+            else 5
+        )
 
     bits = (length * 8 << BITRES) - dec.tell_frac() - 1
     anti_collapse_rsv = (

@@ -1578,3 +1578,49 @@ void celt_tf_decode(
         tf_res[i] = tf_select_table[LM][base + 2 * tf_select + tf_res[i]];
     ec_store(&dec, ecst);
 }
+
+/* Dynalloc boost loop + alloc trim (celt_decoder_clean.c:481-529): the
+ * per-band tell_frac/dec_bit_logp loop, the densest remaining ec section.
+ * Returns the updated total_bits (Q3); writes offsets[start..end) and
+ * trim_out[0]. */
+int64_t celt_dynalloc(
+    const uint8_t *buf, uint32_t storage, int64_t *ecst,
+    const int16_t *eBands, int start, int end, int C, int LM,
+    const int32_t *cap, int64_t total_bits,
+    int32_t *offsets, int32_t *trim_out)
+{
+    static const uint8_t trim_icdf[11] =
+        {126, 124, 119, 109, 87, 41, 19, 9, 4, 2, 0};
+    ecdec dec;
+    int dynalloc_logp = 6;
+    int64_t tell;
+    int i;
+
+    ec_load(&dec, buf, storage, ecst);
+    tell = ec_tell_frac(&dec);
+    for (i = start; i < end; i++) {
+        int width = (C * (eBands[i + 1] - eBands[i])) << LM;
+        int qa = width << BITRES;
+        int qb = (6 << BITRES) > width ? (6 << BITRES) : width;
+        int quanta = qa < qb ? qa : qb;
+        int dll = dynalloc_logp;
+        int boost = 0;
+        while (tell + ((int64_t)dll << BITRES) < total_bits
+               && boost < cap[i]) {
+            int flag = ec_dec_bit_logp(&dec, (unsigned)dll);
+            tell = ec_tell_frac(&dec);
+            if (!flag) break;
+            boost += quanta;
+            total_bits -= quanta;
+            dll = 1;
+        }
+        offsets[i] = boost;
+        if (boost > 0)
+            dynalloc_logp = dynalloc_logp - 1 > 2 ? dynalloc_logp - 1 : 2;
+    }
+    trim_out[0] = 5;
+    if (tell + (6 << BITRES) <= total_bits)
+        trim_out[0] = ec_dec_icdf(&dec, trim_icdf, 7);
+    ec_store(&dec, ecst);
+    return total_bits;
+}

@@ -145,6 +145,16 @@ def lib():
             ctypes.POINTER(ctypes.c_double), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        L.celt_dynalloc.restype = ctypes.c_int64
+        L.celt_dynalloc.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int16),                 # eBands
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,  # cap, total
+            ctypes.POINTER(ctypes.c_int32),                 # offsets
+            ctypes.POINTER(ctypes.c_int32),                 # trim out
+        ]
         L.celt_tf_decode.restype = None
         L.celt_tf_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_uint32,
