@@ -185,7 +185,7 @@ def _ec_pack(dec):
 def _ec_unpack(dec, ec):
     (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
      dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
-     dec.error) = (int(v) for v in ec)
+     dec.error) = ec.tolist()
 
 
 _I64P = None
@@ -411,14 +411,31 @@ def pulses2bits(mode, band, LM, pulses):
     return 0 if pulses == 0 else int(cache[pulses]) + 1
 
 
+_CAPS_CACHE = {}
+_CAPS_NP = {}
+
+
 def init_caps(mode, LM, C):
+    """Per-band allocation caps; deterministic in (mode, LM, C), so cached
+    (callers treat the result as read-only)."""
+    key = (id(mode), LM, C)
+    cap = _CAPS_CACHE.get(key)
+    if cap is not None:
+        return cap
     cap = [0] * mode.nbEBands
     for i in range(mode.nbEBands):
         N = (mode.eBands[i + 1] - mode.eBands[i]) << LM
         cap[i] = (
             int(mode.cache_caps[mode.nbEBands * (2 * LM + C - 1) + i]) + 64
         ) * C * N >> 2
+    _CAPS_CACHE[key] = cap
+    _CAPS_NP[id(cap)] = np.ascontiguousarray(cap, np.int32)
     return cap
+
+
+def _caps_np(cap):
+    a = _CAPS_NP.get(id(cap))
+    return a if a is not None else np.ascontiguousarray(cap, np.int32)
 
 
 def _interp_bits2pulses(
@@ -598,7 +615,7 @@ def _compute_allocation_native(mode, start, end, offsets, cap, alloc_trim,
         np.int64,
     )
     mp = _mode_ptrs(mode)
-    capa = np.ascontiguousarray(cap, np.int32)
+    capa = _caps_np(cap)
     offa = np.ascontiguousarray(offsets, np.int32)
     pulses = np.zeros(nb, np.int32)
     ebits = np.zeros(nb, np.int32)
@@ -620,7 +637,7 @@ def _compute_allocation_native(mode, start, end, offsets, cap, alloc_trim,
     )
     (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
      dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
-     dec.error) = (int(v) for v in ec)
+     dec.error) = ec.tolist()
     return (int(res[0]), int(res[3]), pulses.tolist(), ebits.tolist(),
             fprio.tolist(), int(res[1]), int(res[2]))
 
@@ -1579,7 +1596,7 @@ def _quant_all_bands_native(mode, start, end, X_, Y_, collapse_masks, pulses,
         collapse_masks[i] = int(masks[i])
     (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
      dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
-     dec.error) = (int(v) for v in ec)
+     dec.error) = ec.tolist()
     return int(new_seed) & 0xFFFFFFFF
 
 
@@ -1915,7 +1932,7 @@ def celt_decode_frame_to_freq(
             and hasattr(L, "celt_dynalloc")):
         i64p, i32p, _ = _ec_ptrs()
         ec = _ec_pack(dec)
-        capa = np.ascontiguousarray(cap, np.int32)
+        capa = _caps_np(cap)
         offa = np.zeros(nbEBands, np.int32)
         trim = np.zeros(1, np.int32)
         total_bits = int(L.celt_dynalloc(
