@@ -251,9 +251,121 @@ class VorbisCodebook:
     def decode_vq(self, bits) -> np.ndarray:
         return self.vq[self.decode_scalar(bits)]
 
+    def _tree_nodes(self) -> np.ndarray:
+        """Binary decode tree as flat int32 node pairs for the native
+        decoder: child 0 = unset, negative = ~entry leaf (-(entry+1))."""
+        tr = getattr(self, "_tree", None)
+        if tr is not None:
+            return tr
+        nodes = [0, 0]
+        for (ln, code), e in self.decode_map.items():
+            cur = 0
+            for depth in range(ln - 1, 0, -1):
+                b = (code >> depth) & 1
+                nxt = nodes[2 * cur + b]
+                if nxt == 0:
+                    nodes.extend((0, 0))
+                    nxt = (len(nodes) >> 1) - 1
+                    nodes[2 * cur + b] = nxt
+                cur = nxt
+            nodes[2 * cur + (code & 1)] = -(e + 1)
+        self._tree = np.array(nodes, np.int32)
+        return self._tree
+
 
 class EndOfPacket(Exception):
     pass
+
+
+# --------------------------------------------------------------------------
+# Native residue decode (native/vorbis_res.c) support
+# --------------------------------------------------------------------------
+def _native_res():
+    """The native library with vorbis_residue_decode, or None."""
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_VORBIS"):
+        return None
+    from ..runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "vorbis_residue_decode"):
+        return None
+    return L
+
+
+def _book_registry(books):
+    """Flat codebook registry (LUTs, trees, VQ tables) marshalled once per
+    logical stream; cached on books[0] so its lifetime tracks the setup."""
+    first = books[0]
+    reg = getattr(first, "_native_reg", None)
+    if reg is not None and reg["key"] == id(books):
+        return reg
+    import ctypes
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    luts, lut_off, lut_w = [], [], []
+    trees, tree_off, maxlen = [], [], []
+    vq_chunks, vq_off, dims = [], [], []
+    lo = to = vo = 0
+    for bk in books:
+        if bk.lut is not None:
+            luts.append(np.ascontiguousarray(bk.lut, np.int32))
+            lut_off.append(lo)
+            lo += bk.lut.size
+            lut_w.append(bk.lut_w)
+        else:
+            lut_off.append(lo)
+            lut_w.append(0)
+        tr = bk._tree_nodes()
+        trees.append(tr)
+        tree_off.append(to)
+        to += tr.size
+        maxlen.append(bk.max_len if bk.max_len <= 32 else 32)
+        dims.append(bk.dimensions)
+        if bk.vq is not None:
+            v = np.ascontiguousarray(bk.vq, np.float32).reshape(-1)
+            vq_chunks.append(v)
+            vq_off.append(vo)
+            vo += v.size
+        else:
+            vq_off.append(-1)
+
+    def cat(chunks, dt):
+        return (np.concatenate(chunks).astype(dt, copy=False)
+                if chunks else np.zeros(1, dt))
+
+    luts_a = cat(luts, np.int32)
+    trees_a = cat(trees, np.int32)
+    vqs_a = cat(vq_chunks, np.float32)
+    reg = dict(
+        key=id(books),
+        luts=luts_a, trees=trees_a, vqs=vqs_a,
+        lut_off=np.asarray(lut_off, np.int64),
+        lut_w=np.asarray(lut_w, np.int32),
+        tree_off=np.asarray(tree_off, np.int64),
+        maxlen=np.asarray(maxlen, np.int32),
+        vq_off=np.asarray(vq_off, np.int64),
+        dims=np.asarray(dims, np.int32),
+    )
+    reg["ptrs"] = (
+        reg["luts"].ctypes.data_as(i32p),
+        reg["lut_off"].ctypes.data_as(i64p),
+        reg["lut_w"].ctypes.data_as(i32p),
+        reg["trees"].ctypes.data_as(i32p),
+        reg["tree_off"].ctypes.data_as(i64p),
+        reg["maxlen"].ctypes.data_as(i32p),
+        reg["vqs"].ctypes.data_as(f32p),
+        reg["vq_off"].ctypes.data_as(i64p),
+        reg["dims"].ctypes.data_as(i32p),
+    )
+    reg["f32p"] = f32p
+    reg["i64p"] = i64p
+    reg["i32p"] = i32p
+    first._native_reg = reg
+    return reg
 
 
 # --------------------------------------------------------------------------
@@ -447,6 +559,22 @@ class Residue:
                     row.append(-1)
             self.books.append(row)
 
+    def _books8_np(self):
+        a = getattr(self, "_b8", None)
+        if a is None:
+            a = np.ascontiguousarray(
+                np.asarray(self.books, np.int32).reshape(-1)
+            )
+            self._b8 = a
+        return a
+
+    def _max_book(self):
+        m = getattr(self, "_maxb", None)
+        if m is None:
+            m = max((max(row) for row in self.books), default=-1)
+            self._maxb = m
+        return m
+
     def decode(self, bits, books, do_not_decode, ch, n2):
         """Returns [ch, n2] float residue vectors."""
         out = np.zeros((ch, n2), np.float32)
@@ -471,6 +599,30 @@ class Residue:
             return out
         # Residue 2 codes ONE channel-interleaved vector of length ch*n2.
         work = np.zeros(n2 * ch, np.float32) if rtype == 2 else out
+
+        L = _native_res()
+        if (L is not None and isinstance(bits.data, bytes)
+                and self.classbook < len(books)
+                and self._max_book() < len(books)):
+            reg = _book_registry(books)
+            st = np.array([bits.pos, 1 if bits.eop else 0], np.int64)
+            dnd = bytes(1 if x else 0 for x in do_not_decode)
+            L.vorbis_residue_decode(
+                bits.data, len(bits.data),
+                st.ctypes.data_as(reg["i64p"]),
+                *reg["ptrs"],
+                int(rtype), int(begin), int(end), int(psize),
+                int(self.classifications), int(self.classbook),
+                self._books8_np().ctypes.data_as(reg["i32p"]), dnd,
+                int(ch if rtype != 2 else ch), int(n2),
+                work.ctypes.data_as(reg["f32p"]),
+            )
+            bits.pos = int(st[0])
+            bits.eop = bool(st[1])
+            if rtype == 2:
+                for c in range(ch):
+                    out[c] = work[c::ch]
+            return out
 
         classifs = [[0] * parts for _ in range(vecs)]
         try:

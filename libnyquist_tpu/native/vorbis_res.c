@@ -1,0 +1,202 @@
+/* Native Vorbis residue decode: C translation of our Python
+ * Residue.decode + Codebook.decode_scalar/decode_vq
+ * (formats/vorbis.py, mirroring the Vorbis I spec §8.6.2 /
+ * reference: third_party/libvorbis res0.c, codebook.c semantics).
+ * The Python path stays as the fallback and the correctness oracle.
+ *
+ * Codebooks arrive as a flat registry built once per logical stream:
+ *  - luts:  per-book W<=11-bit LSB-peek LUT, value (entry<<6)|len, -1 miss
+ *  - trees: per-book binary-tree node pairs (int32 x2 per node);
+ *           child 0 = unset, negative = ~entry leaf (-(entry+1))
+ *  - vqs:   per-book [entries, dim] float32 lookup vectors (off -1: none)
+ */
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef struct {
+    const uint8_t *data;
+    int64_t nbytes;
+    int64_t pos;    /* bit position */
+    int64_t limit;  /* total bits */
+    int eop;
+} vbits;
+
+static uint32_t vb_peek(const vbits *b, int n) {
+    int64_t byte = b->pos >> 3;
+    int off = (int)(b->pos & 7);
+    int nbytes = (off + n + 7) >> 3;
+    uint64_t chunk = 0;
+    int i;
+    for (i = 0; i < nbytes; i++) {
+        uint64_t v = (byte + i < b->nbytes) ? b->data[byte + i] : 0;
+        chunk |= v << (8 * i);
+    }
+    return (uint32_t)((chunk >> off) & ((1u << n) - 1));
+}
+
+static int vb_read1(vbits *b) {
+    int bit;
+    if (b->pos + 1 > b->limit) {
+        b->eop = 1;
+        b->pos = b->limit;
+        return 0;
+    }
+    bit = (b->data[b->pos >> 3] >> (b->pos & 7)) & 1;
+    b->pos += 1;
+    return bit;
+}
+
+/* Decode one scalar codeword. Returns the entry index, or -1 on
+ * end-of-packet (br->eop set, pos at limit) OR invalid codeword
+ * (eop NOT set, pos advanced by maxlen -- matching the Python
+ * decode_scalar loop, which reads max_len bits before giving up). */
+static int book_scalar(vbits *br, const int32_t *lut, int lutw,
+                       const int32_t *tree, int maxlen) {
+    int cur = 0, dead = 0, ln;
+    if (lutw > 0) {
+        int32_t v = lut[vb_peek(br, lutw)];
+        if (v >= 0) {
+            int len = v & 63;
+            if (br->pos + len > br->limit) {
+                br->eop = 1;
+                br->pos = br->limit;
+                return -1;
+            }
+            br->pos += len;
+            return v >> 6;
+        }
+    }
+    for (ln = 1; ln <= maxlen; ln++) {
+        int b = vb_read1(br);
+        if (br->eop) return -1;
+        if (!dead) {
+            int32_t nxt = tree[2 * cur + b];
+            if (nxt < 0) return -nxt - 1;
+            if (nxt == 0) dead = 1;
+            else cur = nxt;
+        }
+    }
+    return -1; /* invalid codeword: abort decode, eop stays clear */
+}
+
+void vorbis_residue_decode(
+    const uint8_t *data, int64_t nbytes, int64_t *st /* [pos, eop] */,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *vqs, const int64_t *vq_off, const int32_t *dims,
+    int rtype, int64_t begin, int64_t end, int64_t psize,
+    int classifications, int classbook,
+    const int32_t *books8 /* [classifications][8] */,
+    const uint8_t *do_not_decode, int64_t ch, int64_t n2,
+    float *work /* rtype==2: [n2*ch]; else [ch][n2] row-major */)
+{
+    vbits br;
+    int64_t vecs = (rtype == 2) ? 1 : ch;
+    int64_t parts = (end - begin) / psize;
+    int32_t *classifs;
+    const int32_t *cb_lut = luts + lut_off[classbook];
+    const int32_t *cb_tree = trees + tree_off[classbook];
+    int cb_lutw = lut_w[classbook];
+    int cb_maxlen = maxlen[classbook];
+    int64_t cdim = dims[classbook];
+    int passn;
+
+    br.data = data;
+    br.nbytes = nbytes;
+    br.pos = st[0];
+    br.limit = nbytes * 8;
+    br.eop = (int)st[1];
+
+    if (parts <= 0 || cdim <= 0 || classifications <= 0) return;
+    classifs = (int32_t *)calloc((size_t)(vecs * parts), sizeof(int32_t));
+    if (!classifs) return;
+
+    for (passn = 0; passn < 8; passn++) {
+        int64_t pcount = 0;
+        while (pcount < parts) {
+            int64_t d, v;
+            if (passn == 0) {
+                for (v = 0; v < vecs; v++) {
+                    int64_t tmp;
+                    int e;
+                    if (rtype != 2 && do_not_decode[v]) continue;
+                    e = book_scalar(&br, cb_lut, cb_lutw, cb_tree,
+                                    cb_maxlen);
+                    if (e < 0) goto done;
+                    tmp = e;
+                    for (d = cdim - 1; d >= 0; d--) {
+                        if (pcount + d < parts)
+                            classifs[v * parts + pcount + d] =
+                                (int32_t)(tmp % classifications);
+                        tmp /= classifications;
+                    }
+                }
+            }
+            for (d = 0; d < cdim; d++) {
+                if (pcount >= parts) break;
+                for (v = 0; v < vecs; v++) {
+                    int cls, book;
+                    int64_t offset;
+                    float *row;
+                    const int32_t *b_lut, *b_tree;
+                    int b_lutw, b_maxlen;
+                    int64_t bdim;
+                    const float *bvq;
+                    if (rtype != 2 && do_not_decode[v]) continue;
+                    cls = classifs[v * parts + pcount];
+                    book = books8[cls * 8 + passn];
+                    if (book < 0) continue;
+                    if (vq_off[book] < 0 || dims[book] <= 0) {
+                        br.eop = 1;
+                        goto done;
+                    }
+                    b_lut = luts + lut_off[book];
+                    b_tree = trees + tree_off[book];
+                    b_lutw = lut_w[book];
+                    b_maxlen = maxlen[book];
+                    bdim = dims[book];
+                    bvq = vqs + vq_off[book];
+                    offset = begin + pcount * psize;
+                    row = (rtype == 2) ? work : work + v * n2;
+                    if (rtype == 0) {
+                        int64_t step = psize / bdim, sidx, k;
+                        for (sidx = 0; sidx < step; sidx++) {
+                            int e = book_scalar(&br, b_lut, b_lutw,
+                                                b_tree, b_maxlen);
+                            const float *vec;
+                            if (e < 0) goto done;
+                            vec = bvq + (int64_t)e * bdim;
+                            for (k = 0; k < bdim; k++)
+                                row[offset + sidx + k * step] += vec[k];
+                        }
+                    } else {
+                        /* row_len guards the final, possibly partial
+                         * codeword when psize % bdim != 0 */
+                        int64_t row_len = (rtype == 2) ? n2 * ch : n2;
+                        int64_t i = 0, k;
+                        while (i < psize) {
+                            int e = book_scalar(&br, b_lut, b_lutw,
+                                                b_tree, b_maxlen);
+                            const float *vec;
+                            if (e < 0) goto done;
+                            if (offset + i + bdim > row_len) {
+                                br.eop = 1;
+                                goto done;
+                            }
+                            vec = bvq + (int64_t)e * bdim;
+                            for (k = 0; k < bdim; k++)
+                                row[offset + i + k] += vec[k];
+                            i += bdim;
+                        }
+                    }
+                }
+                pcount++;
+            }
+        }
+    }
+done:
+    free(classifs);
+    st[0] = br.pos;
+    st[1] = br.eop;
+}

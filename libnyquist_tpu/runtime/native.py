@@ -20,7 +20,7 @@ _TRIED = False
 
 def _build() -> pathlib.Path | None:
     srcs = [_NATIVE_DIR / "hostops.c", _NATIVE_DIR / "celt_bands.c",
-            _NATIVE_DIR / "mp3_huff.c"]
+            _NATIVE_DIR / "mp3_huff.c", _NATIVE_DIR / "vorbis_res.c"]
     out = _NATIVE_DIR / "libhostops.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in srcs
@@ -161,6 +161,20 @@ def lib():
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int, ctypes.c_int, ctypes.c_int,       # start,end,trans
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,   # tf_res, LM
+        ]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        L.vorbis_residue_decode.restype = None
+        L.vorbis_residue_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, i64p,          # data, st
+            i32p, i64p, i32p,                               # luts
+            i32p, i64p, i32p,                               # trees, maxlen
+            ctypes.POINTER(ctypes.c_float), i64p, i32p,     # vqs, dims
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,                     # classifs, cbook
+            i32p, ctypes.c_char_p,                          # books8, dnd
+            ctypes.c_int64, ctypes.c_int64,                 # ch, n2
+            ctypes.POINTER(ctypes.c_float),                 # work
         ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [

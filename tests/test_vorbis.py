@@ -21,3 +21,14 @@ def test_vorbis(name, test_data_dir):
     assert audio.sample_count == int(g["count"])
     assert audio.sample_rate == int(g["rate"])
     assert np.abs(audio.samples - g["full"][: audio.sample_count]).max() < 1e-4
+
+
+def test_native_residue_matches_python(test_data_dir, monkeypatch):
+    """native/vorbis_res.c must be bit-identical to the Python residue
+    decode (same codebook walk, same end-of-packet semantics)."""
+    path = str(test_data_dir / "ad_hoc" / "TestBeat.ogg")
+    a = nq.load(path)
+    monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_VORBIS", "1")
+    b = nq.load(path)
+    assert a.sample_count == b.sample_count
+    assert np.abs(a.samples - b.samples).max() == 0.0
