@@ -440,8 +440,9 @@ class Floor1:
         finaly[0] = ys[0]
         finaly[1] = ys[1]
         step2[0] = step2[1] = True
+        nbs = self._neighbors_all()
         for i in range(2, posts):
-            lo, hi = self._neighbors(i)
+            lo, hi = nbs[i - 2]
             predicted = render_point(
                 xs[lo], finaly[lo], xs[hi], finaly[hi], xs[i]
             )
@@ -494,6 +495,14 @@ class Floor1:
                  key=lambda j: xs[j])
         return lo, hi
 
+    def _neighbors_all(self):
+        """Neighbors depend only on the static xlist: compute once."""
+        nb = getattr(self, "_nb", None)
+        if nb is None:
+            nb = [self._neighbors(i) for i in range(2, self.posts)]
+            self._nb = nb
+        return nb
+
 
 def render_point(x0, y0, x1, y1, x):
     dy = y1 - y0
@@ -505,29 +514,22 @@ def render_point(x0, y0, x1, y1, x):
 
 
 def render_line(x0, y0, x1, y1, curve, n):
+    """Bresenham per the spec; the error accumulation collapses to the
+    closed form y(x) = y0 + sign(dy) * floor(|dy|*(x-x0)/adx), which is
+    what render_point computes -- vectorized over the segment."""
     dy = y1 - y0
     adx = x1 - x0
-    ady = abs(dy)
-    base = dy // adx if adx else 0
-    # trunc toward zero like C
-    base = int(dy / adx) if adx else 0
-    x = x0
-    y = y0
-    err = 0
-    sy = base + 1 if dy >= 0 else base - 1
-    ady -= abs(base) * adx
     if x1 > n:
         x1 = n
-    if x < x1:
-        curve[x] = y
-    for x in range(x0 + 1, x1):
-        err += ady
-        if err >= adx:
-            err -= adx
-            y += sy
-        else:
-            y += base
-        curve[x] = y
+    if x0 >= x1:
+        return
+    xr = np.arange(x0, x1)
+    if adx:
+        off = (abs(dy) * (xr - x0)) // adx
+        ys_ = y0 + off if dy >= 0 else y0 - off
+    else:
+        ys_ = np.full(x1 - x0, y0)
+    curve[x0:x1] = ys_
 
 
 # --------------------------------------------------------------------------
