@@ -772,10 +772,19 @@ class Mp3Decoder:
         self.reserv_buf = bytearray(511)
         self.header = bytes(4)
         self.free_format_bytes = 0
+        # epoch increments on every reset: a sink-mode caller uses it to
+        # notice that qmf/reservoir state went back to silence
+        self.epoch = getattr(self, "epoch", 0) + 1
 
-    def decode_frame(self, data: bytes):
+    def decode_frame(self, data: bytes, sink=None):
         """Decode one frame; returns (pcm [n, ch] float32 or None,
-        frame_bytes_consumed, channels, hz)."""
+        frame_bytes_consumed, channels, hz).
+
+        With sink set, granule buffers are handed to
+        sink(grbuf [2,576], nbands, channels) instead of being
+        synthesized here, and pcm is a 0-row placeholder on success
+        (whole-stream batched synthesis: ops/mp3_synth.py
+        synth_granules_stream)."""
         i = 0
         frame_size = 0
         if len(data) > 4 and self.header[0:1] == b"\xff" and hdr_compare(
@@ -824,7 +833,8 @@ class Mp3Decoder:
             pcm = None
             if success:
                 ngr = 2 if hdr_test_mpeg1(hdr) else 1
-                pcm = np.zeros((576 * ngr, channels), np.float32)
+                pcm = (np.zeros((0, channels), np.float32) if sink
+                       else np.zeros((576 * ngr, channels), np.float32))
                 ist_pos = np.zeros((2, 40), np.int32)
                 for igr in range(ngr):
                     grbuf = np.zeros((2, 576), np.float32)
@@ -832,6 +842,9 @@ class Mp3Decoder:
                         mbs, grs[igr * channels:], channels, hdr, grbuf,
                         ist_pos,
                     )
+                    if sink is not None:
+                        sink(grbuf, 18, channels)
+                        continue
                     out = mp3_synth.synth_granule(
                         self.qmf_state, grbuf, 18, channels
                     )
@@ -858,14 +871,19 @@ class Mp3Decoder:
             if i_off == 12:
                 i_off = 0
                 l12_apply_scf_384(sci, igr, grbuf)
-                out = mp3_synth.synth_granule(
-                    self.qmf_state, grbuf, 12, channels
-                )
-                parts.append(out)
+                if sink is not None:
+                    sink(grbuf.copy(), 12, channels)
+                else:
+                    parts.append(mp3_synth.synth_granule(
+                        self.qmf_state, grbuf, 12, channels
+                    ))
                 grbuf[:] = 0
             if bs.pos > bs.limit:
                 self.__init__()
                 return None, i + frame_size, channels, hz
+        if sink is not None:
+            return np.zeros((0, channels), np.float32), \
+                i + frame_size, channels, hz
         pcm = np.concatenate(parts, axis=0)
         return pcm, i + frame_size, channels, hz
 
@@ -903,22 +921,53 @@ class Mp3Decoder:
 
 
 def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
+    """Whole-buffer decode: frames hand their granule buffers to a sink
+    and synthesis runs as the batched 3-tap FIR over each silence-started
+    segment (ops/mp3_synth.py synth_granules_stream) -- three BLAS
+    matmuls instead of a per-granule polyphase loop. Segments break on
+    decoder resets (qmf back to silence) and on nbands/channel changes."""
     dec = Mp3Decoder()
     pos = 0
-    chunks = []
+    segs = []
+    cur_g = []          # granule buffers of the current segment
+    cur_nb = cur_ch = 0
     channels = 0
     hz = 0
+
+    def flush():
+        nonlocal cur_g
+        if cur_g:
+            segs.append(mp3_synth.synth_granules_stream(
+                np.stack(cur_g), cur_nb, cur_ch
+            ))
+            cur_g = []
+
+    frame_g = []
+
+    def sink(g, nb, ch):
+        frame_g.append((g, nb, ch))
+
     while pos < len(data):
-        pcm, consumed, ch, rate = dec.decode_frame(data[pos:])
+        epoch = dec.epoch
+        frame_g.clear()
+        pcm, consumed, ch, rate = dec.decode_frame(data[pos:], sink=sink)
         if consumed == 0:
             break
         pos += consumed
-        if pcm is not None and pcm.size:
-            channels, hz = ch, rate
-            chunks.append(pcm)
-    if not chunks:
+        if dec.epoch != epoch:
+            flush()     # decoder reset: qmf state back to silence
+        if pcm is None:
+            continue    # failed frame: its partial granules are dropped
+        channels, hz = ch, rate
+        for g, nb, gch in frame_g:
+            if cur_g and (nb != cur_nb or gch != cur_ch):
+                flush()
+            cur_nb, cur_ch = nb, gch
+            cur_g.append(g)
+    flush()
+    if not segs:
         raise DecodeError("no decodable MP3 frames found")
-    pcm = np.concatenate(chunks, axis=0)
+    pcm = np.concatenate(segs, axis=0)
     audio.channel_count = channels
     audio.sample_rate = hz
     audio.source_format = PCMFormat.PCM_FLT

@@ -560,7 +560,32 @@ def synth_vec(xl, xl_off, pcm, pcm_off, nch, lins, lins_off):
 
 @functools.lru_cache(maxsize=4)
 def granule_maps(nbands: int, nch: int):
-    """Probe (A, BC, BDC) for synth_granule with this (nbands, nch)."""
+    """Probe (A, BC, BDC) for synth_granule with this (nbands, nch).
+
+    Probing runs synth_granule ~2100 times, so the result is cached on
+    disk next to the native build artifacts and loaded on later runs."""
+    import pathlib
+
+    cache = (pathlib.Path(__file__).resolve().parents[1] / "native"
+             / f"mp3maps_{nbands}_{nch}.npz")
+    if cache.exists():
+        try:
+            z = np.load(cache)
+            return (z["A"], z["BC"], z["BDC"])
+        except Exception:
+            pass
+    A, BC, BDC = _probe_granule_maps(nbands, nch)
+    try:
+        tmp = cache.with_suffix(f".{id(cache)}.tmp")
+        with open(tmp, "wb") as f:
+            np.savez(f, A=A, BC=BC, BDC=BDC)
+        tmp.replace(cache)
+    except Exception:
+        pass
+    return A, BC, BDC
+
+
+def _probe_granule_maps(nbands: int, nch: int):
     d_in = 576 * nch
     d_q = 15 * 64
     n_out = 32 * nbands * nch
