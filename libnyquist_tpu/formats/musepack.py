@@ -345,16 +345,19 @@ class _Synth:
         self.v = np.zeros(V_MEM + 960, np.float64)
 
     def run(self, y: np.ndarray) -> np.ndarray:
-        """y: [36,32] requantized subband samples -> [36,32] pcm."""
+        """y: [36,32] requantized subband samples -> [36,32] pcm.
+
+        Step n writes v[base_n : base_n+64] (base_n descending by 64)
+        and reads v[base_n + 0..1023]: later writes land strictly below
+        every earlier read window, so all 36 matmuls and gathers batch
+        with identical results."""
         v = self.v
         v[V_MEM:] = v[:960]
-        out = np.empty((36, 32), np.float64)
-        di = _T["Di"]
-        for n in range(36):
-            base = V_MEM - 64 * (n + 1)
-            v[base : base + 64] = _M_SYNTH @ y[n]
-            out[n] = np.sum(v[base + _K_IDX] * di, axis=1)
-        return out
+        blocks = y @ _M_SYNTH.T                      # [36, 64]
+        v[V_MEM - 64 * 36 : V_MEM] = blocks[::-1].reshape(-1)
+        bases = V_MEM - 64 * (np.arange(36, dtype=np.int64) + 1)
+        gathered = v[bases[:, None, None] + _K_IDX[None]]  # [36,32,16]
+        return np.sum(gathered * _T["Di"][None], axis=2)
 
 
 # ---------------------------------------------------------------------------
