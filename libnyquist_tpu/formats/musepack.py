@@ -646,31 +646,23 @@ class MusepackDecoder:
                         q[k] = br.read(nbits) - dc
 
     def requantize(self) -> tuple[np.ndarray, np.ndarray]:
-        """mpc_decoder.c:188 mpc_decoder_requantisierung -> Y_L, Y_R [36,32]."""
+        """mpc_decoder.c:188 mpc_decoder_requantisierung -> Y_L, Y_R
+        [36,32] (vectorized over bands; same per-element math)."""
+        nb = self.max_band + 1
+        cc = np.asarray(_T["Cc"], np.float64)
+        scf_tab = np.asarray(_SCF, np.float64)
+        q = np.stack([self.q[0][:nb], self.q[1][:nb]]).astype(np.float64)
+        res = np.stack([self.res[0][:nb], self.res[1][:nb]]).astype(np.int64)
+        scf = np.stack([self.scf_index[0][:nb],
+                        self.scf_index[1][:nb]]) & 0xFF
+        fac = cc[res + 1][..., None] * scf_tab[scf]       # [2, nb, 3]
+        v = np.repeat(fac, 12, axis=2) * q                # [2, nb, 36]
+        v *= (res != 0)[..., None]
+        ms = self.ms_flag[:nb].astype(bool)[:, None]
         yl = np.zeros((36, 32), np.float64)
         yr = np.zeros((36, 32), np.float64)
-        cc = _T["Cc"]
-        res_l, res_r = self.res
-        for band in range(self.max_band + 1):
-            rl, rr = int(res_l[band]), int(res_r[band])
-            ql = self.q[0][band].astype(np.float64)
-            qr = self.q[1][band].astype(np.float64)
-            if rl:
-                fac = cc[rl + 1] * _SCF[self.scf_index[0][band] & 0xFF]
-                vl = np.repeat(fac, 12) * ql
-            else:
-                vl = np.zeros(36)
-            if rr:
-                fac = cc[rr + 1] * _SCF[self.scf_index[1][band] & 0xFF]
-                vr = np.repeat(fac, 12) * qr
-            else:
-                vr = np.zeros(36)
-            if self.ms_flag[band]:
-                yl[:, band] = vl + vr
-                yr[:, band] = vl - vr
-            else:
-                yl[:, band] = vl
-                yr[:, band] = vr
+        yl[:, :nb] = np.where(ms, v[0] + v[1], v[0]).T
+        yr[:, :nb] = np.where(ms, v[0] - v[1], v[1]).T
         return yl, yr
 
     def synthesize(self, yl: np.ndarray, yr: np.ndarray) -> np.ndarray:
