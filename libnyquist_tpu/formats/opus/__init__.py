@@ -210,10 +210,11 @@ class OpusMultistreamDecoder:
         return pkt, end
 
 
-def _decode_celt_only_pipeline(st, head):
+def _decode_celt_only_pipeline(st, head, device=False):
     """Fast path: single-stream CELT-only files go through the batched
-    synthesis pipeline (the production route: host entropy decode +
-    batched IMDCT/comb/deemph) instead of per-frame host synthesis.
+    synthesis pipeline (host entropy decode + batched IMDCT/comb/deemph)
+    instead of per-frame host synthesis. device=False runs the NumPy/BLAS
+    variant (default for file loads); device=True the TPU one.
     Returns pcm [n, channels] or None when the stream doesn't qualify.
     """
     from .celt import CeltDecoderState, celt_decode_frame_to_freq
@@ -246,9 +247,12 @@ def _decode_celt_only_pipeline(st, head):
                 celt_decode_frame_to_freq(cs, fr, parsed.frame_size)
             )
 
-    from ...runtime.opus_pipeline import synthesize_stream
+    from ...runtime.opus_pipeline import (
+        synthesize_stream, synthesize_stream_host,
+    )
 
-    pcm = np.asarray(synthesize_stream(infos, head.channels), np.float64)
+    synth = synthesize_stream if device else synthesize_stream_host
+    pcm = np.asarray(synth(infos, head.channels), np.float64)
     if head.output_gain_q8:
         pcm = pcm * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
     return pcm
@@ -268,14 +272,17 @@ def decode_ogg_opus(data: bytes):
         if pkt.granule_pos >= 0:
             end_granule = pkt.granule_pos
 
-    # The batched device pipeline is the multi-stream serving route
-    # (runtime/serving.py); for single-file loads it only wins when the
-    # accelerator is local, so it is opt-in here.
+    # Single-stream CELT-only files default to the batched host (BLAS)
+    # pipeline; the device pipeline (the multi-stream serving route,
+    # runtime/serving.py) stays opt-in for single-file loads since it
+    # only wins when the accelerator is local.
     pcm = None
     if head.stream_count == 1 and head.coupled_count in (0, 1):
         import os
 
         if os.environ.get("LIBNYQUIST_OPUS_PIPELINE"):
+            pcm = _decode_celt_only_pipeline(st, head, device=True)
+        elif not os.environ.get("LIBNYQUIST_OPUS_FRAME_SYNTH"):
             pcm = _decode_celt_only_pipeline(st, head)
 
     if pcm is None:

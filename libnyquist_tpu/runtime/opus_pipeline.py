@@ -172,6 +172,118 @@ def synthesize_segment(
     return (out.T * np.float32(1.0 / CELT_SIG_SCALE)).astype(np.float32)
 
 
+def synthesize_stream_host(infos: List[dict], channels: int) -> np.ndarray:
+    """Whole-stream CELT synthesis on the host (NumPy/BLAS): the same
+    paired-matrix IMDCT + overlap-add as the TPU pipeline, then the
+    vectorized host comb postfilter and blocked-Toeplitz deemphasis.
+
+    Default route for full-file loads of CELT-only streams: one GEMM per
+    segment instead of a per-frame FFT + Python loop
+    (celt_synthesize_host stays as the per-frame oracle).
+    Returns [S, channels] float64 PCM in [-1, 1].
+    """
+    from ..formats.opus.celt import (
+        COMBFILTER_MINPERIOD, VERY_SMALL, _deemph_toeplitz, comb_filter,
+    )
+    from ..ops.imdct import celt_synthesis_matrix
+
+    mode = mode48000()
+    ov = mode.overlap
+    C = channels
+    S = sum(info["N"] for info in infos)
+    HIST = 1032                                           # > max T + 2
+
+    # 1) batched IMDCT + overlap-add, segmented by (LM, shortBlocks),
+    # written straight into the comb history buffer (no re-stacks;
+    # float32 like the reference's float build)
+    buf = np.zeros((C, HIST + S), np.float32)
+    tails = np.zeros((C, ov), np.float32)
+    i = 0
+    off0 = HIST
+    while i < len(infos):
+        key = (infos[i]["LM"], infos[i]["shortBlocks"])
+        j = i
+        while j < len(infos) and (infos[j]["LM"],
+                                  infos[j]["shortBlocks"]) == key:
+            j += 1
+        LM, shortBlocks = key
+        N = infos[i]["N"]
+        B = shortBlocks if shortBlocks else 1
+        Nmdct = (2 * mode.shortMdctSize if shortBlocks
+                 else (2 * mode.shortMdctSize) << LM)
+        M = celt_synthesis_matrix(Nmdct, ov, B)           # [N, N+ov] f32
+        F = j - i
+        spec = np.empty((F, N), np.float32)
+        for c in range(C):
+            for k in range(F):
+                spec[k] = infos[i + k]["freq"][c]
+            cont = spec @ M                               # [F, N+ov]
+            main = cont[:, :N]
+            main[1:, :ov] += cont[:-1, N:]                # intra-segment OLA
+            main[0, :ov] += tails[c]
+            buf[c, off0 : off0 + F * N] = main.reshape(-1)
+            tails[c] = cont[-1, N:]
+        off0 += F * N
+        i = j
+
+    # 2) comb postfilter: replay the decoder's state machine per frame
+    # over the history-backed buffer (celt_decoder_clean.c:652-685)
+    period = period_old = 0
+    gain = gain_old = 0.0
+    tapset = tapset_old = 0
+    off = HIST
+    n0 = mode.shortMdctSize
+    for info in infos:
+        N = info["N"]
+        LM = info["LM"]
+        T_old = max(period, COMBFILTER_MINPERIOD)
+        T_old2 = max(period_old, COMBFILTER_MINPERIOD)
+        for c in range(C):
+            comb_filter(buf[c], buf[c], off, T_old2, T_old, n0,
+                        gain_old, gain, tapset_old, tapset,
+                        mode.window, ov)
+            if LM != 0:
+                comb_filter(
+                    buf[c], buf[c], off + n0, T_old,
+                    max(info["postfilter_pitch"], COMBFILTER_MINPERIOD),
+                    N - n0, gain, info["postfilter_gain"],
+                    tapset, info["postfilter_tapset"], mode.window, ov,
+                )
+        period_old, gain_old, tapset_old = period, gain, tapset
+        period = info["postfilter_pitch"]
+        gain = info["postfilter_gain"]
+        tapset = info["postfilter_tapset"]
+        if LM != 0:
+            period_old, gain_old, tapset_old = period, gain, tapset
+        off += N
+
+    # 3) deemphasis: blocked Toeplitz as ONE f32 GEMM per channel plus a
+    # vectorized carry fixup. The carried m enters block b as powers * m
+    # with m = coef * previous block's last output; the recursive part of
+    # that recurrence is weighted coef^(BLK+1) ~ 1e-68 — underflow — so
+    # every block's carry depends only on the PRE-fixup previous block,
+    # and the whole fixup is one rank-1 add.
+    coef0 = mode.preemph[0]
+    y = buf[:, HIST:]
+    pcm = np.zeros((S, C))
+    BLK = 960
+    L, powers = _deemph_toeplitz(coef0, BLK)
+    L32 = L.astype(np.float32)
+    p32 = powers.astype(np.float32)
+    pad = (-S) % BLK
+    for c in range(C):
+        x = np.concatenate(
+            [y[c], np.zeros(pad, np.float32)]
+        ).astype(np.float32) + np.float32(VERY_SMALL)
+        blocks = x.reshape(-1, BLK) @ L32.T
+        m = np.concatenate(
+            [[np.float32(0.0)], np.float32(coef0) * blocks[:-1, BLK - 1]]
+        )
+        blocks += m[:, None] * p32[None]
+        pcm[:, c] = blocks.reshape(-1)[:S]
+    return pcm * (1.0 / CELT_SIG_SCALE)
+
+
 def synthesize_stream(infos: List[dict], channels: int) -> np.ndarray:
     """Full-stream TPU synthesis: segments by (LM, shortBlocks) bucket."""
     state = SynthState(channels=channels)
