@@ -108,6 +108,11 @@ def encode_wav_to_buffer(p: EncoderParams, d: AudioData) -> bytes:
     else:
         payload = pcm.tobytes()
 
+    # RIFF sizes are uint32 (Common.h EncoderError::BufferTooBig): the
+    # data chunk length and the total RIFF size must both fit.
+    if len(payload) + 64 > 0xFFFFFFFF:
+        raise ValueError(EncoderError.BufferTooBig.name)
+
     ch = p.channel_count
     byte_rate = d.sample_rate * ch * (bits // 8)
     block_align = ch * (bits // 8)

@@ -141,12 +141,25 @@ def demux(data: bytes, verify_crc: bool = False) -> Dict[int, LogicalStream]:
             # Lost continuation (hole in the stream): drop the partial.
             st._partial = bytearray()
             st._partial_open = False
-        lacing_sizes = [len(s) for s in page.segments]
-        for i, seg in enumerate(page.segments):
+        segments = page.segments
+        if page.continued_first and not st._partial_open:
+            # Orphaned continuation (stream entered mid-file / first page
+            # lost): discard fragments up to and including the segment
+            # that ends the foreign packet, like libogg does.
+            skip = 0
+            for seg in segments:
+                skip += 1
+                if len(seg) < 255:
+                    break
+            else:
+                continue  # whole page is the orphaned continuation
+            segments = segments[skip:]
+        lacing_sizes = [len(s) for s in segments]
+        for i, seg in enumerate(segments):
             st._partial.extend(seg)
             st._partial_open = True
             if lacing_sizes[i] < 255:
-                is_last_on_page = i == len(page.segments) - 1
+                is_last_on_page = i == len(segments) - 1
                 st.packets.append(
                     OggPacket(
                         data=bytes(st._partial),

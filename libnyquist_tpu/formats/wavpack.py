@@ -14,8 +14,8 @@ Python fallbacks. Output is interleaved float32: float streams pass
 through (normalized), integer streams are scaled by 2^(bps-1) like the
 upstream consumer.
 
-Hybrid (lossy) streams and DSD are not supported; all shipped fixtures
-and the vast majority of .wv files are pure lossless.
+Lossless, hybrid lossy (incl. wvx float restore) and int32 streams are
+supported (tests/test_wavpack.py covers all three); DSD is not.
 """
 
 from __future__ import annotations

@@ -24,14 +24,9 @@ from .errors import (
 # (reference: include/libnyquist/Decoders.h:38-44).
 DecoderFn = Callable[[bytes, AudioData], None]
 
+# Extension aliases (wave/ambix -> wav, oga -> ogg) are handled by
+# registering every alias directly in _build_decoder_table below.
 _DECODER_TABLE: Dict[str, DecoderFn] = {}
-_EXTENSION_ALIASES: Dict[str, str] = {
-    "wave": "wav",
-    "ambix": "wav",
-    "oga": "ogg",
-    "mpc": "mpc",
-    "wv": "wv",
-}
 
 
 def register_decoder(extensions, fn: DecoderFn) -> None:

@@ -24,6 +24,13 @@ static inline uint32_t br_read(bitreader *br, int n) {
     uint32_t v = 0;
     /* MSB-first read of n bits (n <= 32) */
     while (n > 0) {
+        if (br->pos >= br->limit) {
+            /* corrupt stream: saturate with zeros but keep advancing pos
+               so the caller's post-call pos>limit check fires
+               (formats/flac.py raises DecodeError on overrun) */
+            br->pos += (uint64_t)n;
+            return v << n;
+        }
         uint64_t byte = br->pos >> 3;
         int off = br->pos & 7;
         int take = 8 - off;
@@ -40,6 +47,10 @@ static inline uint32_t br_read(bitreader *br, int n) {
 static inline uint32_t br_read_unary(bitreader *br) {
     uint32_t q = 0;
     for (;;) {
+        if (br->pos >= br->limit) {  /* corrupt stream: overrun marker */
+            br->pos++;
+            return q;
+        }
         uint64_t byte = br->pos >> 3;
         int off = br->pos & 7;
         uint8_t b = (uint8_t)(br->buf[byte] << off);
@@ -52,7 +63,10 @@ static inline uint32_t br_read_unary(bitreader *br) {
         }
         q += 8 - off;
         br->pos += 8 - off;
-        if (br->pos >= br->limit) return q;  /* corrupt stream guard */
+        if (br->pos >= br->limit) {  /* corrupt: unary run hit the end */
+            br->pos++;
+            return q;
+        }
     }
 }
 

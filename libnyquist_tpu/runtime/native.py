@@ -10,6 +10,7 @@ works without a toolchain.
 from __future__ import annotations
 
 import ctypes
+import os
 import pathlib
 import subprocess
 
@@ -19,21 +20,29 @@ _TRIED = False
 
 
 def _build() -> pathlib.Path | None:
-    srcs = [_NATIVE_DIR / "hostops.c", _NATIVE_DIR / "celt_bands.c",
-            _NATIVE_DIR / "mp3_huff.c", _NATIVE_DIR / "vorbis_res.c"]
+    srcs = sorted(_NATIVE_DIR.glob("*.c"))
     out = _NATIVE_DIR / "libhostops.so"
     if out.exists() and all(
         out.stat().st_mtime >= s.stat().st_mtime for s in srcs
     ):
         return out
+    # Compile to a per-process temp file and atomically rename into place
+    # so concurrent builders (parallel pytest workers, multi-process
+    # serving) never load a half-written .so.
+    tmp = out.with_name(f".libhostops.{os.getpid()}.so")
     try:
         subprocess.run(
             ["cc", "-O3", "-fPIC", "-shared", *map(str, srcs),
-             "-o", str(out), "-lm"],
+             "-o", str(tmp), "-lm"],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, out)
         return out
     except Exception:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return None
 
 
