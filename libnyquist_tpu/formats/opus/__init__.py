@@ -217,7 +217,10 @@ def _decode_celt_only_pipeline(st, head, device=False):
     variant (default for file loads); device=True the TPU one.
     Returns pcm [n, channels] or None when the stream doesn't qualify.
     """
-    from .celt import CeltDecoderState, celt_decode_frame_to_freq
+    from .celt import (
+        CeltDecoderState, celt_decode_frame_to_freq,
+        celt_decode_stream_native,
+    )
     from .decoder import _endband_for_bandwidth
     from .packet import MODE_CELT_ONLY, parse_packet
 
@@ -238,14 +241,27 @@ def _decode_celt_only_pipeline(st, head, device=False):
         return None
 
     cs = CeltDecoderState(channels=head.channels)
-    infos = []
+
+    # Whole-stream native entropy decode: one C call for all frames.
+    frames, sizes, ends, chs = [], [], [], []
     for parsed in pkts:
-        cs.end = _endband_for_bandwidth(parsed.bandwidth)
-        cs.stream_channels = parsed.stream_channels
+        eb = _endband_for_bandwidth(parsed.bandwidth)
         for fr in parsed.frames:
-            infos.append(
-                celt_decode_frame_to_freq(cs, fr, parsed.frame_size)
-            )
+            frames.append(fr)
+            sizes.append(parsed.frame_size)
+            ends.append(eb)
+            chs.append(parsed.stream_channels)
+    infos = celt_decode_stream_native(cs, frames, sizes, ends, chs)
+
+    if infos is None:  # native lib unavailable: per-frame fallback
+        infos = []
+        for parsed in pkts:
+            cs.end = _endband_for_bandwidth(parsed.bandwidth)
+            cs.stream_channels = parsed.stream_channels
+            for fr in parsed.frames:
+                infos.append(
+                    celt_decode_frame_to_freq(cs, fr, parsed.frame_size)
+                )
 
     from ...runtime.opus_pipeline import (
         synthesize_stream, synthesize_stream_host,

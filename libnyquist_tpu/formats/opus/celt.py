@@ -223,11 +223,18 @@ def _mode_ptrs(mode):
     cb = np.ascontiguousarray(mode.cache_bits, np.uint8).tobytes()
     av = np.ascontiguousarray(mode.allocVectors, np.uint8).tobytes()
     pm = np.ascontiguousarray(mode.e_prob_model, np.int32)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    ccaps = np.ascontiguousarray(mode.cache_caps, np.uint8).tobytes()
+    em = np.ascontiguousarray(mode.eMeans, np.float64)
+    pmf = np.ascontiguousarray(pm.reshape(-1), np.int32)
     p = dict(
-        eb=eb, ln=ln, ci=ci, cb=cb, av=av, pm=pm,
+        eb=eb, ln=ln, ci=ci, cb=cb, av=av, pm=pm, ccaps=ccaps, em=em,
+        pmf=pmf,
         eb_p=eb.ctypes.data_as(i16p),
         ln_p=ln.ctypes.data_as(i16p),
         ci_p=ci.ctypes.data_as(i16p),
+        em_p=em.ctypes.data_as(f64p),
+        pmf_p=pmf.ctypes.data_as(i32p),
         pm_p=[[pm[lm, it].ctypes.data_as(i32p) for it in range(2)]
               for lm in range(pm.shape[0])],
     )
@@ -2071,6 +2078,99 @@ def celt_decode_frame_to_freq(
         "postfilter_tapset": postfilter_tapset,
         "silence": silence,
     }
+
+
+def celt_decode_stream_native(
+    st: CeltDecoderState, frames, frame_sizes, ends, stream_chs,
+):
+    """Whole-stream entropy decode: ONE native call for every frame
+    (native/celt_bands.c celt_decode_stream, mirroring the per-frame
+    orchestration of celt_decode_frame_to_freq /
+    celt_decoder_clean.c:353-724).  Returns the list of info dicts, or
+    None when the native library is unavailable (callers fall back to
+    the per-frame Python path).
+    """
+    L = _native_celt()
+    if L is None or not hasattr(L, "celt_decode_stream"):
+        return None
+    import ctypes
+
+    mode = mode48000()
+    nb = mode.nbEBands
+    n = len(frames)
+    if n == 0:
+        return []
+    payload = b"".join(frames)
+    offs = np.zeros(n, np.int64)
+    lens = np.zeros(n, np.int64)
+    o = 0
+    for i, fr in enumerate(frames):
+        offs[i] = o
+        lens[i] = len(fr)
+        o += len(fr)
+    fsz = np.ascontiguousarray(frame_sizes, np.int32)
+    enda = np.ascontiguousarray(ends, np.int32)
+    cha = np.ascontiguousarray(stream_chs, np.int32)
+    CC = st.channels
+    CCout = max(CC, int(cha.max()))
+    nmax = int(fsz.max())
+    freq = np.zeros((n, CCout, nmax), np.float32)
+    sb = np.zeros(n, np.int32)
+    pfp = np.zeros(n, np.int32)
+    pfg = np.zeros(n, np.float64)
+    pft = np.zeros(n, np.int32)
+    sil = np.zeros(n, np.int32)
+    old = np.ascontiguousarray(st.oldEBands, np.float64)
+    ole = np.ascontiguousarray(st.oldLogE, np.float64)
+    ole2 = np.ascontiguousarray(st.oldLogE2, np.float64)
+    bg = np.ascontiguousarray(st.backgroundLogE, np.float64)
+    rng = np.array([st.rng], np.int64)
+    mp = _mode_ptrs(mode)
+    i64p, i32p, f64p = _ec_ptrs()
+    f32p = ctypes.POINTER(ctypes.c_float)
+
+    rc = L.celt_decode_stream(
+        payload, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p),
+        fsz.ctypes.data_as(i32p), enda.ctypes.data_as(i32p),
+        cha.ctypes.data_as(i32p), n,
+        mp["eb_p"], nb, mp["ln_p"], mp["ci_p"], mp["cb"], mp["ccaps"],
+        mp["av"], int(mode.nbAllocVectors), mp["em_p"], mp["pmf_p"],
+        int(mode.shortMdctSize), int(mode.effEBands),
+        old.ctypes.data_as(f64p), ole.ctypes.data_as(f64p),
+        ole2.ctypes.data_as(f64p), bg.ctypes.data_as(f64p),
+        rng.ctypes.data_as(i64p),
+        int(CC), int(CCout), int(st.downsample), int(st.start),
+        nmax, freq.ctypes.data_as(f32p),
+        sb.ctypes.data_as(i32p), pfp.ctypes.data_as(i32p),
+        pfg.ctypes.data_as(f64p), pft.ctypes.data_as(i32p),
+        sil.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        raise ValueError(f"celt_decode_stream failed at frame {rc - 1}")
+    st.oldEBands[:, :] = old
+    st.oldLogE[:] = ole
+    st.oldLogE2[:] = ole2
+    st.backgroundLogE[:] = bg
+    st.rng = int(rng[0])
+
+    infos = []
+    for i in range(n):
+        N = int(fsz[i])
+        C = int(cha[i])
+        LM = (N // mode.shortMdctSize).bit_length() - 1
+        infos.append({
+            "freq": freq[i, : max(CC, C), :N],
+            "N": N,
+            "LM": LM,
+            "C": C,
+            "CC": CC,
+            "shortBlocks": int(sb[i]),
+            "postfilter_pitch": int(pfp[i]),
+            "postfilter_gain": float(pfg[i]),
+            "postfilter_tapset": int(pft[i]),
+            "silence": int(sil[i]),
+        })
+    return infos
 
 
 def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,

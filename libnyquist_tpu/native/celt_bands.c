@@ -1624,3 +1624,345 @@ int64_t celt_dynalloc(
     ec_store(&dec, ecst);
     return total_bits;
 }
+
+/* ================================================================== */
+/* Whole-stream frame driver: the entire CELT entropy half in one     */
+/* native call per stream (reference orchestration:                   */
+/* celt_decoder_clean.c:353-724 celt_decode_with_ec).  The Python     */
+/* layer keeps a per-stage fallback; this driver exists because with  */
+/* a single host core the per-frame Python/ctypes overhead bounds     */
+/* end-to-end decode throughput (SURVEY.md §7 "host decode            */
+/* throughput").                                                      */
+/* ================================================================== */
+
+static void ec_init(ecdec *d, const uint8_t *buf, uint32_t storage) {
+    d->buf = buf;
+    d->storage = storage;
+    d->offs = 0;
+    d->end_offs = 0;
+    d->end_window = 0;
+    d->nend_bits = 0;
+    d->nbits_total = 32 + 1 - ((32 - 7) / 8) * 8;   /* 9 */
+    d->rng = 1u << 7;
+    d->rem = ec_read_byte(d);
+    d->val = d->rng - 1 - (uint32_t)(d->rem >> (8 - 7));
+    d->ext = 0;
+    d->error = 0;
+    ec_normalize(d);
+}
+
+/* bands.c anti_collapse (decode side) */
+static uint32_t anti_collapse_c(
+    const int16_t *eBands, int nbE, double *X_,
+    const uint8_t *collapse_masks, int LM, int C, int size,
+    int start, int end, const double *logE, const double *prev1logE,
+    const double *prev2logE, const int32_t *pulses, uint32_t seed)
+{
+    int i, c, j, k;
+    for (i = start; i < end; i++) {
+        int N0 = eBands[i + 1] - eBands[i];
+        int depth = (1 + pulses[i]) / (N0 << LM);
+        double thresh = 0.5 * pow(2.0, -0.125 * depth);
+        double sqrt_1 = 1.0 / sqrt((double)(N0 << LM));
+        for (c = 0; c < C; c++) {
+            double prev1 = prev1logE[c * nbE + i];
+            double prev2 = prev2logE[c * nbE + i];
+            double Ediff, r;
+            double *X;
+            int renorm = 0;
+            if (C == 1) {
+                if (prev1logE[nbE + i] > prev1) prev1 = prev1logE[nbE + i];
+                if (prev2logE[nbE + i] > prev2) prev2 = prev2logE[nbE + i];
+            }
+            Ediff = logE[c * nbE + i] - (prev1 < prev2 ? prev1 : prev2);
+            if (Ediff < 0.0) Ediff = 0.0;
+            r = 2.0 * pow(2.0, -Ediff);
+            if (LM == 3) r *= 1.41421356;
+            if (r > thresh) r = thresh;
+            r *= sqrt_1;
+            X = X_ + c * size + ((int)eBands[i] << LM);
+            for (k = 0; k < (1 << LM); k++) {
+                if (!(collapse_masks[i * C + c] & (1u << k))) {
+                    for (j = 0; j < N0; j++) {
+                        seed = lcg_rand(seed);
+                        X[(j << LM) + k] = (seed & 0x8000) ? r : -r;
+                    }
+                    renorm = 1;
+                }
+            }
+            if (renorm) renormalise_vector(X, N0 << LM, 1.0);
+        }
+    }
+    return seed;
+}
+
+/* bands.c denormalise_bands for one channel into float32 output */
+static void denormalise_c(
+    const int16_t *eBands, const double *eMeans, int M,
+    const double *X, float *freq, const double *bandLogE_row,
+    int start, int end, int N)
+{
+    int i, j;
+    for (j = 0; j < M * eBands[start]; j++) freq[j] = 0.0f;
+    for (i = start; i < end; i++) {
+        double g = exp(0.6931471805599453094
+                       * (bandLogE_row[i] + eMeans[i]));
+        for (j = M * eBands[i]; j < M * eBands[i + 1]; j++)
+            freq[j] = (float)(X[j] * g);
+    }
+    for (j = M * eBands[end]; j < N; j++) freq[j] = 0.0f;
+}
+
+/* Decode n_frames CELT frames (independent range-coder payloads) into
+ * denormalised spectra + postfilter parameters.  State arrays are
+ * updated in place, matching formats/opus/celt.py CeltDecoderState.
+ *
+ *   payload/offs/lens      per-frame byte ranges
+ *   frame_sizes            per-frame N (120<<LM)
+ *   ends / stream_chs      per-frame end band + coded channels
+ *   prob_model_all         int32 [4][2][42] e_prob_model
+ *   freq_out               float32 [n_frames, CCout, Nmax]
+ * Returns 0, or 1+index of the first frame with a range-coder error. */
+int64_t celt_decode_stream(
+    const uint8_t *payload, const int64_t *offs, const int64_t *lens,
+    const int32_t *frame_sizes, const int32_t *ends,
+    const int32_t *stream_chs, int64_t n_frames,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const int16_t *cache_index, const uint8_t *cache_bits,
+    const uint8_t *cache_caps, const uint8_t *allocVectors,
+    int nbAllocVectors, const double *eMeans,
+    const int32_t *prob_model_all, int shortMdctSize, int effEBands,
+    double *oldEBands, double *oldLogE, double *oldLogE2,
+    double *backgroundLogE, int64_t *rng_io,
+    int CC, int CCout, int downsample, int start,
+    int32_t nmax, float *freq_out,
+    int32_t *out_short_blocks, int32_t *out_pf_pitch,
+    double *out_pf_gain, int32_t *out_pf_tapset, int32_t *out_silence)
+{
+    static const uint8_t tapset_icdf_c[3] = {2, 1, 0};
+    static const uint8_t spread_icdf_c[4] = {25, 23, 2, 0};
+    uint32_t rng = (uint32_t)*rng_io;
+    int64_t f;
+
+    for (f = 0; f < n_frames; f++) {
+        const uint8_t *data = payload + offs[f];
+        uint32_t length = (uint32_t)lens[f];
+        int frame_size = frame_sizes[f];
+        int end = ends[f];
+        int C = stream_chs[f];
+        int effEnd = end < effEBands ? end : effEBands;
+        int LM, M, N, i, c;
+        ecdec dec;
+        int64_t ecst[10];
+        int64_t total_bits, tell, total_q3, bits, anti_collapse_rsv;
+        int silence, isTransient, shortBlocks, intra_ener;
+        int postfilter_pitch = 0, postfilter_tapset = 0;
+        double postfilter_gain = 0.0;
+        int spread_decision = 2 /* SPREAD_NORMAL */;
+        int32_t cap[32], offsets_a[32], trim_a[1], tf_res[32];
+        int32_t pulses[32], fine_quant[32], fine_priority[32], res4[4];
+        int codedBands, intensity, dual_stereo;
+        int64_t balance;
+        double X[2 * 960];
+        uint8_t collapse_masks[64];
+        float *fout = freq_out + f * (int64_t)CCout * nmax;
+        int anti_collapse_on = 0;
+
+        if (C > CCout) return 1 + f;  /* caller must size CCout >= C */
+
+        for (LM = 0; LM <= 3; LM++)
+            if (shortMdctSize << LM == frame_size) break;
+        if (LM > 3) return 1 + f;
+        M = 1 << LM;
+        N = M * shortMdctSize;
+
+        if (C == 1)
+            for (i = 0; i < nbEBands; i++)
+                if (oldEBands[nbEBands + i] > oldEBands[i])
+                    oldEBands[i] = oldEBands[nbEBands + i];
+
+        ec_init(&dec, data, length);
+        total_bits = (int64_t)length * 8;
+        tell = ec_tell(&dec);
+        if (tell >= total_bits) silence = 1;
+        else if (tell == 1) silence = ec_dec_bit_logp(&dec, 15);
+        else silence = 0;
+        if (silence) {
+            dec.nbits_total += (int)(total_bits - ec_tell(&dec));
+            tell = total_bits;
+        } else {
+            tell = ec_tell(&dec);
+        }
+
+        if (start == 0 && tell + 16 <= total_bits) {
+            if (ec_dec_bit_logp(&dec, 1)) {
+                int octave = (int)ec_dec_uint(&dec, 6);
+                int qg;
+                postfilter_pitch =
+                    (16 << octave)
+                    + (int)ec_dec_bits(&dec, (unsigned)(4 + octave)) - 1;
+                qg = (int)ec_dec_bits(&dec, 3);
+                if (ec_tell(&dec) + 2 <= total_bits)
+                    postfilter_tapset =
+                        ec_dec_icdf(&dec, tapset_icdf_c, 2);
+                postfilter_gain = 0.09375 * (qg + 1);
+            }
+            tell = ec_tell(&dec);
+        }
+
+        if (LM > 0 && tell + 3 <= total_bits) {
+            isTransient = ec_dec_bit_logp(&dec, 3);
+            tell = ec_tell(&dec);
+        } else isTransient = 0;
+        shortBlocks = isTransient ? M : 0;
+
+        intra_ener = (tell + 3 <= total_bits)
+            ? ec_dec_bit_logp(&dec, 3) : 0;
+
+        ec_store(&dec, ecst);
+        celt_coarse_energy(
+            data, length, ecst,
+            prob_model_all + ((int64_t)LM * 2 + (intra_ener ? 1 : 0)) * 42,
+            start, end, oldEBands, nbEBands, intra_ener, C, LM);
+
+        celt_tf_decode(data, length, ecst, start, end, isTransient,
+                       tf_res, LM);
+
+        ec_load(&dec, data, length, ecst);
+        tell = ec_tell(&dec);
+        if (tell + 4 <= total_bits)
+            spread_decision = ec_dec_icdf(&dec, spread_icdf_c, 5);
+        else
+            spread_decision = 2;
+        ec_store(&dec, ecst);
+
+        for (i = 0; i < nbEBands; i++) {
+            int NB = (eBands[i + 1] - eBands[i]) << LM;
+            cap[i] = ((int)cache_caps[nbEBands * (2 * LM + C - 1) + i]
+                      + 64) * C * NB >> 2;
+        }
+        total_q3 = total_bits << BITRES;
+        total_q3 = celt_dynalloc(data, length, ecst, eBands, start, end,
+                                 C, LM, cap, total_q3, offsets_a, trim_a);
+
+        ec_load(&dec, data, length, ecst);
+        bits = ((int64_t)length * 8 << BITRES) - ec_tell_frac(&dec) - 1;
+        ec_store(&dec, ecst);
+        anti_collapse_rsv =
+            (isTransient && LM >= 2 && bits >= ((int64_t)(LM + 2) << BITRES))
+                ? (1 << BITRES) : 0;
+        bits -= anti_collapse_rsv;
+
+        celt_compute_allocation(
+            data, length, ecst, eBands, nbEBands, logN, allocVectors,
+            nbAllocVectors, cap, offsets_a, start, end, trim_a[0], bits,
+            C, LM, pulses, fine_quant, fine_priority, res4);
+        codedBands = res4[0];
+        intensity = res4[1];
+        dual_stereo = res4[2];
+        balance = res4[3];
+
+        celt_fine_energy(data, length, ecst, fine_quant, oldEBands,
+                         nbEBands, start, end, C);
+
+        memset(X, 0, sizeof(double) * (size_t)(C * N));
+        memset(collapse_masks, 0, sizeof(collapse_masks));
+        rng = celt_bands_decode(
+            data, length, ecst, eBands, nbEBands, logN, cache_index,
+            cache_bits, start, end, shortBlocks, spread_decision,
+            dual_stereo, intensity, tf_res,
+            (int64_t)length * (8 << BITRES) - anti_collapse_rsv,
+            balance, pulses, LM, codedBands, rng, C, X, collapse_masks);
+        /* celt_bands_decode packs channel 1 at stride
+           N_full = M*eBands[nbEBands] (< N); the rest of this frame
+           (anti-collapse, denormalise) uses stride N — repack. */
+        if (C == 2) {
+            int N_full = M * eBands[nbEBands];
+            if (N_full != N) {
+                memmove(X + N, X + N_full,
+                        sizeof(double) * (size_t)N_full);
+                memset(X + N_full, 0,
+                       sizeof(double) * (size_t)(N - N_full));
+            }
+        }
+
+        if (anti_collapse_rsv > 0) {
+            ec_load(&dec, data, length, ecst);
+            anti_collapse_on = (int)ec_dec_bits(&dec, 1);
+            ec_store(&dec, ecst);
+        }
+
+        ec_load(&dec, data, length, ecst);
+        tell = ec_tell(&dec);
+        ec_store(&dec, ecst);
+        celt_energy_finalise(data, length, ecst, fine_quant,
+                             fine_priority, (int64_t)length * 8 - tell,
+                             oldEBands, nbEBands, start, end, C);
+
+        if (anti_collapse_on)
+            rng = anti_collapse_c(eBands, nbEBands, X, collapse_masks,
+                                  LM, C, N, start, end, oldEBands,
+                                  oldLogE, oldLogE2, pulses, rng);
+        /* Next frame's PVQ seed is the range coder's final rng, not the
+           PVQ-updated seed (celt_decoder_clean.c:714 st->rng = dec->rng). */
+        rng = (uint32_t)ecst[5];
+
+        if (silence) {
+            for (i = 0; i < 2 * nbEBands; i++) oldEBands[i] = -28.0;
+            for (c = 0; c < CCout; c++)
+                for (i = 0; i < N; i++) fout[c * nmax + i] = 0.0f;
+        } else {
+            for (c = 0; c < C; c++)
+                denormalise_c(eBands, eMeans, M, X + c * N,
+                              fout + c * nmax, oldEBands + c * nbEBands,
+                              start, effEnd, N);
+            for (c = 0; c < C; c++) {
+                int bound = M * eBands[effEnd];
+                if (downsample != 1 && N / downsample < bound)
+                    bound = N / downsample;
+                for (i = bound; i < N; i++) fout[c * nmax + i] = 0.0f;
+            }
+            if (CC == 2 && C == 1)
+                for (i = 0; i < N; i++) fout[nmax + i] = fout[i];
+            if (CC == 1 && C == 2)
+                for (i = 0; i < N; i++)
+                    fout[i] = 0.5f * (fout[i] + fout[nmax + i]);
+        }
+
+        /* energy-memory rollover (celt_decoder_clean.c:685-720) */
+        if (C == 1)
+            for (i = 0; i < nbEBands; i++)
+                oldEBands[nbEBands + i] = oldEBands[i];
+        if (!isTransient) {
+            for (i = 0; i < 2 * nbEBands; i++) {
+                double bg = backgroundLogE[i] + M * 0.001;
+                oldLogE2[i] = oldLogE[i];
+                oldLogE[i] = oldEBands[i];
+                backgroundLogE[i] = bg < oldEBands[i] ? bg : oldEBands[i];
+            }
+        } else {
+            for (i = 0; i < 2 * nbEBands; i++)
+                if (oldEBands[i] < oldLogE[i]) oldLogE[i] = oldEBands[i];
+        }
+        for (c = 0; c < 2; c++) {
+            for (i = 0; i < start; i++) {
+                oldEBands[c * nbEBands + i] = 0.0;
+                oldLogE[c * nbEBands + i] = -28.0;
+                oldLogE2[c * nbEBands + i] = -28.0;
+            }
+            for (i = end; i < nbEBands; i++) {
+                oldEBands[c * nbEBands + i] = 0.0;
+                oldLogE[c * nbEBands + i] = -28.0;
+                oldLogE2[c * nbEBands + i] = -28.0;
+            }
+        }
+
+        out_short_blocks[f] = shortBlocks;
+        out_pf_pitch[f] = postfilter_pitch;
+        out_pf_gain[f] = postfilter_gain;
+        out_pf_tapset[f] = postfilter_tapset;
+        out_silence[f] = silence;
+    }
+    *rng_io = rng;
+    return 0;
+}

@@ -114,6 +114,26 @@ def lib():
             ctypes.c_uint32, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.c_char_p,
         ]
+        i16p_ = ctypes.POINTER(ctypes.c_int16)
+        i32p_ = ctypes.POINTER(ctypes.c_int32)
+        i64p_ = ctypes.POINTER(ctypes.c_int64)
+        f32p_ = ctypes.POINTER(ctypes.c_float)
+        f64p_ = ctypes.POINTER(ctypes.c_double)
+        L.celt_decode_stream.restype = ctypes.c_int64
+        L.celt_decode_stream.argtypes = [
+            ctypes.c_char_p, i64p_, i64p_,          # payload, offs, lens
+            i32p_, i32p_, i32p_, ctypes.c_int64,    # fsz, ends, chs, n
+            i16p_, ctypes.c_int, i16p_, i16p_,      # eBands, nb, logN, ci
+            ctypes.c_char_p, ctypes.c_char_p,       # cache_bits, cache_caps
+            ctypes.c_char_p, ctypes.c_int,          # allocVectors, nbAV
+            f64p_, i32p_,                           # eMeans, prob_model
+            ctypes.c_int, ctypes.c_int,             # shortMdctSize, effEBands
+            f64p_, f64p_, f64p_, f64p_, i64p_,      # state + rng
+            ctypes.c_int, ctypes.c_int,             # CC, CCout
+            ctypes.c_int, ctypes.c_int,             # downsample, start
+            ctypes.c_int32, f32p_,                  # nmax, freq_out
+            i32p_, i32p_, f64p_, i32p_, i32p_,      # sb, pfp, pfg, pft, sil
+        ]
         L.celt_compute_allocation.restype = None
         L.celt_compute_allocation.argtypes = [
             ctypes.c_char_p, ctypes.c_uint32,
