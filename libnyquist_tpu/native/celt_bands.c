@@ -151,6 +151,10 @@ static int64_t ec_tell_frac(const ecdec *d) {
 #define UMAX_N 242
 #define UMAX_K 242
 static uint64_t u_table[UMAX_N][UMAX_K];
+/* transpose: u_row[b][a] == u_table[a][b]; cwrsi's descending-k searches
+   scan a fixed-b slice, which in u_table is a 1.9 KB-stride column (one
+   cache miss per step) but in u_row is contiguous. */
+static uint64_t u_row[UMAX_K][UMAX_N];
 static int u_table_init = 0;
 
 static void pvq_init(void) {
@@ -166,6 +170,9 @@ static void pvq_init(void) {
         for (k = 1; k < UMAX_K; k++)
             u_table[n][k] = u_table[n - 1][k] + u_table[n][k - 1]
                             + u_table[n - 1][k - 1];
+    for (n = 0; n < UMAX_N; n++)
+        for (k = 0; k < UMAX_K; k++)
+            u_row[k][n] = u_table[n][k];
     u_table_init = 1;
 }
 
@@ -177,6 +184,9 @@ static uint64_t pvq_u(int n, int k) {
     if (a == 0) return (b == 0) ? 1 : 0;
     return u_table[a][b];
 }
+
+/* pvq_u with a <= b known and a >= 1: contiguous in a for fixed b. */
+#define PVQ_U_ROW(b) (u_row[(b)])
 
 static uint64_t pvq_v(int n, int k) { return pvq_u(n, k) + pvq_u(n, k + 1); }
 
@@ -192,13 +202,17 @@ static void cwrsi(int n, int k, uint64_t i, int *y) {
             k0 = k;
             q = pvq_u(n, n);
             if (q > i) {
+                /* k descends below n: fixed-b slice, contiguous scan */
+                const uint64_t *row = PVQ_U_ROW(n);
                 k = n;
                 do {
                     k--;
-                    p = pvq_u(k, n);
+                    p = (k == 0) ? 0 : row[k];
                 } while (p > i);
             }
             else {
+                /* k >= n here: u_table[n][k] walks a row (contiguous);
+                   pvq_u handles a possible descent below n correctly */
                 p = pvq_u(n, k);
                 while (p > i) {
                     k--;
@@ -218,11 +232,12 @@ static void cwrsi(int n, int k, uint64_t i, int *y) {
             }
             else {
                 int s2 = i >= q;
+                const uint64_t *row = PVQ_U_ROW(n);
                 if (s2) i -= q;
                 k0 = k;
                 do {
                     k--;
-                    p = pvq_u(k, n);
+                    p = (k == 0) ? 0 : row[k];
                 } while (p > i);
                 i -= p;
                 val = k0 - k;

@@ -232,6 +232,54 @@ def celt_synthesis_matrices_paired(N: int, overlap: int, B: int = 1):
     return T_main, T_tailpad, T_tail
 
 
+@functools.partial(jax.jit, static_argnames=("overlap",))
+def _synthesize_rows(spectra, Tm, Tp, tails, overlap):
+    """[R, F, n2] spectra + per-row carry tails -> [R, F*n2] PCM + all
+    per-frame tails [R, F, overlap] (callers pick the carry after the last
+    real frame). One MXU program for the whole serving batch."""
+    R, F, n2 = spectra.shape
+    hp = jax.lax.Precision.HIGHEST
+    flat = spectra.reshape(-1, n2)
+    main = jnp.dot(flat, Tm, preferred_element_type=jnp.float32,
+                   precision=hp)
+    prev = jnp.concatenate(
+        [jnp.zeros((R, 1, n2), jnp.float32), spectra[:, :-1]], axis=1
+    ).reshape(-1, n2)
+    shifted = jnp.dot(prev, Tp, preferred_element_type=jnp.float32,
+                      precision=hp)
+    out = (main + shifted).reshape(R, F, n2)
+    out = out.at[:, 0, :overlap].add(tails)
+    all_tails = jnp.einsum(
+        "rfn,nk->rfk", spectra, Tp[:, :overlap],
+        preferred_element_type=jnp.float32, precision=hp,
+    )
+    return out.reshape(R, F * n2), all_tails
+
+
+def celt_imdct_rows(
+    spectra: jax.Array,
+    N: int,
+    overlap: int,
+    B: int = 1,
+    tails: jax.Array | None = None,
+):
+    """Rows-batched fused IMDCT + TDAC overlap-add for one (N, B) bucket.
+
+    Args:
+      spectra: [R, F, B*N//2] — R = streams x channels (the serving axis).
+      tails: [R, overlap] carry from the previous segment (zeros at start).
+    Returns: (pcm [R, F * B*N//2], per-frame tails [R, F, overlap]).
+    """
+    n2 = B * (N // 2)
+    Tm, Tp, _ = celt_synthesis_matrices_paired(N, overlap, B)
+    if tails is None:
+        tails = jnp.zeros((spectra.shape[0], overlap), jnp.float32)
+    return _synthesize_rows(
+        spectra.astype(jnp.float32), jnp.asarray(Tm), jnp.asarray(Tp),
+        tails, overlap,
+    )
+
+
 def celt_imdct_batch_padded(
     spectra: jax.Array,
     n_real: int,

@@ -117,22 +117,27 @@ def _synth_segment_batch(padded, fparams, states, seg, CC, mode, outs, jnp):
     Fb = bucket_size(F, 8)
     S = F * N
 
-    spectra = np.zeros((Fb, rows, N), np.float32)
+    spectra = np.zeros((rows, Fb, N), np.float32)
     for k, s in enumerate(padded):
         for f, info in enumerate(s[seg]):
-            spectra[f, k * CC : (k + 1) * CC] = info["freq"]
+            spectra[k * CC : (k + 1) * CC, f] = info["freq"]
 
-    raw = np.zeros((rows, S), np.float32)
+    # One device program for the whole [streams x channels] batch.
+    tails = np.zeros((rows, mode.overlap), np.float32)
     for k in range(n_streams):
         for c in range(CC):
-            r = k * CC + c
-            tail = states[k].imdct_tail[c]
-            pcm, new_tail = imdct_ops.celt_imdct_batch_padded(
-                jnp.asarray(spectra[:, r, :]), F, Nmdct, mode.overlap,
-                B=B, init_tail=tail,
-            )
-            raw[r] = np.asarray(pcm)[:S]
-            states[k].imdct_tail[c] = new_tail
+            t = states[k].imdct_tail[c]
+            if t is not None:
+                tails[k * CC + c] = np.asarray(t)
+    raw_dev, all_tails = imdct_ops.celt_imdct_rows(
+        jnp.asarray(spectra), Nmdct, mode.overlap, B=B,
+        tails=jnp.asarray(tails),
+    )
+    raw = np.asarray(raw_dev)[:, :S]
+    carry = np.asarray(all_tails[:, F - 1])  # after the last REAL frame
+    for k in range(n_streams):
+        for c in range(CC):
+            states[k].imdct_tail[c] = carry[k * CC + c]
 
     pad_param = dict(T0a=15, T1a=15, g0a=[0.0] * 3, g1a=[0.0] * 3,
                      T0b=15, T1b=15, g0b=[0.0] * 3, g1b=[0.0] * 3,
