@@ -2090,6 +2090,40 @@ def celt_decode_stream_native(
     None when the native library is unavailable (callers fall back to
     the per-frame Python path).
     """
+    raw = celt_decode_stream_raw(st, frames, frame_sizes, ends, stream_chs)
+    if raw is None:
+        return None
+    freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
+    mode = mode48000()
+    CC = st.channels
+    infos = []
+    for i in range(len(fsz)):
+        N = int(fsz[i])
+        C = int(cha[i])
+        LM = (N // mode.shortMdctSize).bit_length() - 1
+        infos.append({
+            "freq": freq[i, : max(CC, C), :N],
+            "N": N,
+            "LM": LM,
+            "C": C,
+            "CC": CC,
+            "shortBlocks": int(sb[i]),
+            "postfilter_pitch": int(pfp[i]),
+            "postfilter_gain": float(pfg[i]),
+            "postfilter_tapset": int(pft[i]),
+            "silence": int(sil[i]),
+        })
+    return infos
+
+
+def celt_decode_stream_raw(
+    st: CeltDecoderState, frames, frame_sizes, ends, stream_chs,
+):
+    """celt_decode_stream_native without the per-frame dict layer: returns
+    (freq [n, CCout, nmax] float32, frame_sizes, stream_chs, short_blocks,
+    pf_pitch, pf_gain, pf_tapset, silence) arrays, or None when the
+    native library is unavailable.  The array form feeds the batched
+    serving path with zero reshuffling."""
     L = _native_celt()
     if L is None or not hasattr(L, "celt_decode_stream"):
         return None
@@ -2152,25 +2186,7 @@ def celt_decode_stream_native(
     st.oldLogE2[:] = ole2
     st.backgroundLogE[:] = bg
     st.rng = int(rng[0])
-
-    infos = []
-    for i in range(n):
-        N = int(fsz[i])
-        C = int(cha[i])
-        LM = (N // mode.shortMdctSize).bit_length() - 1
-        infos.append({
-            "freq": freq[i, : max(CC, C), :N],
-            "N": N,
-            "LM": LM,
-            "C": C,
-            "CC": CC,
-            "shortBlocks": int(sb[i]),
-            "postfilter_pitch": int(pfp[i]),
-            "postfilter_gain": float(pfg[i]),
-            "postfilter_tapset": int(pft[i]),
-            "silence": int(sil[i]),
-        })
-    return infos
+    return freq, fsz, cha, sb, pfp, pfg, pft, sil
 
 
 def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,

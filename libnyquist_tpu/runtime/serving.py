@@ -189,3 +189,208 @@ def _synth_segment_batch(padded, fparams, states, seg, CC, mode, outs, jnp):
     for k in range(n_streams):
         blk = out[k * CC : (k + 1) * CC].T * scale   # [S, CC]
         outs[k].append(blk.astype(np.float32))
+
+
+# ----------------------------------------------------------------------
+# Unified chunked serving: ONE compiled program for mixed long/transient
+# frames. The long-block and short-block synthesis matrices have the same
+# shape [N2, N2(+ov)], so a per-frame 0/1 mask selects between them with
+# two extra masked matmuls instead of per-segment dispatch (the segmented
+# path above issues one device call per (LM, shortBlocks) run — ~500
+# dispatches for a 3.7-minute file; this path issues F/F_CHUNK).
+# ----------------------------------------------------------------------
+
+import functools as _functools
+
+import jax
+import jax.numpy as jnp
+
+from ..formats.opus.celt_tables import COMB_GAINS as _COMB_GAINS
+
+F_CHUNK = 512  # frames per device step (~10.2s of 20ms frames)
+
+
+def postfilter_params_arrays(short_blocks, pf_pitch, pf_gain, pf_tapset):
+    """Vectorized postfilter state machine for LM>0 streams.
+
+    For LM != 0 frames the decoder collapses the two-frame-old state to
+    the previous frame's (celt_decoder_clean.c:669-685), so the segment-A
+    (first shortMdctSize samples) params are simply the previous frame's
+    signaled values and segment B crossfades previous -> current.
+    Returns per-frame arrays (TA, gA[3], TB1, gB1[3]) where segment A uses
+    (T0=T1=TA, g0=g1=gA) and segment B uses (T0=TA, T1=TB1, g0=gA, g1=gB1).
+    """
+    n = len(pf_pitch)
+    gains_tbl = np.asarray(_COMB_GAINS, np.float32)          # [tapsets, 3]
+    T_cur = np.maximum(np.asarray(pf_pitch, np.int32), COMBFILTER_MINPERIOD)
+    g_cur = gains_tbl[np.asarray(pf_tapset, np.int64)] * np.asarray(
+        pf_gain, np.float32)[:, None]
+    TA = np.concatenate([[COMBFILTER_MINPERIOD], T_cur[:-1]]).astype(np.int32)
+    gA = np.concatenate([np.zeros((1, 3), np.float32), g_cur[:-1]])
+    return TA, gA, T_cur, g_cur
+
+
+@_functools.lru_cache(maxsize=None)
+def _fade_pattern(N, overlap, short_mdct):
+    """Per-frame crossfade pattern [chunks_per_frame, CHUNK]: w^2 ramp in
+    the first `overlap` samples of each comb segment, 1.0 after — the
+    same for every frame, so built once and tiled on device."""
+    mode = mode48000()
+    w2 = (mode.window * mode.window).astype(np.float32)
+    cpf = N // comb_ops.CHUNK
+    fade = np.ones((cpf, comb_ops.CHUNK), np.float32)
+    for k in range(cpf):
+        pos = k * comb_ops.CHUNK
+        seg = 0 if pos < short_mdct else short_mdct
+        for j in range(comb_ops.CHUNK):
+            r = pos - seg + j
+            if r < overlap:
+                fade[k, j] = w2[r]
+    return fade
+
+
+def unified_step_body(spec, mask_s, TA, gA, TB1, gB1, fade_pat,
+                      T1m, T1p, T8m, T8p, tails, hist, mem,
+                      overlap, short_mdct):
+    """One serving step: [rows, F, N] spectra -> [rows, F*N] PCM.
+
+    spec is the chunk's denormalised spectra; mask_s [F] selects the
+    short-block matrix per frame. Comb params arrive per FRAME (tiny) and
+    are expanded to per-chunk shape on device.  Plain traceable function
+    so callers (bench, serving) can fuse it into their own jitted steps.
+    """
+    R, F, N = spec.shape
+    hp = jax.lax.Precision.HIGHEST
+    mL = (1.0 - mask_s)[None, :, None]
+    mS = mask_s[None, :, None]
+
+    specL = spec * mL
+    specS = spec * mS
+    flatL = specL.reshape(-1, N)
+    flatS = specS.reshape(-1, N)
+    main = (jnp.dot(flatL, T1m, preferred_element_type=jnp.float32,
+                    precision=hp)
+            + jnp.dot(flatS, T8m, preferred_element_type=jnp.float32,
+                      precision=hp))
+    prevL = jnp.concatenate(
+        [jnp.zeros((R, 1, N), jnp.float32), specL[:, :-1]], axis=1
+    ).reshape(-1, N)
+    prevS = jnp.concatenate(
+        [jnp.zeros((R, 1, N), jnp.float32), specS[:, :-1]], axis=1
+    ).reshape(-1, N)
+    shifted = (jnp.dot(prevL, T1p, preferred_element_type=jnp.float32,
+                       precision=hp)
+               + jnp.dot(prevS, T8p, preferred_element_type=jnp.float32,
+                         precision=hp))
+    raw = (main + shifted).reshape(R, F, N)
+    raw = raw.at[:, 0, :overlap].add(tails)
+    new_tails = (
+        jnp.dot(specL[:, -1], T1p[:, :overlap],
+                preferred_element_type=jnp.float32, precision=hp)
+        + jnp.dot(specS[:, -1], T8p[:, :overlap],
+                  preferred_element_type=jnp.float32, precision=hp))
+
+    # Expand per-frame comb params to per-chunk [rows, F*cpf, ...].
+    cpf = N // comb_ops.CHUNK
+    seg_a = jnp.arange(cpf) * comb_ops.CHUNK < short_mdct   # [cpf]
+    T0 = jnp.broadcast_to(TA[:, None], (F, cpf))            # both segs old=TA
+    T1 = jnp.where(seg_a[None, :], TA[:, None], TB1[:, None])
+    g0 = jnp.broadcast_to(gA[:, None, :], (F, cpf, 3))
+    g1 = jnp.where(seg_a[None, :, None], gA[:, None, :], gB1[:, None, :])
+    fade = jnp.broadcast_to(fade_pat[None], (F, cpf, comb_ops.CHUNK))
+    nch = F * cpf
+    T0 = jnp.broadcast_to(T0.reshape(1, nch), (R, nch))
+    T1 = jnp.broadcast_to(T1.reshape(1, nch), (R, nch))
+    g0 = jnp.broadcast_to(g0.reshape(1, nch, 3), (R, nch, 3))
+    g1 = jnp.broadcast_to(g1.reshape(1, nch, 3), (R, nch, 3))
+    fade = jnp.broadcast_to(
+        fade.reshape(1, nch, comb_ops.CHUNK), (R, nch, comb_ops.CHUNK))
+
+    S = F * N
+    y, new_hist = comb_ops.comb_filter(
+        raw.reshape(R, S), hist, T0, T1, g0, g1, fade)
+    pad = (-S) % scan_iir.BLOCK
+    out, new_mem = scan_iir.deemphasis(
+        jnp.pad(y, ((0, 0), (0, pad))), mem)
+    pcm = out[:, :S] * (1.0 / CELT_SIG_SCALE)
+    return pcm, new_tails, new_hist, new_mem
+
+
+_unified_step = _functools.partial(
+    jax.jit, static_argnames=("overlap", "short_mdct"))(unified_step_body)
+
+
+def synthesize_streams_unified(
+    freq, short_blocks, pf_pitch, pf_gain, pf_tapset, channels,
+    f_chunk: int = F_CHUNK, fetch=True, frame_sizes=None,
+):
+    """Whole-stream device synthesis without segmentation.
+
+    Args:
+      freq: [F, CC, N] float32 denormalised spectra (the native stream
+        decoder's raw output layout), one stream.
+      short_blocks / pf_*: per-frame arrays from the native decoder.
+    Returns [S, CC] float32 PCM (when fetch=True).
+    Requires every frame to share N (fixed frame size) and LM > 0.
+    """
+    import jax.numpy as jnp
+
+    mode = mode48000()
+    F, CC, N = freq.shape
+    B_short = int(max(short_blocks)) if len(short_blocks) else 0
+    LM = (N // mode.shortMdctSize).bit_length() - 1
+    if LM == 0:
+        raise ValueError("unified path requires LM > 0")
+    if frame_sizes is not None and not (np.asarray(frame_sizes) == N).all():
+        raise ValueError("unified path requires a fixed frame size")
+    NmdctL = (2 * mode.shortMdctSize) << LM
+    T1m, T1p, _ = imdct_ops.celt_synthesis_matrices_paired(
+        NmdctL, mode.overlap, 1)
+    if B_short:
+        T8m, T8p, _ = imdct_ops.celt_synthesis_matrices_paired(
+            2 * mode.shortMdctSize, mode.overlap, B_short)
+    else:
+        T8m, T8p = np.zeros_like(T1m), np.zeros_like(T1p)
+
+    TA, gA, TB1, gB1 = postfilter_params_arrays(
+        short_blocks, pf_pitch, pf_gain, pf_tapset)
+    fade_pat = _fade_pattern(N, mode.overlap, mode.shortMdctSize)
+
+    R = CC
+    tails = jnp.zeros((R, mode.overlap), jnp.float32)
+    hist = jnp.zeros((R, comb_ops.HIST), jnp.float32)
+    mem = jnp.zeros((R,), jnp.float32)
+    T1m_d, T1p_d = jnp.asarray(T1m), jnp.asarray(T1p)
+    T8m_d, T8p_d = jnp.asarray(T8m), jnp.asarray(T8p)
+    fade_d = jnp.asarray(fade_pat)
+
+    outs = []
+    for f0 in range(0, F, f_chunk):
+        f1 = min(f0 + f_chunk, F)
+        Fc = f1 - f0
+        pad = f_chunk - Fc
+        spec = np.transpose(freq[f0:f1], (1, 0, 2))          # [CC, Fc, N]
+        if pad:
+            spec = np.concatenate(
+                [spec, np.zeros((CC, pad, N), np.float32)], axis=1)
+        ms = np.zeros(f_chunk, np.float32)
+        ms[:Fc] = (np.asarray(short_blocks[f0:f1]) != 0)
+        TAc = np.full(f_chunk, COMBFILTER_MINPERIOD, np.int32)
+        TAc[:Fc] = TA[f0:f1]
+        gAc = np.zeros((f_chunk, 3), np.float32)
+        gAc[:Fc] = gA[f0:f1]
+        TB1c = np.full(f_chunk, COMBFILTER_MINPERIOD, np.int32)
+        TB1c[:Fc] = TB1[f0:f1]
+        gB1c = np.zeros((f_chunk, 3), np.float32)
+        gB1c[:Fc] = gB1[f0:f1]
+        pcm, tails, hist, mem = _unified_step(
+            jnp.asarray(spec), jnp.asarray(ms), jnp.asarray(TAc),
+            jnp.asarray(gAc), jnp.asarray(TB1c), jnp.asarray(gB1c),
+            fade_d, T1m_d, T1p_d, T8m_d, T8p_d, tails, hist, mem,
+            mode.overlap, mode.shortMdctSize,
+        )
+        outs.append(pcm[:, : Fc * N])
+    if not fetch:
+        return outs
+    full = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    return full.T.astype(np.float32)
