@@ -149,6 +149,92 @@ def encode_wav_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
     return int(EncoderError.NoError)
 
 
+def _f80(rate: int) -> bytes:
+    """Encode a sample rate as an 80-bit IEEE extended float (AIFF COMM)."""
+    if rate <= 0:
+        raise ValueError(EncoderError.UnsupportedSamplerate.name)
+    exp = rate.bit_length() - 1
+    mant = rate << (63 - exp)
+    return struct.pack(">HQ", 16383 + exp, mant)
+
+
+def encode_aiff_to_buffer(p: EncoderParams, d: AudioData) -> bytes:
+    """Serialize AudioData to an AIFF byte string (big-endian PCM).
+
+    Writer parity with the reference example app, which saves WAV *and*
+    AIFF (reference: examples/src/AudioFile.h:105 AIFFAudioFormat /
+    saveToAiffFile). Integer PCM 8/16/24/32; AIFF stores signed 8-bit
+    (unlike WAV's unsigned), so PCM_U8 is emitted as signed. Float
+    output would need an AIFC "fl32" container and is rejected like the
+    reference writer, which is integer-only.
+    """
+    if d.samples is None or len(d.samples) == 0:
+        raise ValueError(EncoderError.InsufficientSampleData.name)
+    if d.sample_rate <= 0:
+        raise ValueError(EncoderError.UnsupportedSamplerate.name)
+    if p.channel_count < 1 or p.channel_count > 8:
+        raise ValueError(EncoderError.UnsupportedChannelConfiguration.name)
+    if p.target_format not in _BITS or p.target_format == PCMFormat.PCM_FLT:
+        raise ValueError(EncoderError.UnsupportedBitdepth.name)
+
+    samples = np.asarray(d.samples, np.float32)
+    if p.channel_count != d.channel_count:
+        if d.channel_count == 2 and p.channel_count == 1:
+            samples = 0.5 * (samples[0::2] + samples[1::2])
+        else:
+            raise ValueError(EncoderError.UnsupportedChannelMix.name)
+
+    from .ops import pcm as pcm_ops
+
+    import jax.numpy as jnp
+
+    pcm = np.asarray(
+        pcm_ops.float32_to_pcm(
+            jnp.asarray(samples), p.target_format,
+            dither=(p.dither == DitherType.DITHER_TRIANGLE),
+        )
+    )
+
+    bits = _BITS[p.target_format]
+    if p.target_format == PCMFormat.PCM_U8:
+        payload = (pcm.astype(np.int16) - 128).astype(np.int8).tobytes()
+    elif p.target_format == PCMFormat.PCM_24:
+        le = np.frombuffer(_pack24(pcm), np.uint8).reshape(-1, 3)
+        payload = le[:, ::-1].tobytes()
+    else:
+        payload = pcm.astype(">i%d" % (bits // 8)).tobytes()
+
+    ch = p.channel_count
+    frames = len(samples) // ch
+    if len(payload) + 64 > 0xFFFFFFFF:
+        raise ValueError(EncoderError.BufferTooBig.name)
+
+    out = bytearray()
+    out += b"FORM\x00\x00\x00\x00AIFF"
+    out += b"COMM" + struct.pack(">IhIh", 18, ch, frames, bits) + _f80(
+        d.sample_rate)
+    out += b"SSND" + struct.pack(">III", len(payload) + 8, 0, 0)
+    out += payload
+    if len(payload) & 1:
+        out += b"\x00"
+    struct.pack_into(">I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def encode_aiff_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
+    """AIFF analog of encode_wav_to_disk: returns an EncoderError code."""
+    try:
+        buf = encode_aiff_to_buffer(p, d)
+    except ValueError as e:
+        return int(EncoderError[str(e)])
+    try:
+        with open(path, "wb") as f:
+            f.write(buf)
+    except OSError:
+        return int(EncoderError.FileIOError)
+    return int(EncoderError.NoError)
+
+
 def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                           bitrate_kbps: int = 96) -> bytes:
     """Encode AudioData to Ogg Opus (CELT-only fullband 20 ms frames).

@@ -40,10 +40,12 @@ def _ensure_registry() -> None:
     """Populate the decoder table lazily (avoids import cycles)."""
     if _DECODER_TABLE:
         return
-    from .formats import wav, flac, mp3, vorbis, wavpack, musepack
+    from .formats import aiff, wav, flac, mp3, vorbis, wavpack, musepack
     from .formats.opus import decode_opus_buffer
 
     register_decoder(["wav", "wave", "ambix"], wav.decode_wav_buffer)
+    register_decoder(["aiff", "aif", "aifc"], aiff.decode_aiff_buffer)
+    register_decoder("caf", aiff.decode_caf_buffer)
     register_decoder("flac", flac.decode_flac_buffer)
     register_decoder("mp3", mp3.decode_mp3_buffer)
     register_decoder(["ogg", "oga"], vorbis.decode_vorbis_buffer)
@@ -69,6 +71,10 @@ def sniff_extension(data: bytes) -> Optional[str]:
         return None
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
+    if data[:4] == b"caff":
+        return "caf"
     if data[:4] == b"fLaC":
         return "flac"
     if data[:4] == b"OggS":

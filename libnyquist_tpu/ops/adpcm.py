@@ -99,6 +99,87 @@ def decode_ima_nibbles(
     return wrapped
 
 
+@jax.jit
+def decode_ima4_nibbles(
+    nibbles: jax.Array, init_predictor: jax.Array, init_step: jax.Array
+) -> jax.Array:
+    """Apple 'ima4' variant (AIFF-C / CAF packets): same IMA tables, but
+    the predictor saturates at the int16 rails instead of wrapping.
+
+    Saturation is still an associative clip-compose scan — the same
+    closed family f(p)=clip(p+d, lo, hi) used for the step index above —
+    so the decode stays fully parallel (log-depth) on TPU.
+    """
+    deltas = jnp.take(jnp.asarray(IMA_INDEX_TABLE), nibbles)
+    lo = jnp.zeros_like(deltas)
+    hi = jnp.full_like(deltas, 88)
+    a, slo, shi = jax.lax.associative_scan(
+        _compose_clip, (deltas, lo, hi), axis=1
+    )
+    s_after = jnp.clip(init_step[:, None] + a, slo, shi)
+    s_used = jnp.concatenate([init_step[:, None], s_after[:, :-1]], axis=1)
+
+    step = jnp.take(jnp.asarray(IMA_STEP_TABLE), s_used)
+    diff = (
+        (step >> 3)
+        + jnp.where(nibbles & 4, step, 0)
+        + jnp.where(nibbles & 2, step >> 1, 0)
+        + jnp.where(nibbles & 1, step >> 2, 0)
+    )
+    diff = jnp.where(nibbles & 8, -diff, diff)
+
+    plo = jnp.full_like(diff, -32768)
+    phi = jnp.full_like(diff, 32767)
+    pa, pslo, pshi = jax.lax.associative_scan(
+        _compose_clip, (diff, plo, phi), axis=1
+    )
+    return jnp.clip(init_predictor[:, None] + pa, pslo, pshi)
+
+
+def unpack_ima4_packets(data: np.ndarray, channels: int):
+    """Split Apple ima4 payload into per-packet nibble rows.
+
+    Packet layout (AIFF-C 'ima4' / CAF ima4): per channel a 34-byte
+    packet — 2-byte big-endian header (bits 15..7 = predictor's top 9
+    bits, bits 6..0 = step index) then 32 bytes = 64 nibbles, low nibble
+    first. Packets for the channels of one 64-frame group are adjacent.
+
+    Returns (nibbles [n_packets, 64], predictors, steps) host arrays,
+    where row order is group-major then channel.
+    """
+    n_packets = data.size // 34
+    pk = data[: n_packets * 34].reshape(n_packets, 34)
+    hdr = (pk[:, 0].astype(np.int32) << 8) | pk[:, 1].astype(np.int32)
+    predictors = np.int32(np.int16(hdr & 0xFF80))
+    steps = np.minimum(hdr & 0x7F, 88).astype(np.int32)
+    payload = pk[:, 2:]
+    nibbles = np.empty((n_packets, 64), np.int32)
+    nibbles[:, 0::2] = payload & 0xF
+    nibbles[:, 1::2] = payload >> 4
+    return nibbles, predictors, steps
+
+
+def decode_ima4(
+    data: np.ndarray, channels: int, total_samples: int
+) -> jax.Array:
+    """Apple ima4 payload -> interleaved float32 truncated to total_samples."""
+    from ..runtime.batching import bucket_size
+
+    nibbles, preds, steps = unpack_ima4_packets(data, channels)
+    n_groups = nibbles.shape[0] // channels
+    target_rows = bucket_size(max(n_groups, 1), 16) * channels
+    pad_rows = target_rows - nibbles.shape[0]
+    if pad_rows:
+        nibbles = np.pad(nibbles, ((0, pad_rows), (0, 0)))
+        preds = np.pad(preds, (0, pad_rows))
+        steps = np.pad(steps, (0, pad_rows))
+    decoded = decode_ima4_nibbles(
+        jnp.asarray(nibbles), jnp.asarray(preds), jnp.asarray(steps)
+    )
+    inter = _finalize(decoded, channels)
+    return inter[:total_samples]
+
+
 def unpack_ima_blocks(
     data: np.ndarray, block_size: int, channels: int
 ):
