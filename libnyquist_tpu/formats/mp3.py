@@ -766,8 +766,12 @@ def antialias(grbuf, nbands):
 # --------------------------------------------------------------------------
 class Mp3Decoder:
     def __init__(self):
-        self.mdct_overlap = np.zeros((2, 9 * 32), np.float32)
-        self.qmf_state = np.zeros(15 * 2 * 32, np.float32)
+        # streaming state: IMDCT overlap + the two previous post-IMDCT
+        # granule buffers (the 3-tap QMF FIR's reach; replaces the
+        # reference's 960-float qmf_state with an equivalent carry)
+        self.mdct_ov = np.zeros((2, 32, 9), np.float32)
+        self._p1 = None
+        self._p2 = None
         self.reserv = 0
         self.reserv_buf = bytearray(511)
         self.header = bytes(4)
@@ -781,9 +785,11 @@ class Mp3Decoder:
         frame_bytes_consumed, channels, hz).
 
         With sink set, granule buffers are handed to
-        sink(grbuf [2,576], nbands, channels) instead of being
-        synthesized here, and pcm is a 0-row placeholder on success
-        (whole-stream batched synthesis: ops/mp3_synth.py
+        sink(grbuf [2,576], nbands, channels, kinds) — frequency-domain
+        planes + band kinds for Layer III, time-domain planes with
+        kinds=None for Layer I/II — instead of being synthesized here,
+        and pcm is a 0-row placeholder on success (whole-stream batched
+        synthesis: ops/mp3_synth.py imdct_granules_stream +
         synth_granules_stream)."""
         i = 0
         frame_size = 0
@@ -838,17 +844,17 @@ class Mp3Decoder:
                 ist_pos = np.zeros((2, 40), np.int32)
                 for igr in range(ngr):
                     grbuf = np.zeros((2, 576), np.float32)
-                    self._l3_decode(
+                    kinds = self._l3_decode(
                         mbs, grs[igr * channels:], channels, hdr, grbuf,
                         ist_pos,
                     )
                     if sink is not None:
-                        sink(grbuf, 18, channels)
+                        sink(grbuf, 18, channels, kinds)
                         continue
-                    out = mp3_synth.synth_granule(
-                        self.qmf_state, grbuf, 18, channels
-                    )
-                    pcm[igr * 576 : (igr + 1) * 576, :] = out
+                    t, self.mdct_ov = mp3_synth.imdct_stream_step(
+                        grbuf, kinds, self.mdct_ov)
+                    pcm[igr * 576 : (igr + 1) * 576, :] = \
+                        self._synth_step(t, 18, channels)
             # Save reservoir
             pos = (mbs.pos + 7) // 8
             remains = mbs.limit // 8 - pos
@@ -872,11 +878,10 @@ class Mp3Decoder:
                 i_off = 0
                 l12_apply_scf_384(sci, igr, grbuf)
                 if sink is not None:
-                    sink(grbuf.copy(), 12, channels)
+                    sink(grbuf.copy(), 12, channels, None)
                 else:
-                    parts.append(mp3_synth.synth_granule(
-                        self.qmf_state, grbuf, 12, channels
-                    ))
+                    parts.append(self._synth_step(
+                        grbuf.copy(), 12, channels))
                 grbuf[:] = 0
             if bs.pos > bs.limit:
                 self.__init__()
@@ -900,6 +905,7 @@ class Mp3Decoder:
             intensity_stereo(grbuf, ist_pos[1], grs, hdr)
         elif hdr_is_ms_stereo(hdr):
             midside_stereo(grbuf, 576)
+        kinds = np.zeros((2, 32), np.int8)
         for ch in range(nch):
             gr = grs[ch]
             aa_bands = 31
@@ -913,11 +919,21 @@ class Mp3Decoder:
                     gr.sfbtab[gr.n_long_sfb:],
                 )
             antialias(grbuf[ch], aa_bands)
-            mp3_synth.imdct_gr_vec(
-                grbuf[ch], self.mdct_overlap[ch], gr.block_type,
-                n_long_bands,
-            )
-            mp3_synth.change_sign(grbuf[ch])
+            kinds[ch] = mp3_synth.band_kinds(gr.block_type, n_long_bands)
+        return kinds
+
+    def _synth_step(self, grbuf_time, nbands, channels):
+        """Streaming 3-tap QMF FIR with previous-granule state; resets
+        on a (nbands, channels) shape change (the reference re-inits the
+        whole decoder on header changes, minimp3.h mp3dec_init)."""
+        sig = (nbands, channels)
+        if getattr(self, "_synth_sig", None) != sig:
+            self._p1 = self._p2 = None
+            self._synth_sig = sig
+        out = mp3_synth.synth_stream_step(
+            grbuf_time, self._p1, self._p2, nbands, channels)
+        self._p2, self._p1 = self._p1, grbuf_time
+        return out
 
 
 def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
@@ -930,22 +946,27 @@ def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
     pos = 0
     segs = []
     cur_g = []          # granule buffers of the current segment
+    cur_k = []          # band-kind rows (Layer III) or None (Layer I/II)
     cur_nb = cur_ch = 0
     channels = 0
     hz = 0
 
     def flush():
-        nonlocal cur_g
+        nonlocal cur_g, cur_k
         if cur_g:
+            bufs = np.stack(cur_g)
+            if cur_k[0] is not None:
+                bufs = mp3_synth.imdct_granules_stream(
+                    bufs, np.stack(cur_k))
             segs.append(mp3_synth.synth_granules_stream(
-                np.stack(cur_g), cur_nb, cur_ch
+                bufs, cur_nb, cur_ch
             ))
-            cur_g = []
+            cur_g, cur_k = [], []
 
     frame_g = []
 
-    def sink(g, nb, ch):
-        frame_g.append((g, nb, ch))
+    def sink(g, nb, ch, kinds):
+        frame_g.append((g, nb, ch, kinds))
 
     while pos < len(data):
         epoch = dec.epoch
@@ -959,11 +980,12 @@ def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
         if pcm is None:
             continue    # failed frame: its partial granules are dropped
         channels, hz = ch, rate
-        for g, nb, gch in frame_g:
+        for g, nb, gch, kinds in frame_g:
             if cur_g and (nb != cur_nb or gch != cur_ch):
                 flush()
             cur_nb, cur_ch = nb, gch
             cur_g.append(g)
+            cur_k.append(kinds)
     flush()
     if not segs:
         raise DecodeError("no decodable MP3 frames found")

@@ -62,9 +62,11 @@ def test_batched_signature_mismatch_raises():
 
 def test_mp3_stream_synthesis_matmul():
     """Whole-stream MP3 synthesis as a 3-tap matmul FIR over granules
-    matches the sequential filterbank (probed linear maps, nilpotent
-    qmf state)."""
+    matches the sequential reference filterbank (tests/mp3_ref.py
+    minimp3 mirror)."""
     from libnyquist_tpu.ops import mp3_synth as M
+
+    from . import mp3_ref as R
 
     rng = np.random.default_rng(1)
     G = 6
@@ -72,8 +74,43 @@ def test_mp3_stream_synthesis_matmul():
     batch = M.synth_granules_stream(grbufs, 18, 1)
     qmf = np.zeros(960, np.float32)
     ref = np.concatenate(
-        [M.synth_granule(qmf, grbufs[g].copy(), 18, 1) for g in range(G)],
+        [R.synth_granule(qmf, grbufs[g].copy(), 18, 1) for g in range(G)],
         axis=0,
     )
     assert batch.shape == ref.shape
     assert np.abs(batch - ref).max() < 1e-4
+
+
+def test_mp3_imdct_matmul_matches_mirror():
+    """The kind-masked IMDCT matmul formulation (A1/B1/A2 maps from
+    data/mp3_maps.npz) matches the sequential minimp3-mirror hybrid
+    IMDCT across block types, mixed blocks, and the overlap chain."""
+    from libnyquist_tpu.ops import mp3_synth as M
+
+    from . import mp3_ref as R
+
+    rng = np.random.default_rng(5)
+    G, C = 7, 2
+    X = (rng.standard_normal((G, C, 576)) * 0.3).astype(np.float32)
+    cases = [(0, 0), (2, 0), (2, 2), (3, 0), (1, 0), (2, 4), (0, 0)]
+    kinds = np.stack([
+        np.stack([M.band_kinds(bt, nl) for _ in range(C)])
+        for bt, nl in cases
+    ])
+    ov = np.zeros((C, 288))
+    ref = np.empty_like(X)
+    for g, (bt, nl) in enumerate(cases):
+        for c in range(C):
+            buf = X[g, c].astype(np.float64).copy()
+            R.imdct_gr_vec(buf, ov[c], bt, nl)
+            R.change_sign(buf)
+            ref[g, c] = buf
+    got = M.imdct_granules_stream(X, kinds)
+    assert np.abs(got - ref).max() < 1e-5
+    # streaming step chain gives the same result
+    ovs = np.zeros((C, 32, 9), np.float32)
+    outs = []
+    for g in range(G):
+        o, ovs = M.imdct_stream_step(X[g], kinds[g], ovs)
+        outs.append(o)
+    assert np.abs(np.stack(outs) - ref).max() < 1e-5
