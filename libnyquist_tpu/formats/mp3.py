@@ -936,12 +936,174 @@ class Mp3Decoder:
         return out
 
 
+@functools.lru_cache(maxsize=1)
+def _stream_native_lib():
+    """Bind native/mp3_stream.c (whole-stream L3 entropy decode)."""
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_MP3"):
+        return None
+    from ..runtime import native
+
+    L = native.lib()
+    if L is None or not hasattr(L, "mp3s_l3_stream"):
+        return None
+    import ctypes
+
+    t = T()
+    keep = {}
+    i32 = ("tabs", "tab32", "tab33", "tabindex", "g_linbits",
+           "g_scf_long", "g_scf_short", "g_scf_mixed",
+           "g_scf_partitions", "g_scfc_decode", "g_mod", "g_preamp")
+    f64 = ("g_pow43", "g_expfrac", "g_pan", "g_aa")
+    for k in i32:
+        keep[k] = np.ascontiguousarray(t[k], np.int32)
+    for k in f64:
+        keep[k] = np.ascontiguousarray(t[k], np.float64)
+    p = {k: a.ctypes.data_as(ctypes.c_void_p) for k, a in keep.items()}
+    L.mp3s_init_tables(
+        p["tabs"], ctypes.c_int32(keep["tabs"].size), p["tab32"], p["tab33"],
+        p["tabindex"], p["g_linbits"], p["g_pow43"], p["g_scf_long"],
+        p["g_scf_short"], p["g_scf_mixed"], p["g_scf_partitions"],
+        p["g_scfc_decode"], p["g_mod"], p["g_preamp"], p["g_expfrac"],
+        p["g_pan"], p["g_aa"],
+    )
+    L._mp3s_keepalive = keep  # pin table arrays for the library lifetime
+    L.mp3s_l3_stream.restype = ctypes.c_int64
+    return L
+
+
+def _decode_mp3_buffer_native(data: bytes, audio: AudioData) -> bool:
+    """Whole-stream native decode (native/mp3_stream.c): the entire host
+    entropy plane — sync, side info, reservoir, scalefactors, Huffman,
+    stereo, reorder, antialias — runs as chunked C calls that emit
+    frequency-domain granule batches; the dense synthesis then runs as
+    the batched matmuls. Returns False to use the Python path (no
+    toolchain, Layer I/II, or free-format streams)."""
+    L = _stream_native_lib()
+    if L is None:
+        return False
+    import ctypes
+
+    class State(ctypes.Structure):
+        _fields_ = [("header", ctypes.c_uint8 * 4),
+                    ("reserv", ctypes.c_int32),
+                    ("free_format_bytes", ctypes.c_int32),
+                    ("reserv_buf", ctypes.c_uint8 * 511)]
+
+    MAXG = 2048
+    grbufs = np.zeros((MAXG, 2, 576), np.float32)
+    kinds = np.zeros((MAXG, 2, 32), np.int8)
+    st = State()
+    pos = ctypes.c_int64(0)
+    info = np.zeros(2, np.int32)
+    flag = ctypes.c_int32(0)
+    segs = []
+    cur_g, cur_k = [], []
+    cur_ch = 0
+    channels = hz = 0
+
+    def flush():
+        nonlocal cur_g, cur_k
+        if cur_g:
+            bufs = np.concatenate(cur_g)
+            t = mp3_synth.imdct_granules_stream(bufs, np.concatenate(cur_k))
+            segs.append(mp3_synth.synth_granules_stream(t, 18, cur_ch))
+            cur_g, cur_k = [], []
+
+    while True:
+        G = L.mp3s_l3_stream(
+            data, ctypes.c_int64(len(data)), ctypes.byref(pos),
+            ctypes.byref(st),
+            grbufs.ctypes.data_as(ctypes.c_void_p),
+            kinds.ctypes.data_as(ctypes.c_void_p),
+            info.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(MAXG), ctypes.c_int32(1 if cur_g else 0),
+            ctypes.byref(flag),
+        )
+        if flag.value == 4:     # Layer I/II or free format
+            return False        # decode the whole buffer in Python
+        if G:
+            cur_g.append(grbufs[:G].copy())
+            cur_k.append(kinds[:G].copy())
+            cur_ch = int(info[0])
+            channels, hz = int(info[0]), int(info[1])
+        if flag.value in (0, 1, 2):
+            flush()
+        if flag.value == 0:
+            break
+    if not segs:
+        return False            # nothing decodable: Python path reports
+    pcm = np.concatenate(segs, axis=0)
+    audio.channel_count = channels
+    audio.sample_rate = hz
+    audio.source_format = PCMFormat.PCM_FLT
+    audio.samples = np.ascontiguousarray(pcm.reshape(-1), np.float32)
+    audio.length_seconds = pcm.shape[0] / hz if hz else 0.0
+    return True
+
+
+def l3_stream_entropy(data: bytes):
+    """Host-entropy-only decode of a constant-parameter Layer III stream:
+    returns (X [G,2,576] float32 frequency planes, kinds [G,2,32] int8,
+    channels, hz). Used by the serving/bench device path, which runs the
+    dense synthesis (IMDCT + QMF matmuls) on the TPU. Raises on streams
+    that reset or change parameters mid-way (segmented streams go
+    through decode_mp3_buffer instead)."""
+    import ctypes
+
+    L = _stream_native_lib()
+    if L is None:
+        raise DecodeError("native mp3 stream decoder unavailable")
+
+    class State(ctypes.Structure):
+        _fields_ = [("header", ctypes.c_uint8 * 4),
+                    ("reserv", ctypes.c_int32),
+                    ("free_format_bytes", ctypes.c_int32),
+                    ("reserv_buf", ctypes.c_uint8 * 511)]
+
+    MAXG = 4096
+    grbufs = np.zeros((MAXG, 2, 576), np.float32)
+    kinds = np.zeros((MAXG, 2, 32), np.int8)
+    st = State()
+    pos = ctypes.c_int64(0)
+    info = np.zeros(2, np.int32)
+    flag = ctypes.c_int32(0)
+    xs, ks = [], []
+    while True:
+        G = L.mp3s_l3_stream(
+            data, ctypes.c_int64(len(data)), ctypes.byref(pos),
+            ctypes.byref(st),
+            grbufs.ctypes.data_as(ctypes.c_void_p),
+            kinds.ctypes.data_as(ctypes.c_void_p),
+            info.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(MAXG), ctypes.c_int32(1 if xs else 0),
+            ctypes.byref(flag),
+        )
+        if G:
+            xs.append(grbufs[:G].copy())
+            ks.append(kinds[:G].copy())
+        if flag.value == 0:
+            break
+        if flag.value != 3:
+            raise DecodeError("stream resets/param changes: use "
+                              "decode_mp3_buffer")
+    if not xs:
+        raise DecodeError("no decodable MP3 frames found")
+    return (np.concatenate(xs), np.concatenate(ks),
+            int(info[0]), int(info[1]))
+
+
 def decode_mp3_buffer(data: bytes, audio: AudioData) -> None:
     """Whole-buffer decode: frames hand their granule buffers to a sink
     and synthesis runs as the batched 3-tap FIR over each silence-started
     segment (ops/mp3_synth.py synth_granules_stream) -- three BLAS
     matmuls instead of a per-granule polyphase loop. Segments break on
-    decoder resets (qmf back to silence) and on nbands/channel changes."""
+    decoder resets (qmf back to silence) and on nbands/channel changes.
+    The host entropy plane runs whole-stream in C when available
+    (native/mp3_stream.c), with this Python loop as the fallback."""
+    if _decode_mp3_buffer_native(data, audio):
+        return
     dec = Mp3Decoder()
     pos = 0
     segs = []

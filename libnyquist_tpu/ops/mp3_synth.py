@@ -191,6 +191,60 @@ def synth_granules_stream(grbufs: np.ndarray, nbands: int, nch: int,
     return out.reshape(G * 32 * nbands, nch)
 
 
+@functools.lru_cache(maxsize=4)
+def _device_maps(nch: int):
+    """Device copies of the IMDCT + QMF maps for the jitted path."""
+    import jax.numpy as jnp
+
+    m = M()
+    A, BC, BDC = granule_maps(18, nch)
+    return (jnp.asarray(m["A1"]), jnp.asarray(m["B1"]),
+            jnp.asarray(m["A2"]), jnp.asarray(np.float32(_sign_mask())),
+            jnp.asarray(A.T), jnp.asarray(BC.T), jnp.asarray(BDC.T))
+
+
+def make_mp3_device_synth(nch: int):
+    """Return a jittable fn(X [S,G,C,576] f32, kinds [S,G,C,32] int8)
+    -> PCM [S, G*576, nch]: the full Layer-III dense half — hybrid IMDCT
+    (kind-masked matmuls + shifted overlap-add) and QMF polyphase (3-tap
+    matmul FIR) — as one fused TPU program. Batched over S streams."""
+    import jax
+    import jax.numpy as jnp
+
+    A1, B1, A2, sign, At, BCt, BDCt = _device_maps(nch)
+    d_in = 576 * nch
+    # full f32 MXU accumulation: default TPU matmul precision is
+    # bf16-grade, outside the <1e-4 decode accuracy contract
+    hp = jax.lax.Precision.HIGHEST
+
+    def mm(a, b):
+        return jnp.matmul(a, b, precision=hp,
+                          preferred_element_type=jnp.float32)
+
+    def fn(X, kinds):
+        S, G, C = X.shape[:3]
+        Xr = X.reshape(S, G, C, 32, 18)
+        out = jnp.zeros_like(Xr)
+        ov = jnp.zeros(Xr.shape[:-1] + (9,), jnp.float32)
+        for k in range(3):
+            mask = (kinds == k)[..., None]
+            out = out + jnp.where(mask, mm(Xr, A1[k].T), 0.0)
+            ov = ov + jnp.where(mask, mm(Xr, A2[k].T), 0.0)
+        ovprev = jnp.concatenate(
+            [jnp.zeros_like(ov[:, :1]), ov[:, :-1]], axis=1)
+        for k in range(3):
+            mask = (kinds == k)[..., None]
+            out = out + jnp.where(mask, mm(ovprev, B1[k].T), 0.0)
+        out = out * sign
+        Y = out.reshape(S, G, C * 576)[..., :d_in]
+        pcm = mm(Y, At)
+        pcm = pcm.at[:, 1:].add(mm(Y[:, :-1], BCt))
+        pcm = pcm.at[:, 2:].add(mm(Y[:, :-2], BDCt))
+        return pcm.reshape(S, G * 576, nch)
+
+    return fn
+
+
 def synth_stream_step(grbuf: np.ndarray, prev1: np.ndarray,
                       prev2: np.ndarray, nbands: int, nch: int):
     """Streaming one-granule synthesis: the same 3-tap matmul FIR with
