@@ -96,11 +96,27 @@ def _load_opus_stream_bytes():
 
 
 def _host_decode_opus(data):
-    """Full host half for one stream; returns raw arrays + audio secs."""
+    """Full host half for one stream; returns raw arrays + audio secs.
+
+    Fast path: native one-pass Ogg demux + TOC split + whole-stream CELT
+    decode (native/ogg_opus.c + celt_bands.c) — two C calls, no
+    per-packet Python.  Falls back to the Python demux feeding the same
+    native stream decoder."""
+    from libnyquist_tpu.formats.opus.celt import (
+        CeltDecoderState, celt_decode_ogg_raw, celt_scan_ogg_native)
+
+    scan = celt_scan_ogg_native(data)
+    if scan is not None:
+        channels = int(scan[6][0])
+        cs = CeltDecoderState(channels=channels)
+        out = celt_decode_ogg_raw(cs, data)
+        if out is not None:
+            raw = out[:8]
+            return raw, channels, float(np.sum(raw[1])) / 48000.0
+
     from libnyquist_tpu.formats import ogg
     from libnyquist_tpu.formats.opus import parse_opus_head
-    from libnyquist_tpu.formats.opus.celt import (
-        CeltDecoderState, celt_decode_stream_raw)
+    from libnyquist_tpu.formats.opus.celt import celt_decode_stream_raw
     from libnyquist_tpu.formats.opus.decoder import _endband_for_bandwidth
     from libnyquist_tpu.formats.opus.packet import parse_packet
 
@@ -123,6 +139,25 @@ def _host_decode_opus(data):
     if raw is None:
         raise RuntimeError("native host library unavailable")
     return raw, head.channels, sum(sizes) / 48000.0
+
+
+def _timed_host_pass(data, K):
+    """Decode K streams on all available cores (the C calls release the
+    GIL, so a thread pool scales to the host's core count — production
+    TPU hosts pair tens of cores with each chip; this rig may have 1).
+    Returns (t_wall, workers)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(os.cpu_count() or 1, K)
+    t0 = time.perf_counter()
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(lambda _: _host_decode_opus(data), range(K)))
+    else:
+        for _ in range(K):
+            _host_decode_opus(data)
+    return time.perf_counter() - t0, workers
 
 
 def _comb_parity_check(jax, jnp):
@@ -163,11 +198,8 @@ def bench_e2e_opus(K):
     mode = mode48000()
 
     # ---------- host half: K real streams, timed ----------
-    _host_decode_opus(data)  # warm (native build, page cache)
-    t0 = time.perf_counter()
-    for _ in range(K):
-        raw, CC, audio_s = _host_decode_opus(data)
-    t_host = time.perf_counter() - t0
+    raw, CC, audio_s = _host_decode_opus(data)  # warm (build, page cache)
+    t_host, host_workers = _timed_host_pass(data, K)
     freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
     F, _, N = freq.shape
     if not (np.asarray(fsz) == N).all():
@@ -231,14 +263,17 @@ def bench_e2e_opus(K):
         pcm, tails, hist, mem = serving.unified_step_body(
             spec, *args, d["fade"], d["T1m"], d["T1p"], d["T8m"],
             d["T8p"], tails, hist, mem, mode.overlap, mode.shortMdctSize)
-        acc = acc + jnp.sum(pcm.astype(jnp.float64), axis=1)
+        # f32 tree-reduction partial sums; the cross-step accumulation
+        # order matches XLA's within-step order closely enough for the
+        # +-1.0 oracle check (f64 would be software-emulated on TPU).
+        acc = acc + jnp.sum(pcm, axis=1)
         return tails, hist, mem, acc
 
     def zeros():
         return (jnp.zeros((R, mode.overlap), jnp.float32),
                 jnp.zeros((R, comb_ops.HIST), jnp.float32),
                 jnp.zeros((R,), jnp.float32),
-                jnp.zeros((R,), jnp.float64))
+                jnp.zeros((R,), jnp.float32))
 
     # Warmup / compile.
     tails, hist, mem, acc = zeros()
@@ -271,14 +306,18 @@ def bench_e2e_opus(K):
     host_x = K * audio_s / t_host
     dev_x = total_audio / t_dev
     e2e = total_audio / (t_host + t_dev)
+    pipelined = total_audio / max(t_host, t_dev)
+    host_1core_x = audio_s / (t_host * host_workers / K)
     print(f"# streams={K} src={src} audio={audio_s:.1f}s/stream "
           f"rows={R}", file=sys.stderr)
-    print(f"# host (1 core): {t_host:.2f}s = {host_x:.0f}x | device: "
+    print(f"# host ({host_workers} core(s)): {t_host:.2f}s = {host_x:.0f}x "
+          f"({host_1core_x:.0f}x/core) | device: "
           f"{t_dev:.3f}s = {dev_x:.0f}x | staging (excluded, debug "
           f"tunnel): {t_stage:.1f}s", file=sys.stderr)
-    print(f"# e2e serial composition: {e2e:.0f}x realtime per chip; "
-          f"host-core scaling: ceil({TARGET:.0f}/{host_x:.0f}) = "
-          f"{int(np.ceil(TARGET / host_x))} cores reach the "
+    print(f"# e2e serial composition: {e2e:.0f}x realtime per chip "
+          f"(double-buffered overlap bound: {pipelined:.0f}x); "
+          f"host-core scaling: ceil({TARGET:.0f}/{host_1core_x:.0f}) = "
+          f"{int(np.ceil(TARGET / host_1core_x))} cores reach the "
           f"{TARGET:.0f}x target", file=sys.stderr)
     return {
         "metric": "opus_e2e_decode_realtime_x",

@@ -2116,14 +2116,72 @@ def celt_decode_stream_native(
     return infos
 
 
-def celt_decode_stream_raw(
-    st: CeltDecoderState, frames, frame_sizes, ends, stream_chs,
+def celt_scan_ogg_native(data: bytes):
+    """Native one-pass Ogg demux + Opus TOC split (native/ogg_opus.c):
+    returns (payload, offs, lens, fsz, ends, chs, info) numpy arrays for
+    the first CELT-only Opus stream, or None when the native library is
+    unavailable or the stream needs the general Python path (SILK/hybrid
+    packets, multistream mapping, no Opus stream).
+
+    info: [channels, preskip, input_rate, gain_q8, mapping_family,
+    serial, n_packets, last_granule_lo31]."""
+    L = _native_celt()
+    if L is None or not hasattr(L, "ogg_opus_celt_scan"):
+        return None
+    import ctypes
+
+    i64p, i32p, _ = _ec_ptrs()
+    n = len(data)
+    payload = np.empty(n, np.uint8)
+    # worst case: one frame per ~2 payload bytes is far below n/2 for
+    # real streams; 1 + n // 8 frames covers 20 ms frames of >= 8 bytes
+    # with big margin, and the scan errors out (-2) rather than overruns.
+    cap = 4096 + n // 4
+    offs = np.empty(cap, np.int64)
+    lens = np.empty(cap, np.int64)
+    fsz = np.empty(cap, np.int32)
+    ends = np.empty(cap, np.int32)
+    chs = np.empty(cap, np.int32)
+    info = np.zeros(8, np.int32)
+    rc = L.ogg_opus_celt_scan(
+        data, n,
+        payload.ctypes.data_as(ctypes.c_char_p), n,
+        offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p),
+        fsz.ctypes.data_as(i32p), ends.ctypes.data_as(i32p),
+        chs.ctypes.data_as(i32p), cap, info.ctypes.data_as(i32p),
+    )
+    if rc < 0:
+        if rc in (-1, -4):
+            return None  # not a plain CELT Opus stream: general path
+        raise ValueError(f"ogg_opus_celt_scan failed: {rc}")
+    k = int(rc)
+    return (payload, offs[:k], lens[:k], fsz[:k], ends[:k], chs[:k], info)
+
+
+def celt_decode_ogg_raw(st: CeltDecoderState, data: bytes):
+    """Whole-file fast path: native Ogg scan + native whole-stream CELT
+    decode, no per-packet Python.  Returns the celt_decode_stream_raw
+    tuple plus the scan info array, or None (caller falls back)."""
+    scan = celt_scan_ogg_native(data)
+    if scan is None:
+        return None
+    payload, offs, lens, fsz, ends, chs, info = scan
+    if st.channels != int(info[0]):
+        raise ValueError("decoder channels != OpusHead channels")
+    import ctypes
+
+    pay_p = payload.ctypes.data_as(ctypes.c_char_p)
+    out = _celt_decode_stream_arrays(st, pay_p, offs, lens, fsz, ends, chs)
+    del pay_p  # payload kept alive by this frame for the call's duration
+    if out is None:
+        return None
+    return out + (info,)
+
+
+def _celt_decode_stream_arrays(
+    st: CeltDecoderState, payload, offs, lens, fsz, enda, cha,
 ):
-    """celt_decode_stream_native without the per-frame dict layer: returns
-    (freq [n, CCout, nmax] float32, frame_sizes, stream_chs, short_blocks,
-    pf_pitch, pf_gain, pf_tapset, silence) arrays, or None when the
-    native library is unavailable.  The array form feeds the batched
-    serving path with zero reshuffling."""
+    """Array-form core of celt_decode_stream_raw (no Python frame list)."""
     L = _native_celt()
     if L is None or not hasattr(L, "celt_decode_stream"):
         return None
@@ -2131,20 +2189,14 @@ def celt_decode_stream_raw(
 
     mode = mode48000()
     nb = mode.nbEBands
-    n = len(frames)
+    n = len(offs)
     if n == 0:
         return []
-    payload = b"".join(frames)
-    offs = np.zeros(n, np.int64)
-    lens = np.zeros(n, np.int64)
-    o = 0
-    for i, fr in enumerate(frames):
-        offs[i] = o
-        lens[i] = len(fr)
-        o += len(fr)
-    fsz = np.ascontiguousarray(frame_sizes, np.int32)
-    enda = np.ascontiguousarray(ends, np.int32)
-    cha = np.ascontiguousarray(stream_chs, np.int32)
+    fsz = np.ascontiguousarray(fsz, np.int32)
+    enda = np.ascontiguousarray(enda, np.int32)
+    cha = np.ascontiguousarray(cha, np.int32)
+    offs = np.ascontiguousarray(offs, np.int64)
+    lens = np.ascontiguousarray(lens, np.int64)
     CC = st.channels
     CCout = max(CC, int(cha.max()))
     nmax = int(fsz.max())
@@ -2187,6 +2239,27 @@ def celt_decode_stream_raw(
     st.backgroundLogE[:] = bg
     st.rng = int(rng[0])
     return freq, fsz, cha, sb, pfp, pfg, pft, sil
+
+
+def celt_decode_stream_raw(
+    st: CeltDecoderState, frames, frame_sizes, ends, stream_chs,
+):
+    """celt_decode_stream_native without the per-frame dict layer: returns
+    (freq [n, CCout, nmax] float32, frame_sizes, stream_chs, short_blocks,
+    pf_pitch, pf_gain, pf_tapset, silence) arrays, or None when the
+    native library is unavailable.  The array form feeds the batched
+    serving path with zero reshuffling."""
+    L = _native_celt()
+    if L is None or not hasattr(L, "celt_decode_stream"):
+        return None
+    n = len(frames)
+    if n == 0:
+        return []
+    payload = b"".join(frames)
+    lens = np.fromiter((len(fr) for fr in frames), np.int64, n)
+    offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return _celt_decode_stream_arrays(
+        st, payload, offs, lens, frame_sizes, ends, stream_chs)
 
 
 def comb_filter(y, x, off, T0, T1, N, g0, g1, tapset0, tapset1, window,

@@ -218,6 +218,29 @@ def lib():
             ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        L.silk_set_tables.restype = None
+        L.silk_set_tables.argtypes = [
+            ctypes.c_char_p, i64p_, ctypes.c_int,   # u8 blob, offs, n
+            i32p_, i64p_, ctypes.c_int,             # i32 blob, offs, n
+        ]
+        L.silk_create.restype = ctypes.c_void_p
+        L.silk_create.argtypes = [ctypes.c_int]
+        L.silk_free.restype = None
+        L.silk_free.argtypes = [ctypes.c_void_p]
+        L.silk_decode.restype = ctypes.c_int64
+        L.silk_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,
+            i64p_, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p_,
+        ]
+        L.ogg_opus_celt_scan.restype = ctypes.c_int64
+        L.ogg_opus_celt_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,        # data, len
+            ctypes.c_char_p, ctypes.c_int64,        # payload_out, cap
+            i64p_, i64p_,                           # offs, lens
+            i32p_, i32p_, i32p_,                    # fsz, ends, chs
+            ctypes.c_int64, i32p_,                  # max_frames, info
+        ]
         L.wv_decorr_stereo.restype = None
         L.wv_decorr_stereo.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
