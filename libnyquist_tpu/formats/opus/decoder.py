@@ -148,7 +148,7 @@ class OpusDecoder:
             from . import silk as silk_mod
 
             if self.silk is None or self.prev_mode == MODE_CELT_ONLY:
-                self.silk = silk_mod.SilkDecoder(self.channels)
+                self.silk = silk_mod.make_silk_decoder(self.channels)
             if mode == MODE_SILK_ONLY:
                 if self.bandwidth == BW_NARROWBAND:
                     internal_rate = 8000

@@ -1286,3 +1286,161 @@ class SilkDecoder:
 
 def _copy_resampler(r: Resampler) -> Resampler:
     return copy.deepcopy(r)
+
+
+# --------------------------------------------------------------------------
+# Native decoder (native/silk_dec.c): same bit-exact fixed-point decode,
+# state held behind an opaque C handle; only the range-coder state crosses
+# the boundary (10 int64s, the celt.py _ec_pack layout). The pure-Python
+# SilkDecoder above remains the fallback and the spec.
+# --------------------------------------------------------------------------
+
+_NATIVE = None          # (lib, keepalive-dict) once initialised
+_NATIVE_TRIED = False
+
+# Table order contracts with native/silk_dec.c (enum TU8_* / T32_*).
+_U8_TABLES = [
+    "type_offset_VAD_iCDF", "type_offset_no_VAD_iCDF", "gain_iCDF",
+    "delta_gain_iCDF", "uniform3_iCDF", "uniform4_iCDF", "uniform5_iCDF",
+    "uniform6_iCDF", "uniform8_iCDF", "NLSF_interp_iCDF", "NLSF_EXT_iCDF",
+    "pitch_delta_iCDF", "pitch_lag_iCDF", "pitch_contour_iCDF",
+    "pitch_contour_10ms_iCDF", "pitch_contour_NB_iCDF",
+    "pitch_contour_10ms_NB_iCDF", "LTP_per_index_iCDF",
+    "LTP_gain_iCDF_0", "LTP_gain_iCDF_1", "LTP_gain_iCDF_2",
+    "LTPscale_iCDF", "LBRR_flags_2_iCDF", "LBRR_flags_3_iCDF",
+    "rate_levels_iCDF", "pulses_per_block_iCDF", "lsb_iCDF", "sign_iCDF",
+    "shell_code_table0", "shell_code_table1", "shell_code_table2",
+    "shell_code_table3", "stereo_pred_joint_iCDF",
+    "stereo_only_code_mid_iCDF",
+]
+_I32_TABLES = [
+    "LTPScales_table_Q14", "LTP_vq_Q7_0", "LTP_vq_Q7_1", "LTP_vq_Q7_2",
+    "CB_lags_stage2", "CB_lags_stage2_10ms", "CB_lags_stage3",
+    "CB_lags_stage3_10ms", "Quantization_Offsets_Q10",
+    "stereo_pred_quant_Q13", "LSFCosTab_FIX_Q12",
+]
+
+
+def _native_silk():
+    """Load the native library and hand it the normative tables once."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_SILK"):
+        return None
+    from ...runtime.native import lib
+    from .silk_tables import nlsf_cb_nb_mb, nlsf_cb_wb
+
+    L = lib()
+    if L is None or not hasattr(L, "silk_decode"):
+        return None
+    import ctypes
+
+    t = ST.tables()
+    u8_parts = [np.ascontiguousarray(t[n], np.uint8).ravel()
+                for n in _U8_TABLES]
+    for cb in (nlsf_cb_wb(), nlsf_cb_nb_mb()):
+        u8_parts.append(np.ascontiguousarray(cb.CB1_iCDF, np.uint8).ravel())
+        u8_parts.append(np.ascontiguousarray(cb.ec_iCDF, np.uint8).ravel())
+    i32_parts = [np.ascontiguousarray(t[n], np.int32).ravel()
+                 for n in _I32_TABLES]
+    for cb in (nlsf_cb_wb(), nlsf_cb_nb_mb()):
+        i32_parts.append(np.array(
+            [cb.nVectors, cb.order, cb.quantStepSize_Q16,
+             cb.invQuantStepSize_Q6], np.int32))
+        i32_parts.append(
+            np.ascontiguousarray(cb.CB1_NLSF_Q8, np.int32).ravel())
+        i32_parts.append(np.ascontiguousarray(cb.pred_Q8, np.int32).ravel())
+        i32_parts.append(np.ascontiguousarray(cb.ec_sel, np.int32).ravel())
+        i32_parts.append(
+            np.ascontiguousarray(cb.deltaMin_Q15, np.int32).ravel())
+    i32_parts.append(
+        np.ascontiguousarray(t["shell_code_table_offsets"], np.int32))
+    i32_parts.append(np.ascontiguousarray(t["resampler_up2_hq_0"], np.int32))
+    i32_parts.append(np.ascontiguousarray(t["resampler_up2_hq_1"], np.int32))
+    i32_parts.append(
+        np.ascontiguousarray(t["resampler_frac_FIR_12"], np.int32).ravel())
+
+    u8_offs, o = [], 0
+    for p in u8_parts:
+        u8_offs.append(o)
+        o += p.size
+    u8_blob = np.concatenate(u8_parts).astype(np.uint8)
+    i32_offs, o = [], 0
+    for p in i32_parts:
+        i32_offs.append(o)
+        o += p.size
+    i32_blob = np.concatenate(i32_parts).astype(np.int32)
+    u8_offs = np.array(u8_offs, np.int64)
+    i32_offs = np.array(i32_offs, np.int64)
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    L.silk_set_tables(
+        u8_blob.ctypes.data_as(ctypes.c_char_p),
+        u8_offs.ctypes.data_as(i64p), len(u8_parts),
+        i32_blob.ctypes.data_as(i32p),
+        i32_offs.ctypes.data_as(i64p), len(i32_parts),
+    )
+    # The C side keeps raw pointers: the blobs must outlive the library.
+    _NATIVE = (L, dict(u8=u8_blob, i32=i32_blob,
+                       u8o=u8_offs, i32o=i32_offs))
+    return _NATIVE
+
+
+class NativeSilkDecoder:
+    """ctypes front for native/silk_dec.c with the SilkDecoder API."""
+
+    def __init__(self, channels: int):
+        native = _native_silk()
+        if native is None:
+            raise RuntimeError("native SILK unavailable")
+        self._L = native[0]
+        self.nChannelsAPI = channels
+        self._h = self._L.silk_create(channels)
+        if not self._h:
+            raise MemoryError("silk_create failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            try:
+                self._L.silk_free(h)
+            except Exception:
+                pass
+            self._h = None
+
+    def decode(self, dec: RangeDecoder, n_channels_internal, internal_rate,
+               payload_ms, total_ms):
+        import ctypes
+
+        ch = self.nChannelsAPI
+        n_expected = payload_ms * 48
+        out = np.zeros(n_expected * ch, np.int16)
+        ec = np.array(
+            [dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+             dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
+             dec.error], np.int64)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        n = self._L.silk_decode(
+            self._h, dec.buf, dec.storage, ec.ctypes.data_as(i64p),
+            int(n_channels_internal), int(internal_rate), int(payload_ms),
+            out.ctypes.data_as(i16p),
+        )
+        if n < 0:
+            raise DecodeError("native SILK decode failed")
+        (dec.offs, dec.end_offs, dec.end_window, dec.nend_bits,
+         dec.nbits_total, dec.rng, dec.rem, dec.val, dec.ext,
+         dec.error) = ec.tolist()
+        return out[: n * ch].reshape(n, ch).astype(np.float64)
+
+
+def make_silk_decoder(channels: int):
+    """Native decoder when available, pure-Python fallback otherwise."""
+    if _native_silk() is not None:
+        return NativeSilkDecoder(channels)
+    return SilkDecoder(channels)

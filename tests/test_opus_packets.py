@@ -131,3 +131,32 @@ def test_native_band_decode_matches_python(monkeypatch):
     a = run(True)
     b = run(False)
     assert np.abs(a - b).max() < 1e-9
+
+
+def test_native_silk_decode_matches_python(monkeypatch):
+    """native/silk_dec.c must agree bit-for-bit with the Python SILK
+    decoder (both are integer-exact, so equality is exact) on the
+    SILK-only and hybrid golden cases."""
+    from libnyquist_tpu.formats.opus import silk as silk_mod
+
+    if silk_mod._native_silk() is None:
+        pytest.skip("native SILK unavailable")
+    if not CASES:
+        pytest.skip("opus packet goldens not generated")
+
+    def run():
+        outs = []
+        for idx in SILK_CASES + HYBRID_CASES:
+            case = CASES[idx]
+            dec = OpusDecoder(case["ch"])
+            for p in case["packets"]:
+                outs.append(dec.decode_packet(p).reshape(-1))
+        return np.concatenate(outs)
+
+    monkeypatch.setattr(
+        silk_mod, "make_silk_decoder",
+        lambda ch: silk_mod.SilkDecoder(ch))
+    a = run()
+    monkeypatch.undo()
+    b = run()
+    assert np.array_equal(a, b)
