@@ -109,6 +109,80 @@ def _load_tables():
 
 _T = _load_tables()
 
+# ---------------------------------------------------------------------------
+# native frame reader (native/mpc_frame.c): same bit-exact entropy decode
+# with the Python read_frame/read_frame_sv7 below as fallback and spec.
+# ---------------------------------------------------------------------------
+_NATIVE_MPC = None
+_NATIVE_MPC_TRIED = False
+
+
+def _native_mpc():
+    global _NATIVE_MPC, _NATIVE_MPC_TRIED
+    if _NATIVE_MPC_TRIED:
+        return _NATIVE_MPC
+    _NATIVE_MPC_TRIED = True
+    import ctypes
+    import os
+
+    if os.environ.get("LIBNYQUIST_NO_NATIVE_MPC"):
+        return None
+    from ..runtime.native import lib
+
+    L = lib()
+    if L is None or not hasattr(L, "mpc_read_frame"):
+        return None
+
+    T = _T
+    cans = [T["Bands"], T["SCFI"][0], T["SCFI"][1], T["DSCF"][0],
+            T["DSCF"][1], T["Res"][0], T["Res"][1], T["Q1"], T["Q9up"],
+            T["Q"][0][0], T["Q"][0][1], T["Q"][1][0], T["Q"][1][1],
+            T["Q"][2][0], T["Q"][2][1], T["Q"][3][0], T["Q"][3][1],
+            T["Q"][4][0], T["Q"][4][1], T["Q"][5][0], T["Q"][5][1]]
+    luts = [T["Hdr7"], T["SCFI7"], T["DSCF7"]]
+    for pair in T["Q7"]:
+        luts.append(pair[0])
+        luts.append(pair[1])
+
+    can_rows, can_syms, can_meta = [], [], []
+    row_off = sym_off = 0
+    for c in cans:
+        can_meta.extend([row_off, len(c.rows), sym_off])
+        can_rows.append(np.asarray(c.rows, np.int32).reshape(-1, 3))
+        can_syms.append(np.asarray(c.sym, np.int8))
+        row_off += len(c.rows)
+        sym_off += len(c.sym)
+    lut_rows, lut_meta = [], []
+    row_off = 0
+    for rows in luts:
+        lut_meta.extend([row_off, len(rows)])
+        lut_rows.append(np.asarray(rows, np.int32).reshape(-1, 3))
+        row_off += len(rows)
+
+    keep = dict(
+        can_rows=np.concatenate(can_rows).astype(np.int32),
+        can_syms=np.concatenate(can_syms).astype(np.int8),
+        can_meta=np.asarray(can_meta, np.int64),
+        lut_rows=np.concatenate(lut_rows).astype(np.int32),
+        lut_meta=np.asarray(lut_meta, np.int64),
+        dc=np.asarray(T["Dc"], np.int32),
+        res_bit=np.asarray(T["Res_bit"], np.int32),
+    )
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    L.mpc_set_tables(
+        keep["can_rows"].ctypes.data_as(i32p),
+        keep["can_syms"].ctypes.data_as(ctypes.c_char_p),
+        keep["can_meta"].ctypes.data_as(i64p),
+        keep["lut_rows"].ctypes.data_as(i32p),
+        keep["lut_meta"].ctypes.data_as(i64p),
+        keep["dc"].ctypes.data_as(i32p),
+        keep["res_bit"].ctypes.data_as(i32p),
+    )
+    _NATIVE_MPC = (L, keep)   # blobs must outlive the library pointers
+    return _NATIVE_MPC
+
+
 # SCF factor table (requant.c:95 mpc_decoder_scale_output with
 # scale_factor=1, float mode: factor = 1/2^(16-1)).
 def _build_scf() -> np.ndarray:
@@ -360,6 +434,30 @@ class _Synth:
         return np.sum(gathered * _T["Di"][None], axis=2)
 
 
+def _synth_stream(Y: np.ndarray) -> np.ndarray:
+    """Whole-stream synthesis: Y [T, 32] requantized rows in time order
+    -> [T, 32] pcm, zero initial V state.
+
+    Equivalent to chaining _Synth.run over frames: step t's V block only
+    feeds steps t..t+15 (_K_IDX[k, j] // 64 == j), so the sliding read
+    collapses to one matmul plus a 16-tap gather-combine over the block
+    sequence -- the same batched-FIR structure as ops/mp3_synth.py."""
+    T = Y.shape[0]
+    blocks = Y @ _M_SYNTH.T                          # [T, 64]
+    bpad = np.vstack([np.zeros((15, 64), blocks.dtype), blocks])
+    # Tap columns are fixed: _K_IDX % 64 == k for even taps, k + 32 for
+    # odd taps, so each tap is a contiguous column slice (view), not a
+    # gather.
+    di = np.asarray(_T["Di"], np.float64)            # [32, 16]
+    a = bpad[:, :32]
+    b = bpad[:, 32:64]
+    out = np.zeros((T, 32), np.float64)
+    for j in range(0, 16, 2):
+        out += a[15 - j : 15 - j + T] * di[:, j]
+        out += b[14 - j : 14 - j + T] * di[:, j + 1]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # frame bitstream (SV8)
 # ---------------------------------------------------------------------------
@@ -407,7 +505,46 @@ class MusepackDecoder:
         self.__r2 = ((r2 << 1) & 0xFFFFFFFF) | t2
         return (self.__r1 ^ self.__r2) & 0xFFFFFFFF
 
+    def _native_read(self, br: _Bits, is_key_frame: bool,
+                     sv7: bool) -> bool:
+        """Run the frame entropy decode in C; returns False when the
+        native library is unavailable (caller falls back to Python)."""
+        import ctypes
+
+        native = _native_mpc()
+        if native is None:
+            return False
+        L = native[0]
+        io = np.array([br.pos, self._MusepackDecoder__r1,
+                       self._MusepackDecoder__r2, self.last_max_band],
+                      np.int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+
+        def p(a):
+            return a.ctypes.data_as(i32p)
+
+        rc = L.mpc_read_frame(
+            br.buf, len(br.buf), io.ctypes.data_as(i64p),
+            int(sv7), int(is_key_frame), int(self.max_band),
+            int(self.ms),
+            p(self.res[0]), p(self.res[1]),
+            p(self.scfi[0]), p(self.scfi[1]),
+            p(self.scf_index[0]), p(self.scf_index[1]),
+            p(self.dscf_flag[0]), p(self.dscf_flag[1]),
+            p(self.ms_flag), p(self.q[0]), p(self.q[1]),
+        )
+        if rc < 0:
+            raise DecodeError("mpc: bad huffman code")
+        br.pos = int(io[0])
+        self._MusepackDecoder__r1 = int(io[1])
+        self._MusepackDecoder__r2 = int(io[2])
+        self.last_max_band = int(io[3])
+        return True
+
     def read_frame(self, br: _Bits, is_key_frame: bool) -> None:
+        if self._native_read(br, is_key_frame, sv7=False):
+            return
         T = _T
         res_l, res_r = self.res
         scfi_l, scfi_r = self.scfi
@@ -549,6 +686,8 @@ class MusepackDecoder:
 
     def read_frame_sv7(self, br: _Bits) -> None:
         """mpc_decoder.c:346 mpc_decoder_read_bitstream_sv7."""
+        if self._native_read(br, False, sv7=True):
+            return
         T = _T
         res_l, res_r = self.res
         scfi_l, scfi_r = self.scfi
@@ -691,6 +830,28 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             return size, pos
 
 
+def _finish_batched(audio: AudioData, ys, spans, dec, channels,
+                    sample_rate) -> None:
+    """Run the deferred whole-stream synthesis and assemble the trimmed
+    pcm (ys: per-frame (yl, yr); spans: (frame_idx, start, stop))."""
+    chunks: list[np.ndarray] = []
+    if ys:
+        F = len(ys)
+        yl = np.stack([y[0] for y in ys]).reshape(F * 36, 32)
+        left = _synth_stream(yl).reshape(F, FRAME_LENGTH)
+        if channels == 2:
+            yr = np.stack([y[1] for y in ys]).reshape(F * 36, 32)
+            right = _synth_stream(yr).reshape(F, FRAME_LENGTH)
+            frames = np.empty((F, FRAME_LENGTH * 2), np.float64)
+            frames[:, 0::2] = left
+            frames[:, 1::2] = right
+        else:
+            frames = left
+        for fidx, start, stop in spans:
+            chunks.append(frames[fidx][start * channels : stop * channels])
+    _finish(audio, chunks, channels, sample_rate)
+
+
 def _finish(audio: AudioData, chunks, channels, sample_rate) -> None:
     pcm = (np.concatenate(chunks) if chunks
            else np.zeros(0, np.float64)).astype(np.float32)
@@ -748,17 +909,18 @@ def _decode_sv7(data: bytes, audio: AudioData) -> None:
 
     dec = MusepackDecoder(max_band, ms, channels)
     decoded = 0
-    chunks: list[np.ndarray] = []
+    ys: list = []
+    spans: list = []
     while decoded < d_samples and br.pos + 20 <= br.limit:
         br.read(20)  # frame bit size (trusted; consistency not enforced)
         samples_left = d_samples - decoded + SYNTH_DELAY
         if samples_left <= 0 and d_samples != 0:
             break
         dec.read_frame_sv7(br)
-        frame = None
+        fidx = None
         if samples_to_skip < FRAME_LENGTH + SYNTH_DELAY:
-            yl, yr = dec.requantize()
-            frame = dec.synthesize(yl, yr)
+            fidx = len(ys)
+            ys.append(dec.requantize())
         decoded += FRAME_LENGTH
         # C compares uint64: true only once decoded >= samples (last frame)
         if 0 <= decoded - d_samples < FRAME_LENGTH:
@@ -769,20 +931,20 @@ def _decode_sv7(data: bytes, audio: AudioData) -> None:
                 d_samples += lfs - FRAME_LENGTH
                 samples_left += lfs - FRAME_LENGTH
         n_out = min(max(samples_left, 0), FRAME_LENGTH)
+        start = 0
         if samples_to_skip:
             if n_out <= samples_to_skip:
                 samples_to_skip -= n_out
                 n_out = 0
             else:
                 n_out -= samples_to_skip
-                if frame is not None:
-                    frame = frame[samples_to_skip * channels :]
+                start = samples_to_skip
                 samples_to_skip = 0
-        if n_out and frame is not None:
-            chunks.append(frame[: n_out * channels])
+        if n_out and fidx is not None:
+            spans.append((fidx, start, start + n_out))
         if br.pos > br.limit:
             raise DecodeError("MPC SV7 bitstream overrun")
-    _finish(audio, chunks, channels, sample_rate)
+    _finish_batched(audio, ys, spans, dec, channels, sample_rate)
 
 
 def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
@@ -802,7 +964,8 @@ def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
     samples_to_skip = 0
     decoded_samples = 0
     stream_samples = 0
-    chunks: list[np.ndarray] = []
+    ys: list = []
+    spans: list = []
     done = False
 
     while pos + 3 <= len(data) and not done:
@@ -840,23 +1003,23 @@ def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
                     done = True
                     break
                 dec.read_frame(br, is_key_frame=(f == 0))
-                frame = None
+                fidx = None
                 if samples_to_skip < FRAME_LENGTH + SYNTH_DELAY:
-                    yl, yr = dec.requantize()
-                    frame = dec.synthesize(yl, yr)
+                    fidx = len(ys)
+                    ys.append(dec.requantize())
                 decoded_samples += FRAME_LENGTH
                 n_out = min(max(samples_left, 0), FRAME_LENGTH)
+                start = 0
                 if samples_to_skip:
                     if n_out <= samples_to_skip:
                         samples_to_skip -= n_out
                         n_out = 0
                     else:
                         n_out -= samples_to_skip
-                        if frame is not None:
-                            frame = frame[samples_to_skip * channels :]
+                        start = samples_to_skip
                         samples_to_skip = 0
-                if n_out and frame is not None:
-                    chunks.append(frame[: n_out * channels])
+                if n_out and fidx is not None:
+                    spans.append((fidx, start, start + n_out))
                 if br.pos > br.limit:
                     raise DecodeError("MPC bitstream overrun")
         elif key == b"SE":
@@ -865,4 +1028,4 @@ def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
 
     if dec is None:
         raise DecodeError("no MPC stream header found")
-    _finish(audio, chunks, channels, sample_rate)
+    _finish_batched(audio, ys, spans, dec, channels, sample_rate)

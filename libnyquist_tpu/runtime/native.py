@@ -218,6 +218,17 @@ def lib():
             ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        L.mpc_set_tables.restype = None
+        L.mpc_set_tables.argtypes = [
+            i32p_, ctypes.c_char_p, i64p_,          # can rows/syms/meta
+            i32p_, i64p_,                           # lut rows/meta
+            i32p_, i32p_,                           # dc, res_bit
+        ]
+        L.mpc_read_frame.restype = ctypes.c_int64
+        L.mpc_read_frame.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64, i64p_]
+            + [ctypes.c_int] * 4 + [i32p_] * 11
+        )
         L.silk_set_tables.restype = None
         L.silk_set_tables.argtypes = [
             ctypes.c_char_p, i64p_, ctypes.c_int,   # u8 blob, offs, n
