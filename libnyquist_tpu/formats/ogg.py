@@ -114,6 +114,7 @@ class OggPacket:
     data: bytes
     granule_pos: int  # granule of the page the packet *ends* on (-1 if mid)
     eos: bool
+    hole: bool = False  # a page-sequence gap precedes this packet
 
 
 @dataclass
@@ -123,6 +124,8 @@ class LogicalStream:
     last_granule: int = -1
     _partial: bytearray = field(default_factory=bytearray)
     _partial_open: bool = False
+    _last_seq: int = -1
+    _hole_pending: bool = False
 
 
 def demux(data: bytes, verify_crc: bool = False) -> Dict[int, LogicalStream]:
@@ -137,6 +140,11 @@ def demux(data: bytes, verify_crc: bool = False) -> Dict[int, LogicalStream]:
         st = streams.setdefault(page.serial, LogicalStream(page.serial))
         if page.granule_pos >= 0:
             st.last_granule = max(st.last_granule, page.granule_pos)
+        # Page-sequence gap = lost pages: flag the next completed packet
+        # so decoders can conceal (opusfile reports OP_HOLE similarly).
+        if st._last_seq >= 0 and page.page_seq > st._last_seq + 1:
+            st._hole_pending = True
+        st._last_seq = max(st._last_seq, page.page_seq)
         if not page.continued_first and st._partial_open:
             # Lost continuation (hole in the stream): drop the partial.
             st._partial = bytearray()
@@ -165,8 +173,10 @@ def demux(data: bytes, verify_crc: bool = False) -> Dict[int, LogicalStream]:
                         data=bytes(st._partial),
                         granule_pos=page.granule_pos if is_last_on_page else -1,
                         eos=page.is_eos and is_last_on_page,
+                        hole=st._hole_pending,
                     )
                 )
+                st._hole_pending = False
                 st._partial = bytearray()
                 st._partial_open = False
     return streams

@@ -81,8 +81,23 @@ class OpusMultistreamDecoder:
             dec.decode_gain = head.output_gain_q8
             self.decoders.append(dec)
 
-    def decode_packet(self, data: bytes) -> np.ndarray:
+    def decode_packet(self, data) -> np.ndarray:
         head = self.head
+        if data is None:
+            # Packet loss: conceal every elementary stream.
+            outs = [d.decode_packet(None) for d in self.decoders]
+            n = outs[0].shape[0]
+            result = np.zeros((n, head.channels))
+            for c, m in enumerate(head.mapping):
+                if m == 255:
+                    continue
+                if m < 2 * head.coupled_count:
+                    result[:, c] = outs[m >> 1][:, m & 1]
+                else:
+                    result[:, c] = outs[
+                        head.coupled_count + (m - 2 * head.coupled_count)
+                    ][:, 0]
+            return result
         # Split the multistream packet: self-delimited for all but last.
         frames_per_stream = []
         pos = 0
@@ -293,7 +308,9 @@ def decode_ogg_opus(data: bytes):
     # runtime/serving.py) stays opt-in for single-file loads since it
     # only wins when the accelerator is local.
     pcm = None
-    if head.stream_count == 1 and head.coupled_count in (0, 1):
+    has_hole = any(p.hole for p in st.packets)
+    if (head.stream_count == 1 and head.coupled_count in (0, 1)
+            and not has_hole):
         import os
 
         if os.environ.get("LIBNYQUIST_OPUS_PIPELINE"):
@@ -302,10 +319,39 @@ def decode_ogg_opus(data: bytes):
             pcm = _decode_celt_only_pipeline(st, head)
 
     if pcm is None:
-        # general path: per-packet decode (SILK/hybrid/transitions)
+        # general path: per-packet decode (SILK/hybrid/transitions/PLC)
+        from .packet import parse_packet as _pp
+
         ms = OpusMultistreamDecoder(head)
         chunks = []
+        last_gran = None
         for pkt in st.packets[2:]:
+            if pkt.hole:
+                # Lost pages precede this packet (opusfile: OP_HOLE).
+                # Size the concealment from the granule jump when both
+                # endpoints are known; else conceal one packet duration.
+                missing = None
+                if last_gran is not None and pkt.granule_pos >= 0:
+                    try:
+                        pp = _pp(pkt.data)
+                        cur = pp.frame_size * len(pp.frames)
+                        missing = min(
+                            pkt.granule_pos - last_gran - cur,
+                            48000 * 10,  # cap runaway granule jumps
+                        )
+                    except Exception:
+                        missing = None
+                if missing is None:
+                    chunks.append(ms.decode_packet(None))
+                else:
+                    while missing > 0:
+                        c = ms.decode_packet(None)
+                        if c.shape[0] <= 0:
+                            break
+                        chunks.append(c[:missing])
+                        missing -= c.shape[0]
+            if pkt.granule_pos >= 0:
+                last_gran = pkt.granule_pos
             if len(pkt.data) == 0:
                 continue
             chunks.append(ms.decode_packet(pkt.data))

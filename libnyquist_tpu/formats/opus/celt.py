@@ -1833,6 +1833,70 @@ class CeltDecoderState:
         )
 
 
+def celt_decode_lost(st: CeltDecoderState, frame_size: int,
+                     loss_count: int) -> "np.ndarray":
+    """Packet-loss concealment, noise mode (reference:
+    celt_decoder_clean.c has PLC stripped; upstream celt_decoder.c:351
+    celt_decode_lost, noise branch): band shapes are refreshed with
+    pseudo-random unit-norm noise and scaled by the last band energies,
+    decayed toward the tracked background noise floor, then synthesized
+    through the normal IMDCT/overlap/postfilter/deemphasis path so the
+    TDAC overlap keeps the splice clickless.
+
+    The upstream pitch-repetition branch (used for start==0 with a
+    confident pitch) is not reproduced; the noise branch is what
+    upstream itself uses for hybrid streams and after repeated losses.
+    """
+    mode = mode48000()
+    LM = -1
+    for lm in range(mode.maxLM + 1):
+        if mode.shortMdctSize << lm == frame_size:
+            LM = lm
+            break
+    if LM < 0:
+        raise ValueError(f"bad frame size {frame_size}")
+    M = 1 << LM
+    N = M * mode.shortMdctSize
+    CC = st.channels
+    eBands = mode.eBands
+    effEnd = min(st.end, mode.effEBands)
+
+    # energy decay toward the background floor (celt_decoder.c:447-456)
+    decay = 1.5 if loss_count == 0 else 0.5
+    bg = st.backgroundLogE.reshape(2, -1)
+    for c in range(2):
+        st.oldEBands[c, st.start:st.end] = np.maximum(
+            bg[c, st.start:st.end],
+            st.oldEBands[c, st.start:st.end] - decay,
+        )
+
+    seed = st.rng
+    freq = np.zeros((CC, N))
+    X = np.zeros(N)
+    for c in range(CC):
+        for i in range(st.start, effEnd):
+            lo, hi = M * int(eBands[i]), M * int(eBands[i + 1])
+            blen = hi - lo
+            vals = np.empty(blen)
+            for j in range(blen):
+                seed = celt_lcg_rand(seed)
+                s32 = seed - 0x100000000 if seed >= 0x80000000 else seed
+                vals[j] = float(s32 >> 20)
+            nrm = np.sqrt(np.sum(vals * vals))
+            X[lo:hi] = vals / nrm if nrm > 0 else 0.0
+        denormalise_bands(mode, X, freq[c], st.oldEBands[c],
+                          st.start, effEnd, M)
+    st.rng = seed
+
+    info = dict(
+        N=N, CC=CC, LM=LM, shortBlocks=0, freq=freq,
+        postfilter_pitch=st.postfilter_period,
+        postfilter_gain=st.postfilter_gain,
+        postfilter_tapset=st.postfilter_tapset,
+    )
+    return celt_synthesize_host(st, info)
+
+
 def celt_decode_frame(
     st: CeltDecoderState, data: bytes, frame_size: int,
     dec: RangeDecoder = None, accum_pcm=None,

@@ -3,9 +3,9 @@
 Equivalent of opus_decode_native / opus_decode_frame (reference:
 third_party/opus/libopus/src/opus_decoder_clean.c:210-723). Host-side
 orchestration; the dense synthesis inside the CELT path is shared with the
-TPU pipeline. Like the reference fork (which removed CELT PLC —
-celt_decoder_clean.c has no celt_decode_lost), lost packets decode as
-silence-extension frames.
+TPU pipeline. decode_packet(None) conceals one lost packet: noise-mode
+CELT PLC (upstream celt_decoder.c:351 celt_decode_lost; the fork's clean
+variant stripped it) or waveform-fade concealment for SILK/hybrid.
 """
 
 from __future__ import annotations
@@ -76,19 +76,62 @@ class OpusDecoder:
         self.frame_size = 0
         self.decode_gain = 0  # Q8 dB (OPUS_SET_GAIN)
         self.rangeFinal = 0
+        self.loss_count = 0        # consecutive concealed packets
+        self._last_pcm = None      # last decoded frame (for SILK PLC)
 
     # -- public API ---------------------------------------------------------
     def decode_packet(self, data: Optional[bytes]) -> np.ndarray:
-        """Decode one packet -> [samples, channels] float64 at 48 kHz."""
+        """Decode one packet -> [samples, channels] float64 at 48 kHz.
+        data=None (or empty) requests packet-loss concealment for one
+        packet duration (reference: opus_decode with data==NULL)."""
         if data is None or len(data) == 0:
-            return self._decode_frame(None, self.frame_size or 960)
+            out = self._conceal_packet(self.frame_size or 960)
+            self.loss_count += 1
+            self._last_pcm = out
+            return out
         pkt = parse_packet(data)
         self.mode = pkt.mode
         self.bandwidth = pkt.bandwidth
         self.frame_size = pkt.frame_size
         self.stream_channels = pkt.stream_channels
         outs = [self._decode_frame(fr, pkt.frame_size) for fr in pkt.frames]
-        return np.concatenate(outs, axis=0)
+        self.loss_count = 0
+        out = np.concatenate(outs, axis=0)
+        self._last_pcm = out
+        return out
+
+    def _conceal_packet(self, frame_size: int) -> np.ndarray:
+        """Packet-loss concealment for one frame duration.
+
+        CELT streams: spectral noise-mode PLC (celt_decode_lost) — the
+        TDAC overlap memory keeps the splice clickless and repeated
+        losses decay to the background noise floor.  SILK/hybrid:
+        waveform repetition with decay and a 2.5 ms raised-cosine
+        crossfade (the reference's silk/PLC.c LPC extrapolation is not
+        reproduced; scope documented in README)."""
+        channels = self.channels
+        if self.prev_mode == 0 or self._last_pcm is None:
+            return np.zeros((frame_size, channels))
+        if self.prev_mode == MODE_CELT_ONLY:
+            from .celt import celt_decode_lost
+
+            return celt_decode_lost(self.celt, frame_size, self.loss_count)
+        # SILK / hybrid: repeat + fade the last output
+        F2_5 = self.Fs // 400
+        last = self._last_pcm
+        reps = int(np.ceil(frame_size / max(len(last), 1)))
+        tiled = np.tile(last, (reps, 1))[:frame_size]
+        gain = 0.8 * (0.6 ** self.loss_count)
+        out = tiled * gain
+        # decay within the frame too, so long losses fade to silence
+        ramp = np.linspace(1.0, 0.8, frame_size)[:, None]
+        out = out * ramp
+        # crossfade the splice against a copy of the frame tail
+        n = min(F2_5, frame_size)
+        w = 0.5 - 0.5 * np.cos(np.pi * (np.arange(n) + 0.5) / n)
+        out[:n] = (w[:, None] * out[:n]
+                   + (1.0 - w[:, None]) * last[-n:] * gain)
+        return out
 
     # -- internals ----------------------------------------------------------
     def _decode_frame(self, data: Optional[bytes], frame_size: int):

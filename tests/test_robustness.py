@@ -140,3 +140,86 @@ def test_wav_encoder_buffer_too_big_guard(monkeypatch):
                                target_format=PCMFormat.PCM_24)
     with pytest.raises(ValueError, match="BufferTooBig"):
         encoders.encode_wav_to_buffer(p, d)
+
+
+def _golden_opus_stream_with_loss(drop_from: int, drop_count: int):
+    """Build an Ogg Opus stream from the golden CELT packets with
+    `drop_count` audio pages deleted (page-sequence gap -> concealment)."""
+    import struct
+
+    from libnyquist_tpu.formats import ogg
+
+    raw = (pathlib.Path(__file__).parent
+           / "golden" / "opus_packets.bin").read_bytes()
+    pos = 4
+    ch, sr, n_packets, frame = struct.unpack_from("<4i", raw, pos)
+    pos += 16
+    pkts = []
+    for _ in range(n_packets):
+        (ln,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        pkts.append(raw[pos : pos + ln])
+        pos += ln
+    head = (b"OpusHead" + bytes([1, ch]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0) + bytes([0]))
+    tags = (b"OpusTags" + struct.pack("<I", 4) + b"test"
+            + struct.pack("<I", 0))
+    pages = [ogg.write_page(head, 0, 99, 0, bos=True),
+             ogg.write_page(tags, 0, 99, 1)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += frame
+        pages.append(ogg.write_page(p, g, 99, 2 + i,
+                                    eos=(p is pkts[-1])))
+    kept = pages[: 2 + drop_from] + pages[2 + drop_from + drop_count :]
+    return b"".join(kept), b"".join(pages), ch, frame, len(pkts)
+
+
+def test_opus_packet_loss_concealment():
+    """Deleting pages mid-stream must conceal, not error: output stays
+    finite, sample-continuous at the splices (no clicks), and outside
+    the loss neighborhood matches the intact decode (VERDICT r1 item 7)."""
+    lossy, intact, ch, frame, n_pkts = _golden_opus_stream_with_loss(10, 3)
+    a = nq.load(intact, extension="opus").samples.reshape(-1, ch)
+    b = nq.load(lossy, extension="opus").samples.reshape(-1, ch)
+    assert np.isfinite(b).all()
+    # concealment keeps the stream duration (3 packets concealed)
+    assert b.shape[0] == a.shape[0]
+    # bounded amplitude and no clicks: the max sample-to-sample jump in
+    # the lossy decode stays comparable to the intact stream's
+    jump_a = np.abs(np.diff(a, axis=0)).max()
+    jump_b = np.abs(np.diff(b, axis=0)).max()
+    assert np.abs(b).max() <= 2 * max(np.abs(a).max(), 0.1)
+    assert jump_b <= 4 * max(jump_a, 0.05)
+    # far from the loss, decode is unaffected up to resync
+    pre = slice(0, 8 * frame)
+    assert np.allclose(a[pre], b[pre], atol=1e-6)
+
+
+def test_silk_packet_loss_concealment():
+    """SILK-mode loss conceals by waveform fade: decoder-level check."""
+    import struct
+
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+    raw = (pathlib.Path(__file__).parent
+           / "golden" / "opus_packets.bin").read_bytes()
+    # reuse the SILK golden cases from test_opus_packets
+    from .test_opus_packets import CASES, SILK_CASES
+
+    if not CASES:
+        pytest.skip("opus packet goldens not generated")
+    case = CASES[SILK_CASES[0]]
+    dec = OpusDecoder(case["ch"])
+    outs = [dec.decode_packet(p) for p in case["packets"][:3]]
+    lost1 = dec.decode_packet(None)
+    lost2 = dec.decode_packet(None)
+    ref = np.concatenate(outs)
+    assert np.isfinite(lost1).all() and np.isfinite(lost2).all()
+    assert lost1.shape[0] > 0
+    assert np.abs(lost1).max() <= max(np.abs(ref).max(), 1e-3) * 1.5
+    # repeated losses decay
+    assert np.abs(lost2).max() <= np.abs(lost1).max() + 1e-9
+    # recovery: a real packet decodes fine afterwards
+    back = dec.decode_packet(case["packets"][3])
+    assert np.isfinite(back).all()
