@@ -402,6 +402,140 @@ def bench_mp3(K):
     }
 
 
+def bench_vorbis(K):
+    """Vorbis end-to-end: host half = Ogg demux + codebook/floor/residue
+    entropy decode (native residue walk); device half = batched
+    mixed-blocksize IMDCT + gather overlap-add
+    (runtime/serving.synthesize_vorbis_streams_mixed)."""
+    jax = _jax_setup()
+    from libnyquist_tpu.formats import ogg, vorbis
+    from libnyquist_tpu.runtime import serving
+
+    path = pathlib.Path(
+        "/root/reference/test_data/ad_hoc/TestLaugh_44k.ogg")
+    if not path.exists():
+        print("# vorbis bench needs the reference fixture",
+              file=sys.stderr)
+        return None
+    data = path.read_bytes()
+
+    def entropy():
+        streams = ogg.demux(data)
+        st = ogg.first_stream_matching(streams, b"\x01vorbis")
+        return vorbis._decode_stream_packets(st, return_entropy=True)
+
+    staged, bss, channels, rate, end_gran = entropy()  # warm
+    t0 = time.perf_counter()
+    for _ in range(K):
+        staged, bss, channels, rate, end_gran = entropy()
+    t_host = time.perf_counter() - t0
+
+    meta = [(n, bf, lp, ln) for (_s, n, bf, lp, ln, _nz) in staged]
+    plan = serving.vorbis_lap_plan(meta, bss)
+    F = len(staged)
+    nmax2 = plan["nmax"] // 2
+    specs = np.zeros((channels, F, nmax2), np.float32)
+    for f, (s, n, *_r) in enumerate(staged):
+        for c in range(channels):
+            specs[c, f, : n // 2] = s[c]
+    R = K * channels
+    specs_b = np.broadcast_to(specs[None], (K,) + specs.shape).reshape(
+        R, F, nmax2)
+    audio_s = plan["out_len"] / rate
+
+    d = jax.device_put(np.ascontiguousarray(specs_b))
+    jax.block_until_ready(d)
+    import functools
+
+    run = jax.jit(functools.partial(
+        serving.synthesize_vorbis_streams_mixed, plan=plan))
+    out = run(d)
+    jax.block_until_ready(out)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run(d)
+        jax.block_until_ready(out)
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    t_dev = samples[len(samples) // 2]
+
+    total_audio = K * audio_s
+    e2e = total_audio / (t_host + t_dev)
+    print(f"# vorbis streams={K} audio={audio_s:.1f}s/stream host: "
+          f"{t_host:.2f}s = {total_audio / t_host:.0f}x | device: "
+          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x",
+          file=sys.stderr)
+    return {
+        "metric": "vorbis_e2e_decode_realtime_x",
+        "value": round(e2e, 1),
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": round(e2e / TARGET, 3),
+    }
+
+
+def bench_mpc(K):
+    """Musepack end-to-end: host half = native frame entropy decode +
+    requantization; device half = batched 32-band synthesis
+    (runtime/serving.synthesize_mpc_streams)."""
+    jax = _jax_setup()
+    from libnyquist_tpu.formats import musepack as mpc
+
+    from libnyquist_tpu.runtime import serving
+
+    path = pathlib.Path(
+        "/root/reference/test_data/ad_hoc/44_16_stereo.mpc")
+    if not path.exists():
+        print("# mpc bench needs the reference fixture", file=sys.stderr)
+        return None
+    data = path.read_bytes()
+    from libnyquist_tpu.audio_data import AudioData
+
+    ys, spans, channels, rate = mpc.decode_musepack_buffer(
+        data, AudioData(), return_entropy=True)  # warm
+    t0 = time.perf_counter()
+    for _ in range(K):
+        ys, spans, channels, rate = mpc.decode_musepack_buffer(
+            data, AudioData(), return_entropy=True)
+    t_host = time.perf_counter() - t0
+
+    F = len(ys)
+    T = F * 36
+    Y = np.stack([np.concatenate([y[0], y[1]])
+                  .reshape(2, 36, 32) for y in ys])  # [F, 2, 36, 32]
+    Y = Y.transpose(1, 0, 2, 3).reshape(channels, T, 32)
+    R = K * channels
+    Yb = np.broadcast_to(Y[None], (K,) + Y.shape).reshape(R, T, 32)
+    audio_s = T * 32 / rate
+
+    d = jax.device_put(np.ascontiguousarray(Yb.astype(np.float32)))
+    jax.block_until_ready(d)
+    run = jax.jit(serving.synthesize_mpc_streams)
+    out = run(d)
+    jax.block_until_ready(out)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = run(d)
+        jax.block_until_ready(out)
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    t_dev = samples[len(samples) // 2]
+
+    total_audio = K * audio_s
+    e2e = total_audio / (t_host + t_dev)
+    print(f"# mpc streams={K} audio={audio_s:.1f}s/stream host: "
+          f"{t_host:.2f}s = {total_audio / t_host:.0f}x | device: "
+          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x",
+          file=sys.stderr)
+    return {
+        "metric": "mpc_e2e_decode_realtime_x",
+        "value": round(e2e, 1),
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": round(e2e / TARGET, 3),
+    }
+
+
 def bench_synth_legacy():
     """Round-1 metric: dense TPU half only (kept for comparability)."""
     jax = _jax_setup()
@@ -521,14 +655,25 @@ def main():
         result = bench_synth_legacy()
     elif "--mp3" in argv:
         result = bench_mp3(K)
+    elif "--vorbis" in argv:
+        result = bench_vorbis(K)
+    elif "--mpc" in argv:
+        result = bench_mpc(K)
     else:
         result = bench_e2e_opus(K)
+        # per-codec figures (short fixtures: larger K amortizes the
+        # fixed per-dispatch device cost like opus's longer streams)
         if REF_MP3.exists():
-            # mp3 streams are short (~4 s); a larger K amortizes the
-            # fixed per-dispatch device cost like opus's longer streams
             mp3_res = bench_mp3(max(2, K * 8))
             if mp3_res:
                 print(f"# {json.dumps(mp3_res)}", file=sys.stderr)
+        for extra in (bench_vorbis, bench_mpc):
+            try:
+                r = extra(max(2, K * 8))
+                if r:
+                    print(f"# {json.dumps(r)}", file=sys.stderr)
+            except Exception as e:
+                print(f"# {extra.__name__} failed: {e}", file=sys.stderr)
     if result is None:
         raise SystemExit(1)
     print(json.dumps(result))

@@ -864,7 +864,7 @@ def _finish(audio: AudioData, chunks, channels, sample_rate) -> None:
     )
 
 
-def _decode_sv7(data: bytes, audio: AudioData) -> None:
+def _decode_sv7(data: bytes, audio: AudioData, return_entropy=False):
     """SV7 stream (streaminfo.c:108 read_header_sv7, mpc_demux.c:621
     20-bit frame sizes, mpc_decoder.c:162 last-frame length fixup).
     The payload is byte-swapped 32-bit words (MPC_BUFFER_SWAP)."""
@@ -944,14 +944,16 @@ def _decode_sv7(data: bytes, audio: AudioData) -> None:
             spans.append((fidx, start, start + n_out))
         if br.pos > br.limit:
             raise DecodeError("MPC SV7 bitstream overrun")
+    if return_entropy:
+        return ys, spans, channels, sample_rate
     _finish_batched(audio, ys, spans, dec, channels, sample_rate)
 
 
-def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
+def decode_musepack_buffer(data: bytes, audio: AudioData,
+                           return_entropy=False):
     if data[:4] != b"MPCK":
         if data[:3] == b"MP+":
-            _decode_sv7(data, audio)
-            return
+            return _decode_sv7(data, audio, return_entropy)
         raise DecodeError("bad musepack magic")
 
     pos = 4
@@ -1028,4 +1030,6 @@ def decode_musepack_buffer(data: bytes, audio: AudioData) -> None:
 
     if dec is None:
         raise DecodeError("no MPC stream header found")
+    if return_entropy:
+        return ys, spans, channels, sample_rate
     _finish_batched(audio, ys, spans, dec, channels, sample_rate)

@@ -775,7 +775,13 @@ def decode_vorbis_buffer(data: bytes, audio: AudioData) -> None:
     audio.length_seconds = out.shape[0] / rate if rate else 0.0
 
 
-def _decode_stream_packets(st):
+def _decode_stream_packets(st, return_entropy: bool = False):
+    """Decode one logical Vorbis stream.  With return_entropy=True,
+    stops at the host/device boundary and returns
+    (staged, blocksizes, channels, rate, end_granule) — per-packet
+    (specs [ch, n2], n, blockflag, long_prev, long_next, nonzero)
+    tuples for the batched serving path
+    (runtime/serving.synthesize_vorbis_streams_mixed)."""
     packets = st.packets
     idp = packets[0].data
     b = LsbBits(idp[7:])
@@ -884,6 +890,9 @@ def _decode_stream_packets(st):
 
         staged.append((specs, n, blockflag, long_prev, long_next,
                        list(nonzero)))
+
+    if return_entropy:
+        return staged, (bs0, bs1), channels, rate, end_granule
 
     # Batched IMDCT: one matmul per blocksize over every staged spectrum
     # (the per-packet matvec re-reads the n2 x n matrix each call and

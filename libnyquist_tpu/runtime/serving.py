@@ -394,3 +394,200 @@ def synthesize_streams_unified(
         return outs
     full = np.concatenate([np.asarray(o) for o in outs], axis=1)
     return full.T.astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# Vorbis serving: batched IMDCT + window + lapping over streams x packets
+# (reference: libvorbis/src/mdct.c:397 mdct_backward, block.c lapping)
+# --------------------------------------------------------------------------
+def synthesize_vorbis_streams(specs: np.ndarray, n: int, use_device=True):
+    """Batched uniform-blocksize Vorbis synthesis.
+
+    Args:
+      specs: [R, F, n//2] float — per-packet spectra (floor curve x
+        residue, after coupling) for R stream-channels with the SAME
+        blocksize n on every packet (the common all-long-blocks case;
+        mixed-block streams stay on the scalar path).
+    Returns: [R, (F-1) * n//2] pcm — Vorbis emits from the second
+      packet (the first primes the lap cache).
+
+    One [R*F, n2] @ [n2, n] matmul (MXU) plus two shifted windowed adds:
+    the same no-carry overlap-add shape as the CELT path.
+    """
+    from ..formats.vorbis import imdct_matrix, vorbis_window
+
+    R, F, n2 = specs.shape
+    assert n2 * 2 == n
+    M = imdct_matrix(n).astype(np.float32)        # [n, n2]
+    wfull = np.empty(n, np.float32)
+    wfull[:n2] = vorbis_window(n2)
+    wfull[n2:] = vorbis_window(n2)[::-1]
+
+    if use_device:
+        import jax.numpy as jnp
+
+        td = jnp.einsum(
+            "rfk,nk->rfn", jnp.asarray(specs, jnp.float32), jnp.asarray(M),
+            precision="highest",
+        )
+        tw = td * jnp.asarray(wfull)
+        out = tw[:, :-1, n2:] + tw[:, 1:, :n2]
+        return out.reshape(R, -1)
+    td = specs.reshape(R * F, n2) @ M.T
+    tw = (td.reshape(R, F, n) * wfull)
+    out = tw[:, :-1, n2:] + tw[:, 1:, :n2]
+    return out.reshape(R, -1)
+
+
+# --------------------------------------------------------------------------
+# Musepack serving: batched 32-band synthesis over streams
+# (reference: musepack/libmpcdec/synth_filter.c:356)
+# --------------------------------------------------------------------------
+def synthesize_mpc_streams(ys: np.ndarray, use_device=True):
+    """Batched whole-stream MPC synthesis, zero initial V state.
+
+    Args:
+      ys: [R, T, 32] requantized subband rows (T = 36 * n_frames) for R
+        stream-channels.
+    Returns: [R, T * 32] pcm.
+
+    Matches formats/musepack._synth_stream row-for-row: one
+    [R*T, 32] @ [32, 64] matmul plus a 16-tap sliding combine whose tap
+    columns are fixed slices (no gathers on the MXU path).
+    """
+    from ..formats.musepack import _M_SYNTH, _T
+
+    R, T, _ = ys.shape
+    M = np.asarray(_M_SYNTH, np.float32)          # [64, 32]
+    di = np.asarray(_T["Di"], np.float32)         # [32, 16]
+
+    if use_device:
+        import jax.numpy as jnp
+
+        blocks = jnp.einsum(
+            "rtk,nk->rtn", jnp.asarray(ys, jnp.float32), jnp.asarray(M),
+            precision="highest",
+        )
+        bpad = jnp.concatenate(
+            [jnp.zeros((R, 15, 64), blocks.dtype), blocks], axis=1)
+        a = bpad[:, :, :32]
+        b = bpad[:, :, 32:64]
+        out = jnp.zeros((R, T, 32), jnp.float32)
+        for j in range(0, 16, 2):
+            out = out + a[:, 15 - j : 15 - j + T] * di[:, j]
+            out = out + b[:, 14 - j : 14 - j + T] * di[:, j + 1]
+        return out.reshape(R, -1)
+    blocks = ys.reshape(R * T, 32).astype(np.float32) @ M.T
+    bpad = np.concatenate(
+        [np.zeros((R, 15, 64), np.float32), blocks.reshape(R, T, 64)],
+        axis=1)
+    a = bpad[:, :, :32]
+    b = bpad[:, :, 32:64]
+    out = np.zeros((R, T, 32), np.float32)
+    for j in range(0, 16, 2):
+        out += a[:, 15 - j : 15 - j + T] * di[:, j]
+        out += b[:, 14 - j : 14 - j + T] * di[:, j + 1]
+    return out.reshape(R, -1)
+
+
+def vorbis_lap_plan(frames_meta, blocksizes):
+    """Precompute the static lapping structure for a mixed-blocksize
+    Vorbis packet sequence (the serving signature).
+
+    Args:
+      frames_meta: per packet (n, blockflag, long_prev, long_next).
+      blocksizes: (bs0, bs1).
+    Returns dict with:
+      W [F, nmax]    — per-packet lap window, zero-padded,
+      idx_prev/idx_cur [out_len] — gather indices into the flattened
+        windowed time-domain tensor [F * nmax] (each output sample sums
+        at most one previous-packet tail and one current-packet head
+        contribution; -1 = no contribution, masked),
+      out_len, nmax.
+    """
+    from ..formats.vorbis import _lap_window
+
+    F = len(frames_meta)
+    ns = [m[0] for m in frames_meta]
+    nmax = max(ns) if ns else 0
+    W = np.zeros((F, nmax), np.float32)
+    for f, (n, bf, lp, ln) in enumerate(frames_meta):
+        W[f, :n] = _lap_window(n, blocksizes, bf, lp, ln)
+
+    # replay the emission logic of the scalar loop with indices
+    out_len = 0
+    prev_n = 0
+    spans_prev = []   # (dst, frame, src, length): prev packet's tail
+    spans_cur = []    # current packet's head
+    for f, n in enumerate(ns):
+        n2 = n // 2
+        if f > 0:
+            L = prev_n // 4 + n // 4
+            m = min(prev_n // 2, L)
+            spans_prev.append((out_len, f - 1, prev_n // 2, m))
+            o = prev_n // 4 - n // 4
+            s0 = max(o, 0)
+            ss = s0 - o
+            length = min(L - s0, n2 - ss)
+            if length > 0:
+                spans_cur.append((out_len + s0, f, ss, length))
+            out_len += L
+        prev_n = n
+
+    idx_prev = np.full(out_len, -1, np.int64)
+    idx_cur = np.full(out_len, -1, np.int64)
+    for dst, f, src, ln in spans_prev:
+        idx_prev[dst : dst + ln] = f * nmax + src + np.arange(ln)
+    for dst, f, src, ln in spans_cur:
+        idx_cur[dst : dst + ln] = f * nmax + src + np.arange(ln)
+    return dict(W=W, idx_prev=idx_prev, idx_cur=idx_cur,
+                out_len=out_len, nmax=nmax, ns=ns)
+
+
+def synthesize_vorbis_streams_mixed(specs_padded, plan, use_device=True):
+    """Batched mixed-blocksize Vorbis synthesis over R stream-channels.
+
+    Args:
+      specs_padded: [R, F, nmax//2] spectra zero-padded per packet.
+      plan: vorbis_lap_plan output (the shared signature).
+    Returns [R, out_len] pcm.
+
+    IMDCT runs as one matmul per distinct blocksize; the mixed-size
+    overlap-add collapses to two masked gathers with static indices —
+    no per-packet control flow on device.
+    """
+    from ..formats.vorbis import imdct_matrix
+
+    R, F, nmax2 = specs_padded.shape
+    nmax = plan["nmax"]
+    ns = np.asarray(plan["ns"])
+    W = plan["W"]
+    xp_is_jax = use_device
+    if xp_is_jax:
+        import jax.numpy as jnp
+        xp = jnp
+        specs = jnp.asarray(specs_padded, jnp.float32)
+    else:
+        xp = np
+        specs = specs_padded.astype(np.float32)
+
+    tw = xp.zeros((R, F, nmax), xp.float32)
+    for n in sorted(set(plan["ns"])):
+        sel = np.nonzero(ns == n)[0]
+        M = imdct_matrix(n).astype(np.float32)       # [n, n2]
+        sub = specs[:, sel, : n // 2]
+        td = xp.einsum("rfk,nk->rfn", sub, xp.asarray(M),
+                       precision="highest") if xp_is_jax else np.einsum(
+                           "rfk,nk->rfn", sub, M)
+        if xp_is_jax:
+            tw = tw.at[:, sel, :n].set(td)
+        else:
+            tw[:, sel, :n] = td
+    tw = tw * xp.asarray(W)
+    flat = tw.reshape(R, F * nmax)
+    ip = xp.asarray(np.maximum(plan["idx_prev"], 0))
+    ic = xp.asarray(np.maximum(plan["idx_cur"], 0))
+    mp_ = xp.asarray((plan["idx_prev"] >= 0).astype(np.float32))
+    mc = xp.asarray((plan["idx_cur"] >= 0).astype(np.float32))
+    out = flat[:, ip] * mp_ + flat[:, ic] * mc
+    return out

@@ -114,3 +114,101 @@ def test_mp3_imdct_matmul_matches_mirror():
         o, ovs = M.imdct_stream_step(X[g], kinds[g], ovs)
         outs.append(o)
     assert np.abs(np.stack(outs) - ref).max() < 1e-5
+
+
+def test_vorbis_stream_synthesis_batched():
+    """synthesize_vorbis_streams must match the scalar file-loop lapping
+    for uniform long blocks (formats/vorbis.py decode loop semantics)."""
+    import numpy as np
+
+    from libnyquist_tpu.formats.vorbis import imdct_apply, vorbis_window
+    from libnyquist_tpu.runtime import serving
+
+    rng = np.random.default_rng(7)
+    R, F, n = 3, 6, 256
+    n2 = n // 2
+    specs = rng.standard_normal((R, F, n2)).astype(np.float32)
+
+    # scalar reference: per packet imdct + window + emit from center
+    w = np.empty(n)
+    w[:n2] = vorbis_window(n2)
+    w[n2:] = vorbis_window(n2)[::-1]
+    ref = []
+    for r in range(R):
+        cache = None
+        outs = []
+        for f in range(F):
+            td = imdct_apply(specs[r, f][None], n)[0] * w
+            if cache is not None:
+                outs.append(cache + td[:n2])
+            cache = td[n2:]
+        ref.append(np.concatenate(outs))
+    ref = np.stack(ref)
+
+    for dev in (False, True):
+        got = np.asarray(serving.synthesize_vorbis_streams(
+            specs, n, use_device=dev))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1)
+
+
+def test_mpc_stream_synthesis_batched():
+    """synthesize_mpc_streams must match the host _synth_stream per row."""
+    import numpy as np
+
+    from libnyquist_tpu.formats.musepack import _synth_stream
+    from libnyquist_tpu.runtime import serving
+
+    rng = np.random.default_rng(8)
+    R, T = 3, 72
+    ys = (rng.standard_normal((R, T, 32)) * 0.1).astype(np.float32)
+    ref = np.stack([
+        _synth_stream(ys[r].astype(np.float64)).reshape(-1) for r in range(R)
+    ])
+    for dev in (False, True):
+        got = np.asarray(serving.synthesize_mpc_streams(ys, use_device=dev))
+        assert got.shape == ref.shape
+        assert np.abs(got - ref).max() < 1e-4 * max(np.abs(ref).max(), 1)
+
+
+def test_vorbis_mixed_block_serving_matches_loader():
+    """The gather-based mixed-blocksize serving path must reproduce the
+    scalar loader's pcm on a real fixture (all 6 .ogg fixtures mix 256
+    and 2048 blocks)."""
+    import pathlib
+
+    import numpy as np
+
+    from libnyquist_tpu.audio_data import AudioData
+    from libnyquist_tpu.formats import ogg, vorbis
+    from libnyquist_tpu.runtime import serving
+
+    path = pathlib.Path("/root/reference/test_data/ad_hoc/LR_Stereo.ogg")
+    if not path.exists():
+        import pytest
+
+        pytest.skip("reference fixture missing")
+    data = path.read_bytes()
+    audio = AudioData()
+    vorbis.decode_vorbis_buffer(data, audio)
+    ref = np.asarray(audio.samples).reshape(-1, audio.channel_count)
+
+    streams = ogg.demux(data)
+    st = ogg.first_stream_matching(streams, b"\x01vorbis")
+    staged, bss, channels, rate, end_gran = vorbis._decode_stream_packets(
+        st, return_entropy=True)
+    meta = [(n, bf, lp, ln) for (_s, n, bf, lp, ln, _nz) in staged]
+    plan = serving.vorbis_lap_plan(meta, bss)
+    F = len(staged)
+    nmax2 = plan["nmax"] // 2
+    specs = np.zeros((channels, F, nmax2), np.float32)
+    for f, (s, n, *_r) in enumerate(staged):
+        for c in range(channels):
+            specs[c, f, : n // 2] = s[c]
+    for dev in (False, True):
+        out = np.asarray(serving.synthesize_vorbis_streams_mixed(
+            specs, plan, use_device=dev))           # [ch, out_len]
+        pcm = out.T[: int(end_gran)] if end_gran >= 0 else out.T
+        assert pcm.shape == ref.shape
+        err = np.abs(pcm - ref).max()
+        assert err < 1e-4, err
