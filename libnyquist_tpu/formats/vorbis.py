@@ -467,22 +467,37 @@ class Floor1:
             else:
                 step2[i] = False
                 finaly[i] = predicted
-        curve = np.zeros(n2, np.int32)
+        # One pass over the whole curve: each segment's Bresenham is the
+        # closed form y(x) = y0 + sign(dy) * floor(|dy|*(x-x0)/adx), so
+        # the full piecewise curve is a searchsorted + one integer
+        # evaluation (replaces per-segment render_line calls, which
+        # dominated the Vorbis host half).
         si = self.sort_idx
-        lx = 0
-        ly = finaly[si[0]] * self.mult
-        hx = 0
+        bx = [0]
+        by = [finaly[si[0]] * self.mult]
         for j in range(1, posts):
             i = si[j]
             if not step2[i]:
                 continue
-            hy = finaly[i] * self.mult
-            hx = xs[i]
-            if lx < n2:
-                render_line(lx, ly, min(hx, n2), hy, curve, n2)
-            lx, ly = hx, hy
+            bx.append(xs[i])
+            by.append(finaly[i] * self.mult)
+        bxa = np.asarray(bx, np.int64)
+        bya = np.asarray(by, np.int64)
+        curve = np.zeros(n2, np.int64)
+        hx = int(bxa[-1])
+        m = min(hx, n2)
+        if len(bxa) > 1 and m > 0:
+            x = np.arange(m)
+            seg = np.searchsorted(bxa, x, side="right") - 1
+            seg = np.clip(seg, 0, len(bxa) - 2)
+            x0 = bxa[seg]
+            y0 = bya[seg]
+            dy = bya[seg + 1] - y0
+            adx = np.maximum(bxa[seg + 1] - x0, 1)
+            off = (np.abs(dy) * (x - x0)) // adx
+            curve[:m] = y0 + np.where(dy >= 0, off, -off)
         if hx < n2:
-            curve[hx:] = ly
+            curve[hx:] = bya[-1]
         return _floor1_fromdb()[np.clip(curve, 0, 255)]
 
     def _neighbors(self, i):
