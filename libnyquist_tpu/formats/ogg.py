@@ -193,20 +193,33 @@ def first_stream_matching(
 
 def write_page(packet: bytes, granule: int, serial: int, seq: int,
                bos: bool = False, eos: bool = False) -> bytes:
-    """Serialize one Ogg page (RFC 3533; the mux dual of parse_pages)."""
+    """Serialize one Ogg page holding one packet (RFC 3533)."""
+    return write_page_multi([packet], granule, serial, seq, bos, eos)
+
+
+def write_page_multi(packets, granule: int, serial: int, seq: int,
+                     bos: bool = False, eos: bool = False) -> bytes:
+    """Serialize one Ogg page holding several whole packets (the mux
+    dual of parse_pages; real muxers pack ~1 s of audio per page to
+    amortize the 27-byte header + lacing overhead)."""
     import struct
 
     lacing = []
-    n = len(packet)
-    while True:
-        lacing.append(min(n, 255))
-        n -= lacing[-1]
-        if lacing[-1] < 255:
-            break
+    body = bytearray()
+    for packet in packets:
+        n = len(packet)
+        while True:
+            lacing.append(min(n, 255))
+            n -= lacing[-1]
+            if lacing[-1] < 255:
+                break
+        body.extend(packet)
+    if len(lacing) > 255:
+        raise ValueError("too many segments for one Ogg page")
     header = struct.pack(
         "<4sBBqIIIB", b"OggS", 0, (2 if bos else 0) | (4 if eos else 0),
         granule, serial, seq, 0, len(lacing),
     ) + bytes(lacing)
-    page = header + packet
+    page = header + bytes(body)
     crc = _ogg_crc(page)
     return page[:22] + struct.pack("<I", crc) + page[26:]

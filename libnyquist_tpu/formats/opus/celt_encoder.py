@@ -253,6 +253,50 @@ class CeltEncoderState:
         self.overlap_mem = np.zeros((channels, mode.overlap))
 
 
+def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
+    """Leakage-driven boost analysis (simplified from the reference
+    encoder's dynalloc_analysis, celt_encoder.c): bands that poke above
+    a two-sided max-decay follower of the band spectrum get extra
+    allocation, which concentrates bits on tonal peaks the static
+    allocation would starve.
+
+    Returns per-band desired boost in eighth-bits (multiples of the
+    decoder's dynalloc quanta are applied at encode time)."""
+    e = np.mean(bandLogE, axis=0)
+    n = len(e)
+    f = e.copy()
+    for i in range(start + 1, end):
+        f[i] = max(f[i - 1] - 1.5, e[i])
+    b = e.copy()
+    for i in range(end - 2, start - 1, -1):
+        b[i] = max(b[i + 1] - 1.5, e[i])
+    follower = np.minimum(f, b)
+    excess = np.maximum(0.0, e - follower - 1.0)   # dB above the ridge
+    boosts = np.zeros(n, np.int64)
+    for i in range(start, end):
+        width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
+        # about half a bit per excess dB per coefficient, capped
+        want = int(excess[i] * width * 4)          # eighth-bits
+        boosts[i] = min(want, int(cap[i]) // 2)
+    return boosts
+
+
+def alloc_trim_analysis(bandLogE, start, end):
+    """Tilt-driven trim (simplified alloc_trim_analysis): spectra with
+    energy concentrated low get a lower trim index (more bits to low
+    bands), bright spectra a higher one. Index range 0..10, default 5."""
+    e = np.mean(bandLogE, axis=0)[start:end]
+    n = len(e)
+    if n < 4:
+        return 5
+    x = np.arange(n) - (n - 1) / 2.0
+    w = np.maximum(e - e.max() + 30.0, 0.0)        # ignore silence floor
+    if w.sum() <= 0:
+        return 5
+    tilt = float((x * w).sum() / (np.abs(x) * w).sum().clip(min=1e-9))
+    return int(np.clip(round(5 - 4 * tilt), 2, 8))
+
+
 def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
                       nbytes: int) -> bytes:
     """Encode one 20 ms CELT frame (long blocks, intra energy).
@@ -316,6 +360,8 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
 
     cap = init_caps(mode, LM, C)
     offsets = [0] * nbEBands
+    desired = dynalloc_analysis(bandLogE, st.start, st.end, C, eBands,
+                                LM, cap)
     dynalloc_logp = 6
     total_bits_q3 = total_bits << BITRES
     tell_q3 = enc.tell_frac()
@@ -324,14 +370,24 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         quanta = min(width << BITRES, max(6 << BITRES, width))
         dynalloc_loop_logp = dynalloc_logp
         boost = 0
-        # encoder choice: no boosts; a single 0 flag when budget allows
-        if (tell_q3 + (dynalloc_loop_logp << BITRES) < total_bits_q3
+        # mirror of the decoder's dynalloc grammar: a 1 flag buys one
+        # quanta (first flag costs dynalloc_logp bits, the rest 1 bit),
+        # a 0 flag terminates; hitting cap terminates implicitly
+        while (tell_q3 + (dynalloc_loop_logp << BITRES) < total_bits_q3
                 and boost < cap[i]):
-            enc.enc_bit_logp(0, dynalloc_loop_logp)
+            flag = 1 if boost + quanta <= desired[i] else 0
+            enc.enc_bit_logp(flag, dynalloc_loop_logp)
             tell_q3 = enc.tell_frac()
+            if not flag:
+                break
+            boost += quanta
+            total_bits_q3 -= quanta
+            dynalloc_loop_logp = 1
         offsets[i] = boost
+        if boost > 0:
+            dynalloc_logp = max(2, dynalloc_logp - 1)
 
-    alloc_trim = 5
+    alloc_trim = alloc_trim_analysis(bandLogE, st.start, st.end)
     if tell_q3 + (6 << BITRES) <= total_bits_q3:
         enc.enc_icdf(alloc_trim, TRIM_ICDF, 7)
         tell_q3 = enc.tell_frac()
@@ -380,15 +436,22 @@ PRESKIP = 312
 
 
 def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
-                    bitrate_kbps: int = 96) -> bytes:
+                    bitrate_kbps: int = 96, vbr: bool = True) -> bytes:
     """Encode interleaved float32 [-1, 1] PCM to an Ogg Opus byte string.
 
-    CELT-only fullband 20 ms frames, CBR. Input must be 48 kHz (callers
+    CELT-only fullband 20 ms frames. Input must be 48 kHz (callers
     resample first — ops/src.py); mono or stereo.
+
+    vbr=True runs constrained VBR: each frame's size follows its
+    dynalloc demand (tonal peaks) and loudness, banking bytes from quiet
+    frames into a bounded reservoir so the average rate stays at or
+    under the target (the reference encoder's constrained-VBR contract;
+    our rate control is an original loudness+boost heuristic, not a
+    port).  vbr=False keeps the old CBR behavior.
     """
     import struct
 
-    from ..ogg import write_page
+    from ..ogg import write_page, write_page_multi
 
     if sample_rate != 48000:
         raise ValueError("opus encoding requires 48 kHz input (resample)")
@@ -409,13 +472,41 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
     pre[:, 0] = 32768.0 * pcm[:, 0]
     pre[:, 1:] = 32768.0 * (pcm[:, 1:] - PREEMPH_COEF * pcm[:, :-1])
 
-    nbytes = max(20, int(bitrate_kbps * 1000 * 0.02 / 8))
+    base = max(20, int(bitrate_kbps * 1000 * 0.02 / 8))
     st = CeltEncoderState(channels)
+    mode = mode48000()
     toc = (31 << 3) | ((1 if channels == 2 else 0) << 2)  # CELT FB 20ms
     packets = []
-    overlap = mode48000().overlap
+    overlap = mode.overlap
+    M = 1 << 3
+    cap = init_caps(mode, 3, channels)
+    reservoir = 2.0 * base          # banked bytes (bounded credit)
+    loud_avg = None
     for k in range(F):
         win = pre[:, k * FRAME : k * FRAME + FRAME + overlap]
+        nbytes = base
+        if vbr:
+            freq_a = np.stack([
+                mdct_forward(win[c], 2 * FRAME, overlap)
+                for c in range(channels)
+            ])
+            bandE_a = compute_band_energies(mode, freq_a, channels, M)
+            bandLogE_a = np.log2(np.maximum(bandE_a, 1e-27)) - np.asarray(
+                mode.eMeans[: mode.nbEBands])
+            boosts = dynalloc_analysis(
+                bandLogE_a, st.start, st.end, channels,
+                mode.eBands, 3, cap)
+            demand = int(boosts.sum()) // 64        # eighth-bits -> bytes
+            loud = float(np.mean(
+                np.maximum(bandLogE_a, -10.0)[:, st.start : st.end]))
+            if loud_avg is None:
+                loud_avg = loud
+            relief = int(np.clip((loud_avg - loud) * 1.5, 0, base * 0.4))
+            loud_avg = 0.95 * loud_avg + 0.05 * loud
+            want = base + min(demand, base) - relief
+            nbytes = int(np.clip(
+                want, 20, base + max(0.0, min(reservoir, base))))
+            reservoir = min(reservoir + base - nbytes, 8.0 * base)
         packets.append(bytes([toc]) + celt_encode_frame(st, win, nbytes))
 
     head = (b"OpusHead" + bytes([1, channels])
@@ -426,8 +517,22 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
     pages = [write_page(head, 0, serial, 0, bos=True),
              write_page(tags, 0, serial, 1)]
     total = PRESKIP + S
-    for i, pkt in enumerate(packets):
-        granule = min(FRAME * (i + 1), total)
-        pages.append(write_page(pkt, granule, serial, 2 + i,
-                                eos=(i == len(packets) - 1)))
+    seq = 2
+    PER_PAGE = 50                     # ~1 s per page, like opusenc
+    idx = 0
+    while idx < len(packets):
+        # fill a page: at most PER_PAGE packets and 255 lacing segments
+        take, segs = 0, 0
+        while (idx + take < len(packets) and take < PER_PAGE):
+            need = len(packets[idx + take]) // 255 + 1
+            if segs + need > 255:
+                break
+            segs += need
+            take += 1
+        sub = packets[idx : idx + take]
+        idx += take
+        granule = min(FRAME * idx, total)
+        pages.append(write_page_multi(sub, granule, serial, seq,
+                                      eos=(idx >= len(packets))))
+        seq += 1
     return b"".join(pages)
