@@ -403,6 +403,73 @@ class Floor1:
 
     RANGES = [256, 128, 86, 64]
 
+    def _native_cfg(self):
+        """Packed config for native/vorbis_res.c vorbis_floor1_decode
+        (layout documented there); cached per floor instance."""
+        cfg = getattr(self, "_ncfg", None)
+        if cfg is not None:
+            return cfg
+        import ctypes
+
+        nc = len(self.class_dim)
+        rng = self.RANGES[self.mult - 1]
+        parts = [self.partitions, self.mult, self.posts, rng,
+                 ilog(rng - 1), nc]
+        parts += list(self.partition_class)
+        parts += list(self.class_dim)
+        parts += list(self.class_subs)
+        parts += list(self.class_book)
+        for books in self.subclass_books:
+            row = list(books) + [-1] * (8 - len(books))
+            parts += row[:8]
+        parts += list(self.xlist)
+        cfg_a = np.asarray(parts, np.int32)
+        nbrs = np.asarray(
+            [v for pair in self._neighbors_all() for v in pair], np.int32)
+        if nbrs.size == 0:
+            nbrs = np.zeros(1, np.int32)
+        sort_a = np.asarray(self.sort_idx, np.int32)
+        fromdb = np.ascontiguousarray(_floor1_fromdb(), np.float32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        cfg = dict(
+            cfg=cfg_a, nbrs=nbrs, sort=sort_a, fromdb=fromdb,
+            cfg_p=cfg_a.ctypes.data_as(i32p),
+            nbrs_p=nbrs.ctypes.data_as(i32p),
+            sort_p=sort_a.ctypes.data_as(i32p),
+            fromdb_p=fromdb.ctypes.data_as(f32p),
+        )
+        self._ncfg = cfg
+        return cfg
+
+    def decode_curve_native(self, bits, books, n2):
+        """Native decode+curve: returns float32 curve [n2], None for an
+        unused channel, raising EndOfPacket like the Python path.
+        Falls back by returning False when native is unavailable."""
+        L = _native_res()
+        if L is None:
+            return False
+        import ctypes
+
+        reg = _book_registry(books)
+        cfg = self._native_cfg()
+        st = np.array([bits.pos, 1 if bits.eop else 0], np.int64)
+        curve = np.empty(n2, np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        rc = L.vorbis_floor1_decode(
+            bits.data, len(bits.data), st.ctypes.data_as(reg["i64p"]),
+            cfg["cfg_p"], cfg["nbrs_p"], cfg["sort_p"],
+            *reg["ptrs"][:6],
+            cfg["fromdb_p"], n2, curve.ctypes.data_as(f32p),
+        )
+        bits.pos = int(st[0])
+        bits.eop = bool(st[1])
+        if rc == -2:
+            raise EndOfPacket()
+        if rc == 0:
+            return None
+        return curve
+
     def decode(self, bits, books):
         if not bits.read1():
             return None  # unused channel this frame
@@ -864,14 +931,20 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         n2 = n // 2
 
         floors_out = [None] * channels
+        curves_out = [None] * channels
         nonzero = [False] * channels
         res_out = np.zeros((channels, n2), np.float32)
         try:
             for c in range(channels):
                 fl = floors[mapping.submap_floor[mapping.mux[c]]]
-                ys = fl.decode(bits, books)
-                floors_out[c] = ys
-                nonzero[c] = ys is not None
+                curve = fl.decode_curve_native(bits, books, n2)
+                if curve is False:
+                    ys = fl.decode(bits, books)
+                    floors_out[c] = ys
+                    nonzero[c] = ys is not None
+                else:
+                    curves_out[c] = curve
+                    nonzero[c] = curve is not None
             nz = list(nonzero)
             for mag, ang in mapping.coupling:
                 if nz[mag] or nz[ang]:
@@ -899,8 +972,11 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         specs = np.zeros((channels, n2), np.float64)
         for c in range(channels):
             if nonzero[c]:
-                fl = floors[mapping.submap_floor[mapping.mux[c]]]
-                curve = fl.compute(floors_out[c], n2)
+                if curves_out[c] is not None:
+                    curve = curves_out[c]
+                else:
+                    fl = floors[mapping.submap_floor[mapping.mux[c]]]
+                    curve = fl.compute(floors_out[c], n2)
                 specs[c] = res_out[c] * curve
 
         staged.append((specs, n, blockflag, long_prev, long_next,

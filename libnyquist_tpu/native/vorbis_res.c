@@ -200,3 +200,193 @@ done:
     st[0] = br.pos;
     st[1] = br.eop;
 }
+
+/* ---------------- Floor1 decode + curve (spec sec 7.2.3/7.2.4) -----
+ * C translation of our Python Floor1.decode + Floor1.compute
+ * (formats/vorbis.py; reference: third_party/libvorbis floor1.c
+ * floor1_inverse1/floor1_inverse2 semantics).  The per-post prediction
+ * chain is serial by construction; the curve evaluation uses the same
+ * closed-form y0 + sign(dy)*floor(|dy|(x-x0)/adx) as the Python.
+ */
+
+static uint32_t vb_read(vbits *b, int n) {
+    uint32_t v;
+    if (n == 0) return 0;
+    if (b->pos + n > b->limit) {
+        b->eop = 1;
+        b->pos = b->limit;
+        return 0;
+    }
+    v = vb_peek(b, n);
+    b->pos += n;
+    return v;
+}
+
+static int fl_ilog(int x) {
+    int r = 0;
+    while (x > 0) { r++; x >>= 1; }
+    return r;
+}
+
+static int64_t render_pt(int64_t x0, int64_t y0, int64_t x1, int64_t y1,
+                         int64_t x) {
+    int64_t dy = y1 - y0;
+    int64_t adx = x1 - x0;
+    int64_t ady = dy < 0 ? -dy : dy;
+    int64_t off = (ady * (x - x0)) / adx;
+    return dy < 0 ? y0 - off : y0 + off;
+}
+
+/* cfg layout (int32): partitions, mult, posts, rng, bits01, nclasses,
+ * partition_class[partitions], class_dim[nc], class_subs[nc],
+ * class_book[nc], subclass_books[nc*8] (pad -1), xlist[posts].
+ * neighbors: int32 [2*(posts-2)]; sortidx: int32 [posts].
+ * st: int64 [pos, eop] in/out.
+ * Returns 1 = curve written, 0 = unused channel, -2 = end of packet. */
+int64_t vorbis_floor1_decode(
+    const uint8_t *data, int64_t nbytes, int64_t *st,
+    const int32_t *cfg, const int32_t *neighbors, const int32_t *sortidx,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *fromdb, int64_t n2, float *curve_out)
+{
+    vbits br;
+    int partitions, mult, posts, rng, bits01, nc;
+    const int32_t *pclass, *cdim, *csub, *cbook, *subbooks, *xs;
+    int ys[288], finaly[288];
+    uint8_t step2[288];
+    int p, i, offset;
+
+    br.data = data;
+    br.nbytes = nbytes;
+    br.pos = st[0];
+    br.limit = nbytes * 8;
+    br.eop = (int)st[1];
+
+    partitions = cfg[0];
+    mult = cfg[1];
+    posts = cfg[2];
+    rng = cfg[3];
+    bits01 = cfg[4];
+    nc = cfg[5];
+    pclass = cfg + 6;
+    cdim = pclass + partitions;
+    csub = cdim + nc;
+    cbook = csub + nc;
+    subbooks = cbook + nc;
+    xs = subbooks + nc * 8;
+    (void)mult;
+
+    if (!vb_read1(&br)) {
+        st[0] = br.pos;
+        st[1] = br.eop;
+        return br.eop ? -2 : 0;
+    }
+    memset(ys, 0, sizeof(int) * (size_t)posts);
+    ys[0] = (int)vb_read(&br, bits01);
+    ys[1] = (int)vb_read(&br, bits01);
+    if (br.eop) goto eop;
+    offset = 2;
+    for (p = 0; p < partitions; p++) {
+        int cls = pclass[p];
+        int dim = cdim[cls];
+        int sub = csub[cls];
+        int cval = 0, d;
+        if (sub) {
+            int bk = cbook[cls];
+            cval = book_scalar(&br, luts + lut_off[bk],
+                               lut_w[bk], trees + tree_off[bk],
+                               maxlen[bk]);
+            if (cval < 0) goto eop;
+        }
+        for (d = 0; d < dim; d++) {
+            int bk = subbooks[cls * 8 + (cval & ((1 << sub) - 1))];
+            cval >>= sub;
+            if (bk >= 0) {
+                int v = book_scalar(&br, luts + lut_off[bk],
+                                    lut_w[bk], trees + tree_off[bk],
+                                    maxlen[bk]);
+                if (v < 0) goto eop;
+                ys[offset + d] = v;
+            }
+            else ys[offset + d] = 0;
+        }
+        offset += dim;
+    }
+
+    /* curve computation (spec 7.2.4; Python Floor1.compute) */
+    finaly[0] = ys[0];
+    finaly[1] = ys[1];
+    step2[0] = step2[1] = 1;
+    for (i = 2; i < posts; i++) {
+        int lo = neighbors[(i - 2) * 2];
+        int hi = neighbors[(i - 2) * 2 + 1];
+        int64_t predicted = render_pt(xs[lo], finaly[lo], xs[hi],
+                                      finaly[hi], xs[i]);
+        int val = ys[i];
+        int64_t highroom = rng - predicted;
+        int64_t lowroom = predicted;
+        int64_t room = 2 * (highroom < lowroom ? highroom : lowroom);
+        if (val) {
+            step2[lo] = 1;
+            step2[hi] = 1;
+            step2[i] = 1;
+            if (val >= room) {
+                if (highroom > lowroom)
+                    finaly[i] = (int)(val - lowroom + predicted);
+                else
+                    finaly[i] = (int)(predicted - val + highroom - 1);
+            }
+            else {
+                if (val & 1)
+                    finaly[i] = (int)(predicted - ((val + 1) >> 1));
+                else
+                    finaly[i] = (int)(predicted + (val >> 1));
+            }
+        }
+        else {
+            step2[i] = 0;
+            finaly[i] = (int)predicted;
+        }
+    }
+    {
+        int64_t lx = 0, hx = 0;
+        int64_t ly = (int64_t)finaly[sortidx[0]] * cfg[1];
+        int j;
+        for (j = 1; j < posts; j++) {
+            int ii = sortidx[j];
+            int64_t hy, x;
+            if (!step2[ii]) continue;
+            hy = (int64_t)finaly[ii] * cfg[1];
+            hx = xs[ii];
+            if (lx < n2) {
+                int64_t x1 = hx < n2 ? hx : n2;
+                int64_t dy = hy - ly;
+                int64_t adx = hx - lx;
+                int64_t ady = dy < 0 ? -dy : dy;
+                for (x = lx; x < x1; x++) {
+                    int64_t off = adx ? (ady * (x - lx)) / adx : 0;
+                    int64_t y = dy < 0 ? ly - off : ly + off;
+                    if (y < 0) y = 0;
+                    if (y > 255) y = 255;
+                    curve_out[x] = fromdb[y];
+                }
+            }
+            lx = hx;
+            ly = hy;
+        }
+        if (hx < n2) {
+            int64_t y = ly < 0 ? 0 : (ly > 255 ? 255 : ly);
+            int64_t x;
+            for (x = hx; x < n2; x++) curve_out[x] = fromdb[y];
+        }
+    }
+    st[0] = br.pos;
+    st[1] = br.eop;
+    return 1;
+
+eop:
+    st[0] = br.pos;
+    st[1] = 1;
+    return -2;
+}

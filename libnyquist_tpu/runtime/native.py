@@ -205,6 +205,15 @@ def lib():
             ctypes.c_int64, ctypes.c_int64,                 # ch, n2
             ctypes.POINTER(ctypes.c_float),                 # work
         ]
+        f32p_ = ctypes.POINTER(ctypes.c_float)
+        L.vorbis_floor1_decode.restype = ctypes.c_int64
+        L.vorbis_floor1_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, i64p_,     # data, n, st
+            i32p_, i32p_, i32p_,                        # cfg, nbrs, sort
+            i32p_, i64p_, i32p_,                        # luts
+            i32p_, i64p_, i32p_,                        # trees, maxlen
+            f32p_, ctypes.c_int64, f32p_,               # fromdb, n2, out
+        ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,

@@ -1,7 +1,14 @@
 """8-channel multistream Ogg Opus (channel mapping family 1).
 
-The reference validates this path with Rachel8ch.opus (blob stripped
-from the repo; source online-only), so the fixture is a synthetic
+The reference validates this path with Rachel8ch.opus (oracle
+int(sum)==40, 127,712,488 samples, Main.cpp:147).  That blob is
+stripped from the reference checkout (.MISSING_LARGE_BLOBS) and CANNOT
+be regenerated here: test_data/RachelReadme.txt's recipe starts from
+ten 24-bit stems downloaded from cambridge-mt.com (sox merge + ffmpeg
+libopus), and this environment has no network egress — nor would a
+fresh ffmpeg/libopus encode reproduce the original encoder output
+byte-for-byte, so the checksum oracle is tied to the lost blob, not
+just the recipe.  The fixture here is instead a synthetic
 4-coupled-stream file built from sb-reverie packets by
 tools/gen_ms_opus.py, with the golden decoded by the reference oracle.
 Exercises: RFC 7845 family-1 demux, RFC 6716 Appendix B self-delimited
