@@ -515,24 +515,30 @@ class MusepackDecoder:
         if native is None:
             return False
         L = native[0]
-        io = np.array([br.pos, self._MusepackDecoder__r1,
-                       self._MusepackDecoder__r2, self.last_max_band],
-                      np.int64)
         i32p = ctypes.POINTER(ctypes.c_int32)
         i64p = ctypes.POINTER(ctypes.c_int64)
+        cache = getattr(self, "_nat_ptrs", None)
+        if cache is None:
+            def p(a):
+                return a.ctypes.data_as(i32p)
 
-        def p(a):
-            return a.ctypes.data_as(i32p)
-
+            io = np.zeros(4, np.int64)
+            cache = (io, io.ctypes.data_as(i64p),
+                     (p(self.res[0]), p(self.res[1]),
+                      p(self.scfi[0]), p(self.scfi[1]),
+                      p(self.scf_index[0]), p(self.scf_index[1]),
+                      p(self.dscf_flag[0]), p(self.dscf_flag[1]),
+                      p(self.ms_flag), p(self.q[0]), p(self.q[1])))
+            self._nat_ptrs = cache
+        io, io_p, ptrs = cache
+        io[0] = br.pos
+        io[1] = self._MusepackDecoder__r1
+        io[2] = self._MusepackDecoder__r2
+        io[3] = self.last_max_band
         rc = L.mpc_read_frame(
-            br.buf, len(br.buf), io.ctypes.data_as(i64p),
+            br.buf, len(br.buf), io_p,
             int(sv7), int(is_key_frame), int(self.max_band),
-            int(self.ms),
-            p(self.res[0]), p(self.res[1]),
-            p(self.scfi[0]), p(self.scfi[1]),
-            p(self.scf_index[0]), p(self.scf_index[1]),
-            p(self.dscf_flag[0]), p(self.dscf_flag[1]),
-            p(self.ms_flag), p(self.q[0]), p(self.q[1]),
+            int(self.ms), *ptrs,
         )
         if rc < 0:
             raise DecodeError("mpc: bad huffman code")

@@ -280,8 +280,17 @@ class EndOfPacket(Exception):
 # --------------------------------------------------------------------------
 # Native residue decode (native/vorbis_res.c) support
 # --------------------------------------------------------------------------
+_NATIVE_RES = None
+_NATIVE_RES_TRIED = False
+
+
 def _native_res():
-    """The native library with vorbis_residue_decode, or None."""
+    """The native library with vorbis_residue_decode, or None (cached:
+    this sits on the per-call hot path)."""
+    global _NATIVE_RES, _NATIVE_RES_TRIED
+    if _NATIVE_RES_TRIED:
+        return _NATIVE_RES
+    _NATIVE_RES_TRIED = True
     import os
 
     if os.environ.get("LIBNYQUIST_NO_NATIVE_VORBIS"):
@@ -291,6 +300,7 @@ def _native_res():
     L = native.lib()
     if L is None or not hasattr(L, "vorbis_residue_decode"):
         return None
+    _NATIVE_RES = L
     return L
 
 

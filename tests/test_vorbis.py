@@ -26,9 +26,14 @@ def test_vorbis(name, test_data_dir):
 def test_native_residue_matches_python(test_data_dir, monkeypatch):
     """native/vorbis_res.c must be bit-identical to the Python residue
     decode (same codebook walk, same end-of-packet semantics)."""
+    from libnyquist_tpu.formats import vorbis
+
     path = str(test_data_dir / "ad_hoc" / "TestBeat.ogg")
     a = nq.load(path)
     monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_VORBIS", "1")
+    monkeypatch.setattr(vorbis, "_NATIVE_RES", None)
+    monkeypatch.setattr(vorbis, "_NATIVE_RES_TRIED", False)
     b = nq.load(path)
+    assert vorbis._NATIVE_RES is None  # fallback really exercised
     assert a.sample_count == b.sample_count
     assert np.abs(a.samples - b.samples).max() == 0.0
