@@ -66,11 +66,11 @@ static void cwrsi(int n, int k, uint64_t i, int *y) {
         uint64_t p, q;
         int s, k0, val;
         if (k >= n) {
-            p = pvq_u(n, k + 1);
+            p = u_table[n][k + 1];
             s = i >= p;
             if (s) i -= p;
             k0 = k;
-            q = pvq_u(n, n);
+            q = u_table[n][n];
             if (q > i) {
                 /* k descends below n: fixed-b slice, contiguous scan */
                 const uint64_t *row = PVQ_U_ROW(n);
@@ -94,8 +94,10 @@ static void cwrsi(int n, int k, uint64_t i, int *y) {
             y[idx++] = s ? -val : val;
         }
         else {
-            p = pvq_u(k, n);
-            q = pvq_u(k + 1, n);
+            /* k < n fixed while n decrements: walk rows k and k+1 of
+               u_table backward without the min/max branches of pvq_u */
+            p = u_table[k][n];
+            q = u_table[k + 1][n];
             if (p <= i && i < q) {
                 i -= p;
                 y[idx++] = 0;
