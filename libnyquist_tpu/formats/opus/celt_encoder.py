@@ -115,6 +115,7 @@ def mdct_forward(x: np.ndarray, N: int, overlap: int) -> np.ndarray:
 
 from .celt import (  # noqa: E402
     BETA_INTRA,
+    TF_SELECT_TABLE,
     MAX_FINE_BITS,
     SMALL_ENERGY_ICDF,
     SPREAD_NORMAL,
@@ -196,26 +197,39 @@ def quant_energy_finalise(mode, start, end, oldEBands, error, fine_quant,
             i += 1
 
 
-def tf_encode_zeros(start, end, isTransient, LM, enc):
-    """tf_encode with all-zero tf_res (celt_encoder.c tf_encode)."""
+def tf_encode_uniform(start, end, isTransient, LM, enc, want):
+    """tf_encode with a uniform tf_res (celt_encoder.c tf_encode).
+
+    want=0 for long frames; want=1 for transient frames, which keeps the
+    short blocks' time resolution (the all-zero mapping would recombine
+    them via TF_SELECT_TABLE and defeat the transient switch).
+    Returns the per-band MAPPED tf_change values exactly as the
+    decoder's tf_decode will derive them from these bits."""
     budget = enc.storage * 8
     tell = enc.tell()
     logp = 2 if isTransient else 4
     tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
     budget -= tf_select_rsv
     curr = 0
+    tf_changed = 0
+    raw = [0] * end
     for i in range(start, end):
         if tell + logp <= budget:
-            enc.enc_bit_logp(0 ^ curr, logp)
+            enc.enc_bit_logp(want ^ curr, logp)
             tell = enc.tell()
+            curr = want
+            tf_changed |= curr
+        raw[i] = curr
         logp = 4 if isTransient else 5
-    # tf_changed stays 0; TF_SELECT_TABLE rows 0/2 differ for some LM,
-    # in which case a tf_select bit is written (0)
     base = 4 * (1 if isTransient else 0)
+    tf_select = 0
     if tf_select_rsv and (
-        TF_SELECT_TABLE[LM][base + 0] != TF_SELECT_TABLE[LM][base + 2]
+        TF_SELECT_TABLE[LM][base + 0 + tf_changed]
+        != TF_SELECT_TABLE[LM][base + 2 + tf_changed]
     ):
         enc.enc_bit_logp(0, 1)
+    return [TF_SELECT_TABLE[LM][base + 2 * tf_select + raw[i]]
+            for i in range(end)]
 
 
 def compute_band_energies(mode, freq, C, M):
@@ -297,6 +311,22 @@ def alloc_trim_analysis(bandLogE, start, end):
     return int(np.clip(round(5 - 4 * tilt), 2, 8))
 
 
+def transient_detect(pcm_win: np.ndarray, N: int, n_short: int) -> int:
+    """Attack detector (simplified from celt_encoder.c transient_analysis):
+    a sub-block whose energy jumps far above everything before it within
+    the frame marks a transient, which switches to 8 short MDCTs so the
+    attack does not pre-echo across the whole 20 ms window."""
+    x = pcm_win[:, :N]
+    e = (x.reshape(x.shape[0], N // n_short, n_short) ** 2).sum(
+        axis=(0, 2)) + 1e-9
+    prev = e[0]
+    for b in range(1, len(e)):
+        if e[b] > 24.0 * prev and e[b] > 1e3:
+            return 1
+        prev = max(prev, e[b])
+    return 0
+
+
 def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
                       nbytes: int) -> bytes:
     """Encode one 20 ms CELT frame (long blocks, intra energy).
@@ -318,9 +348,22 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     enc = RangeEncoder(nbytes)
     total_bits = nbytes * 8
 
-    freq = np.stack([
-        mdct_forward(pcm_win[c], 2 * N, mode.overlap) for c in range(C)
-    ])
+    n_short = mode.shortMdctSize
+    isTransient = transient_detect(pcm_win, N, n_short)
+    if isTransient:
+        # B=8 short MDCTs, spectra interleaved like the decoder reads
+        # them (celt_synthesize_host: freq[c, b::B][:n_short])
+        freq = np.zeros((C, N))
+        for c in range(C):
+            for b in range(M):
+                sub = mdct_forward(
+                    pcm_win[c, n_short * b : n_short * b + 2 * n_short],
+                    2 * n_short, mode.overlap)
+                freq[c, b::M] = sub
+    else:
+        freq = np.stack([
+            mdct_forward(pcm_win[c], 2 * N, mode.overlap) for c in range(C)
+        ])
     effEnd = min(st.end, mode.effEBands)
     freq[:, M * int(eBands[effEnd]):] = 0.0
 
@@ -339,12 +382,12 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     if st.start == 0 and tell + 16 <= total_bits:
         enc.enc_bit_logp(0, 1)
         tell = enc.tell()
-    # transient: long blocks only
-    isTransient = 0
     if LM > 0 and tell + 3 <= total_bits:
-        enc.enc_bit_logp(0, 3)
+        enc.enc_bit_logp(isTransient, 3)
         tell = enc.tell()
-    shortBlocks = 0
+    else:
+        isTransient = 0
+    shortBlocks = M if isTransient else 0
     # intra energy
     if tell + 3 <= total_bits:
         enc.enc_bit_logp(1, 3)
@@ -352,7 +395,8 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         mode, st.start, st.end, bandLogE, st.oldEBands, enc, C, LM,
         total_bits,
     )
-    tf_encode_zeros(st.start, st.end, isTransient, LM, enc)
+    tf_vals = tf_encode_uniform(st.start, st.end, isTransient, LM, enc,
+                                1 if isTransient else 0)
 
     tell = enc.tell()
     if tell + 4 <= total_bits:
@@ -393,7 +437,12 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         tell_q3 = enc.tell_frac()
 
     bits = (nbytes * 8 << BITRES) - enc.tell_frac() - 1
-    anti_collapse_rsv = 0
+    anti_collapse_rsv = (
+        1 << BITRES
+        if isTransient and LM >= 2 and bits >= ((LM + 2) << BITRES)
+        else 0
+    )
+    bits -= anti_collapse_rsv
     (codedBands, balance, pulses, fine_quant, fine_priority,
      intensity, dual_stereo) = compute_allocation(
         mode, st.start, st.end, offsets, cap, alloc_trim, bits, C, LM, enc,
@@ -410,10 +459,14 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     Yv = Xflat[M * int(eBands[nbEBands]):] if C == 2 else None
     st.rng = quant_all_bands(
         mode, st.start, st.end, Xv, Yv, collapse_masks, pulses,
-        shortBlocks, SPREAD_NORMAL, dual_stereo, intensity, [0] * nbEBands,
+        shortBlocks, SPREAD_NORMAL, dual_stereo, intensity,
+        list(tf_vals) + [0] * (nbEBands - len(tf_vals)),
         nbytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, LM,
         codedBands, st.rng, encode=1, bandE=bandE,
     )
+
+    if anti_collapse_rsv:
+        enc.enc_bits(0, 1)   # anti-collapse off (encoder choice)
 
     quant_energy_finalise(
         mode, st.start, st.end, st.oldEBands, error, fine_quant,

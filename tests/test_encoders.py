@@ -163,3 +163,42 @@ def test_opus_encode_edges():
     buf = encode_opus_to_buffer(EncoderParams(1, PCMFormat.PCM_FLT), a, 64)
     back = nq.load(buf, extension="opus")
     assert back.sample_count == 100
+
+
+def test_opus_encode_transients_confine_pre_echo():
+    """Attack-heavy content switches to 8 short MDCTs: quantization
+    noise must not smear backward across the 20 ms window (pre-echo).
+    Compares against the same encoder with transients forced off."""
+    import libnyquist_tpu as nq
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.opus import celt_encoder as ce
+
+    sig = np.zeros(48000)
+    attacks = [4000 + p * 7500 for p in range(6)]
+    for at in attacks:
+        sig[at : at + 200] += (
+            np.hanning(200) * 0.6
+            * np.sin(2 * np.pi * 2000 * np.arange(200) / 48.0))
+    a = AudioData()
+    a.samples = sig.astype(np.float32)
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+
+    def pre_echo(buf):
+        out = np.asarray(
+            nq.load(buf, extension="opus").samples, np.float64)[: len(sig)]
+        err = out - sig
+        return sum(float((err[at - 240 : at - 48] ** 2).sum())
+                   for at in attacks)
+
+    buf_t = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, 96)
+    orig = ce.transient_detect
+    ce.transient_detect = lambda w, N, s: 0
+    try:
+        buf_l = encode_opus_to_buffer(
+            EncoderParams(1, PCMFormat.PCM_FLT), a, 96)
+    finally:
+        ce.transient_detect = orig
+    assert pre_echo(buf_t) < 0.25 * pre_echo(buf_l)
