@@ -41,9 +41,11 @@ def load_cases():
 
 
 CASES = load_cases()
-CELT_CASES = [0, 1, 2, 3, 4, 5, 6, 7]
-SILK_CASES = [8, 9, 10]
-HYBRID_CASES = [11, 12, 13]
+CELT_CASES = [0, 1, 2, 3, 4, 5, 6, 7, 13]  # 13 = auto (chose CELT)
+# 8/9 = SILK-WB 20 ms, 10 = 40 ms, 14 = 10 ms (nb_subfr=2),
+# 15/16 = 60 ms (3-frame SILK groups)
+SILK_CASES = [8, 9, 10, 14, 15, 16]
+HYBRID_CASES = [11, 12, 17]  # 17 = 10 ms hybrid
 
 
 def run_case(idx, tol=1e-4):

@@ -82,6 +82,12 @@ int main(int argc, char **argv) {
         {2, OPUS_APPLICATION_AUDIO,       960, 0,  48000, MODE_HYBRID},
         /* Auto (lets the encoder switch modes) */
         {2, OPUS_APPLICATION_AUDIO,       960, 1,  64000, 0},
+        /* extended (round 2): 10/60 ms SILK payloads + 10 ms hybrid —
+           exercises nb_subfr=2 and multi-frame SILK packet groups */
+        {1, OPUS_APPLICATION_VOIP,        480, 2,  24000, MODE_SILK_ONLY},
+        {2, OPUS_APPLICATION_VOIP,       2880, 2,  24000, MODE_SILK_ONLY},
+        {1, OPUS_APPLICATION_VOIP,       2880, 2,  16000, MODE_SILK_ONLY},
+        {1, OPUS_APPLICATION_AUDIO,      480, 0,  40000, MODE_HYBRID},
     };
     int n_cases = (int)(sizeof(cases) / sizeof(cases[0]));
     fwrite(&n_cases, 4, 1, f);
@@ -96,6 +102,11 @@ int main(int argc, char **argv) {
         opus_encoder_ctl(enc, OPUS_SET_COMPLEXITY(10));
         if (cases[ci].force_mode)
             opus_encoder_ctl(enc, OPUS_SET_FORCE_MODE(cases[ci].force_mode));
+        if (cases[ci].force_mode == MODE_SILK_ONLY)
+            /* pin a SILK-codable bandwidth: small frames at these rates
+               otherwise drift to SWB and the encoder emits hybrid */
+            opus_encoder_ctl(enc,
+                OPUS_SET_MAX_BANDWIDTH(OPUS_BANDWIDTH_WIDEBAND));
 
         const double seconds = 2.0;
         int total = (int)(FS * seconds);
