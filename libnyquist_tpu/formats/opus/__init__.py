@@ -289,6 +289,88 @@ def _decode_celt_only_pipeline(st, head, device=False):
     return pcm
 
 
+def _decode_celt_multistream_pipeline(st, head):
+    """Batched fast path for family-1 multistream CELT-only files: each
+    elementary stream runs the whole-stream native entropy decode, then
+    ALL streams synthesize together through the batched serving path
+    (grouped by channel count), and the mapping table assembles output
+    channels.  Returns pcm [n, channels] or None (caller falls back)."""
+    from ...runtime.opus_pipeline import synthesize_stream_host
+    from .celt import CeltDecoderState, celt_decode_stream_native
+    from .decoder import _endband_for_bandwidth
+    from .packet import MODE_CELT_ONLY, parse_packet
+
+    S = head.stream_count
+    per_stream = [[] for _ in range(S)]     # parsed packets per stream
+    for pkt in st.packets[2:]:
+        if len(pkt.data) == 0:
+            continue
+        pos = 0
+        try:
+            for s in range(S):
+                if s == S - 1:
+                    seg = pkt.data[pos:]
+                    pos = len(pkt.data)
+                else:
+                    seg, pos = OpusMultistreamDecoder._undelimit(
+                        pkt.data, pos)
+                parsed = parse_packet(seg)
+                if parsed.mode != MODE_CELT_ONLY:
+                    return None
+                per_stream[s].append(parsed)
+        except Exception:
+            return None
+    if not per_stream[0]:
+        return None
+    fsz0 = [p.frame_size for p in per_stream[0]]
+    for s in range(1, S):
+        if [p.frame_size for p in per_stream[s]] != fsz0:
+            return None
+
+    infos_per_stream = []
+    for s in range(S):
+        ch = 2 if s < head.coupled_count else 1
+        cs = CeltDecoderState(channels=ch)
+        frames, sizes, ends, chs = [], [], [], []
+        for parsed in per_stream[s]:
+            eb = _endband_for_bandwidth(parsed.bandwidth)
+            for fr in parsed.frames:
+                frames.append(fr)
+                sizes.append(parsed.frame_size)
+                ends.append(eb)
+                chs.append(parsed.stream_channels)
+        infos = celt_decode_stream_native(cs, frames, sizes, ends, chs)
+        if infos is None:
+            return None
+        infos_per_stream.append(infos)
+
+    # whole-stream batched synthesis per elementary stream (BLAS host
+    # path, like single-stream file loads; the device serving route
+    # stays opt-in because it only wins when the accelerator is local)
+    outs = [None] * S
+    for s in range(S):
+        ch = 2 if s < head.coupled_count else 1
+        try:
+            pcm = synthesize_stream_host(infos_per_stream[s], ch)
+        except Exception:
+            return None
+        outs[s] = np.asarray(pcm, np.float64)
+
+    n = min(o.shape[0] for o in outs)
+    result = np.zeros((n, head.channels))
+    for c, m in enumerate(head.mapping):
+        if m == 255:
+            continue
+        if m < 2 * head.coupled_count:
+            result[:, c] = outs[m >> 1][:n, m & 1]
+        else:
+            result[:, c] = outs[
+                head.coupled_count + (m - 2 * head.coupled_count)][:n, 0]
+    if head.output_gain_q8:
+        result = result * (10.0 ** (head.output_gain_q8 / (20.0 * 256.0)))
+    return result
+
+
 def decode_ogg_opus(data: bytes):
     """Full Ogg Opus decode -> (float64 [n, channels], head)."""
     streams = ogg.demux(data)
@@ -309,8 +391,12 @@ def decode_ogg_opus(data: bytes):
     # only wins when the accelerator is local.
     pcm = None
     has_hole = any(p.hole for p in st.packets)
-    if (head.stream_count == 1 and head.coupled_count in (0, 1)
+    if (head.stream_count > 1 and head.mapping_family == 1
             and not has_hole):
+        pcm = _decode_celt_multistream_pipeline(st, head)
+    if pcm is None and (head.stream_count == 1
+                        and head.coupled_count in (0, 1)
+                        and not has_hole):
         import os
 
         if os.environ.get("LIBNYQUIST_OPUS_PIPELINE"):
