@@ -378,6 +378,101 @@ def _book_registry(books):
     return reg
 
 
+
+
+def _native_packet_ctx(channels, blocksizes, modes, mappings, floors,
+                       residues, books):
+    """Marshal the whole stream config for native/vorbis_res.c
+    vorbis_packet_decode (built once per logical stream)."""
+    L = _native_res()
+    if L is None or not hasattr(L, "vorbis_packet_decode"):
+        return None
+    if channels > 8:
+        return None
+    import ctypes
+
+    try:
+        reg = _book_registry(books)
+        mode_cfg = np.asarray(
+            [[bf, mi] for bf, mi in modes], np.int32).reshape(-1)
+        map_meta, map_mux, map_submap, map_coup = [], [], [], []
+        for mp in mappings:
+            map_meta.extend([mp.submaps, len(mp.coupling),
+                             len(map_mux), len(map_submap),
+                             len(map_coup)])
+            map_mux.extend(int(x) for x in mp.mux)
+            for s in range(mp.submaps):
+                map_submap.extend([int(mp.submap_floor[s]),
+                                   int(mp.submap_residue[s])])
+            for mag, ang in mp.coupling:
+                map_coup.extend([int(mag), int(ang)])
+        fl_cfgs, fl_nbrs, fl_sorts, fl_off = [], [], [], []
+        for fl in floors:
+            c = fl._native_cfg()
+            fl_off.extend([sum(a.size for a in fl_cfgs),
+                           sum(a.size for a in fl_nbrs),
+                           sum(a.size for a in fl_sorts)])
+            fl_cfgs.append(c["cfg"])
+            fl_nbrs.append(c["nbrs"])
+            fl_sorts.append(c["sort"])
+        res_meta, res_books8 = [], []
+        for r in residues:
+            res_meta.extend([r.type, r.begin, r.end, r.partition_size,
+                             r.classifications, r.classbook,
+                             len(res_books8)])
+            for row in r.books:
+                res_books8.extend(int(b) for b in row)
+
+        def cat(chunks, dt):
+            return (np.concatenate(chunks).astype(dt, copy=False)
+                    if chunks else np.zeros(1, dt))
+
+        i32 = np.int32
+        ctx = dict(
+            reg=reg,
+            channels=channels,
+            bs0=int(blocksizes[0]), bs1=int(blocksizes[1]),
+            mode_bits=ilog(len(modes) - 1),
+            nmodes=len(modes),
+            mode_cfg=np.ascontiguousarray(mode_cfg, i32),
+            map_meta=np.asarray(map_meta, i32),
+            map_mux=np.asarray(map_mux or [0], i32),
+            map_submap=np.asarray(map_submap or [0], i32),
+            map_coup=np.asarray(map_coup or [0], i32),
+            fl_cfgs=cat(fl_cfgs, i32), fl_nbrs=cat(fl_nbrs, i32),
+            fl_sorts=cat(fl_sorts, i32),
+            fl_off=np.asarray(fl_off, np.int64),
+            fromdb=np.ascontiguousarray(_floor1_fromdb(), np.float32),
+            res_meta=np.asarray(res_meta, i32),
+            res_books8=np.asarray(res_books8 or [0], i32),
+        )
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        ctx["args"] = (
+            int(channels), ctx["bs0"], ctx["bs1"], ctx["mode_bits"],
+            ctx["mode_cfg"].ctypes.data_as(i32p), ctx["nmodes"],
+            ctx["map_meta"].ctypes.data_as(i32p),
+            ctx["map_mux"].ctypes.data_as(i32p),
+            ctx["map_submap"].ctypes.data_as(i32p),
+            ctx["map_coup"].ctypes.data_as(i32p),
+            ctx["fl_cfgs"].ctypes.data_as(i32p),
+            ctx["fl_nbrs"].ctypes.data_as(i32p),
+            ctx["fl_sorts"].ctypes.data_as(i32p),
+            ctx["fl_off"].ctypes.data_as(i64p),
+            ctx["fromdb"].ctypes.data_as(f32p),
+            ctx["res_meta"].ctypes.data_as(i32p),
+            ctx["res_books8"].ctypes.data_as(i32p),
+            *reg["ptrs"],
+        )
+        ctx["f32p"] = f32p
+        ctx["i32p"] = i32p
+        ctx["L"] = L
+        return ctx
+    except Exception:
+        return None
+
+
 # --------------------------------------------------------------------------
 # Floors
 # --------------------------------------------------------------------------
@@ -922,7 +1017,41 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     total = 0
     end_granule = st.last_granule
     staged = []
-    for pkt in packets[3:]:
+    npk = _native_packet_ctx(channels, blocksizes, modes, mappings,
+                             floors, residues, books)
+    if npk is not None:
+        import ctypes
+
+        n2max = blocksizes[1] // 2
+        info = np.zeros(12, np.int32)
+        info_p = info.ctypes.data_as(npk["i32p"])
+        for pkt in packets[3:]:
+            if not pkt.data:
+                continue
+            # C writes channel rows compactly with stride n//2
+            flat = np.empty(channels * n2max, np.float32)
+            rc = npk["L"].vorbis_packet_decode(
+                pkt.data, len(pkt.data), *npk["args"],
+                flat.ctypes.data_as(npk["f32p"]), info_p,
+            )
+            if rc == -1:
+                npk = None   # unsupported shape: python path below
+                staged = []
+                break
+            if rc == 0:
+                continue
+            n = int(info[0])
+            n2 = n // 2
+            specs = flat[: channels * n2].reshape(
+                channels, n2).astype(np.float64)
+            staged.append((
+                specs, n,
+                bool(info[1]), bool(info[2]), bool(info[3]),
+                [bool(info[4 + c]) for c in range(channels)],
+            ))
+    if npk is None:
+        staged = staged or []
+    for pkt in (packets[3:] if npk is None else []):
         if not pkt.data:
             continue
         bits = LsbBits(pkt.data)

@@ -80,8 +80,8 @@ static int book_scalar(vbits *br, const int32_t *lut, int lutw,
     return -1; /* invalid codeword: abort decode, eop stays clear */
 }
 
-void vorbis_residue_decode(
-    const uint8_t *data, int64_t nbytes, int64_t *st /* [pos, eop] */,
+static void residue_impl(
+    vbits *brp,
     const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
     const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
     const float *vqs, const int64_t *vq_off, const int32_t *dims,
@@ -91,7 +91,6 @@ void vorbis_residue_decode(
     const uint8_t *do_not_decode, int64_t ch, int64_t n2,
     float *work /* rtype==2: [n2*ch]; else [ch][n2] row-major */)
 {
-    vbits br;
     int64_t vecs = (rtype == 2) ? 1 : ch;
     int64_t parts = (end - begin) / psize;
     int32_t *classifs;
@@ -101,12 +100,7 @@ void vorbis_residue_decode(
     int cb_maxlen = maxlen[classbook];
     int64_t cdim = dims[classbook];
     int passn;
-
-    br.data = data;
-    br.nbytes = nbytes;
-    br.pos = st[0];
-    br.limit = nbytes * 8;
-    br.eop = (int)st[1];
+#define br (*brp)
 
     if (parts <= 0 || cdim <= 0 || classifications <= 0) return;
     classifs = (int32_t *)calloc((size_t)(vecs * parts), sizeof(int32_t));
@@ -197,6 +191,29 @@ void vorbis_residue_decode(
     }
 done:
     free(classifs);
+#undef br
+}
+
+void vorbis_residue_decode(
+    const uint8_t *data, int64_t nbytes, int64_t *st /* [pos, eop] */,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *vqs, const int64_t *vq_off, const int32_t *dims,
+    int rtype, int64_t begin, int64_t end, int64_t psize,
+    int classifications, int classbook,
+    const int32_t *books8, const uint8_t *do_not_decode,
+    int64_t ch, int64_t n2, float *work)
+{
+    vbits br;
+    br.data = data;
+    br.nbytes = nbytes;
+    br.pos = st[0];
+    br.limit = nbytes * 8;
+    br.eop = (int)st[1];
+    residue_impl(&br, luts, lut_off, lut_w, trees, tree_off, maxlen,
+                 vqs, vq_off, dims, rtype, begin, end, psize,
+                 classifications, classbook, books8, do_not_decode,
+                 ch, n2, work);
     st[0] = br.pos;
     st[1] = br.eop;
 }
@@ -222,12 +239,6 @@ static uint32_t vb_read(vbits *b, int n) {
     return v;
 }
 
-static int fl_ilog(int x) {
-    int r = 0;
-    while (x > 0) { r++; x >>= 1; }
-    return r;
-}
-
 static int64_t render_pt(int64_t x0, int64_t y0, int64_t x1, int64_t y1,
                          int64_t x) {
     int64_t dy = y1 - y0;
@@ -243,25 +254,19 @@ static int64_t render_pt(int64_t x0, int64_t y0, int64_t x1, int64_t y1,
  * neighbors: int32 [2*(posts-2)]; sortidx: int32 [posts].
  * st: int64 [pos, eop] in/out.
  * Returns 1 = curve written, 0 = unused channel, -2 = end of packet. */
-int64_t vorbis_floor1_decode(
-    const uint8_t *data, int64_t nbytes, int64_t *st,
+static int64_t floor_impl(
+    vbits *brp,
     const int32_t *cfg, const int32_t *neighbors, const int32_t *sortidx,
     const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
     const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
     const float *fromdb, int64_t n2, float *curve_out)
 {
-    vbits br;
+#define br (*brp)
     int partitions, mult, posts, rng, bits01, nc;
     const int32_t *pclass, *cdim, *csub, *cbook, *subbooks, *xs;
     int ys[288], finaly[288];
     uint8_t step2[288];
     int p, i, offset;
-
-    br.data = data;
-    br.nbytes = nbytes;
-    br.pos = st[0];
-    br.limit = nbytes * 8;
-    br.eop = (int)st[1];
 
     partitions = cfg[0];
     mult = cfg[1];
@@ -278,8 +283,6 @@ int64_t vorbis_floor1_decode(
     (void)mult;
 
     if (!vb_read1(&br)) {
-        st[0] = br.pos;
-        st[1] = br.eop;
         return br.eop ? -2 : 0;
     }
     memset(ys, 0, sizeof(int) * (size_t)posts);
@@ -381,12 +384,236 @@ int64_t vorbis_floor1_decode(
             for (x = hx; x < n2; x++) curve_out[x] = fromdb[y];
         }
     }
-    st[0] = br.pos;
-    st[1] = br.eop;
     return 1;
 
 eop:
-    st[0] = br.pos;
-    st[1] = 1;
+    br.eop = 1;
     return -2;
+#undef br
+}
+
+int64_t vorbis_floor1_decode(
+    const uint8_t *data, int64_t nbytes, int64_t *st,
+    const int32_t *cfg, const int32_t *neighbors, const int32_t *sortidx,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *fromdb, int64_t n2, float *curve_out)
+{
+    vbits br;
+    int64_t rc;
+    br.data = data;
+    br.nbytes = nbytes;
+    br.pos = st[0];
+    br.limit = nbytes * 8;
+    br.eop = (int)st[1];
+    rc = floor_impl(&br, cfg, neighbors, sortidx, luts, lut_off, lut_w,
+                    trees, tree_off, maxlen, fromdb, n2, curve_out);
+    st[0] = br.pos;
+    st[1] = br.eop;
+    return rc;
+}
+
+/* ---------------- whole audio packet decode ------------------------
+ * One call per packet: mode/window flags, per-channel floor curves,
+ * per-submap residues, square-polar coupling, floor-curve multiply.
+ * Mirrors the staging loop of formats/vorbis.py _decode_stream_packets
+ * (including its partial-packet EndOfPacket semantics: decode stops at
+ * EOP and whatever was produced so far is staged).
+ *
+ * Layouts:
+ *  mode_cfg  int32 [nmodes][2]: blockflag, mapping index
+ *  map_meta  int32 [nmaps][5]: submaps, ncoupling, mux_off, submap_off,
+ *            coup_off (offsets into map_mux / map_submap / map_coup)
+ *  map_submap int32 pairs (floor, residue) per submap
+ *  map_coup   int32 pairs (mag, ang)
+ *  floors: cfg/nbr/sort blobs + per-floor offsets (floor_off [nfloors][3])
+ *  res_meta  int32 [nres][7]: type, begin, end, psize, classifications,
+ *            classbook, books8_off
+ *  info out  int32 [12]: n, blockflag, long_prev, long_next,
+ *            nonzero[0..7]
+ * Returns 1 = staged (specs/info filled), 0 = skip packet, -1 = needs
+ * the Python path (unsupported shape). */
+int64_t vorbis_packet_decode(
+    const uint8_t *data, int64_t nbytes,
+    int channels, int bs0, int bs1, int mode_bits,
+    const int32_t *mode_cfg, int nmodes,
+    const int32_t *map_meta, const int32_t *map_mux,
+    const int32_t *map_submap, const int32_t *map_coup,
+    const int32_t *floor_cfgs, const int32_t *floor_nbrs,
+    const int32_t *floor_sorts, const int64_t *floor_off,
+    const float *fromdb,
+    const int32_t *res_meta, const int32_t *res_books8,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *vqs, const int64_t *vq_off, const int32_t *dims,
+    float *specs, int32_t *info)
+{
+    vbits br;
+    int mode_idx, blockflag, map_idx, n, n2;
+    int long_prev = 1, long_next = 1;
+    const int32_t *mm;
+    int submaps, ncoup;
+    const int32_t *mux, *subm, *coup;
+    int nonzero[8], nz[8];
+    float *curves, *work;
+    int c, s, k;
+    int eop_stop = 0;
+
+    if (channels > 8) return -1;
+    br.data = data;
+    br.nbytes = nbytes;
+    br.pos = 0;
+    br.limit = nbytes * 8;
+    br.eop = 0;
+
+    if (vb_read1(&br)) return 0;            /* not an audio packet */
+    mode_idx = (int)vb_read(&br, mode_bits);
+    if (mode_idx >= nmodes) return 0;
+    blockflag = mode_cfg[mode_idx * 2];
+    map_idx = mode_cfg[mode_idx * 2 + 1];
+    n = blockflag ? bs1 : bs0;
+    n2 = n / 2;
+    if (blockflag) {
+        long_prev = vb_read1(&br);
+        long_next = vb_read1(&br);
+    }
+    mm = map_meta + map_idx * 5;
+    submaps = mm[0];
+    ncoup = mm[1];
+    mux = map_mux + mm[2];
+    subm = map_submap + mm[3];
+    coup = map_coup + mm[4];
+
+    curves = (float *)calloc((size_t)channels * n2, sizeof(float));
+    work = (float *)calloc((size_t)channels * n2, sizeof(float));
+    if (!curves || !work) {
+        free(curves);
+        free(work);
+        return -1;
+    }
+
+    for (c = 0; c < channels; c++) nonzero[c] = 0;
+    for (c = 0; c < channels && !eop_stop; c++) {
+        int fl = subm[mux[c] * 2 + 0];
+        int64_t rc = floor_impl(
+            &br,
+            floor_cfgs + floor_off[fl * 3 + 0],
+            floor_nbrs + floor_off[fl * 3 + 1],
+            floor_sorts + floor_off[fl * 3 + 2],
+            luts, lut_off, lut_w, trees, tree_off, maxlen,
+            fromdb, n2, curves + (int64_t)c * n2);
+        if (rc == -2) { eop_stop = 1; break; }
+        nonzero[c] = (rc == 1);
+    }
+
+    for (c = 0; c < channels; c++) nz[c] = nonzero[c];
+    for (k = 0; k < ncoup; k++) {
+        int mag = coup[k * 2], ang = coup[k * 2 + 1];
+        if (nz[mag] || nz[ang]) { nz[mag] = 1; nz[ang] = 1; }
+    }
+
+    for (s = 0; s < submaps && !eop_stop; s++) {
+        int ch_in[8], nch = 0;
+        uint8_t dnd[8];
+        const int32_t *rm;
+        int rtype;
+        int64_t begin, end, total;
+        float *rwork;
+        for (c = 0; c < channels; c++)
+            if (mux[c] == s) {
+                dnd[nch] = (uint8_t)(!nz[c]);
+                ch_in[nch++] = c;
+            }
+        if (!nch) continue;
+        rm = res_meta + subm[s * 2 + 1] * 7;
+        rtype = rm[0];
+        total = rtype == 2 ? (int64_t)n2 * nch : n2;
+        begin = rm[1] < total ? rm[1] : total;
+        end = rm[2] < total ? rm[2] : total;
+        if (end <= begin) continue;
+        {
+            int alldnd = 1;
+            for (k = 0; k < nch; k++) if (!dnd[k]) alldnd = 0;
+            if (rtype == 2 && alldnd) continue;
+        }
+        /* rtype 2 codes one interleaved vector; reuse `work` rows for
+           rtype 0/1, a scratch then deinterleave for rtype 2 */
+        if (rtype == 2) {
+            float *scratch = (float *)calloc((size_t)n2 * nch,
+                                             sizeof(float));
+            int64_t j;
+            if (!scratch) { eop_stop = 1; break; }
+            residue_impl(&br, luts, lut_off, lut_w, trees, tree_off,
+                         maxlen, vqs, vq_off, dims, rtype, begin, end,
+                         rm[3], rm[4], rm[5], res_books8 + rm[6], dnd,
+                         nch, n2, scratch);
+            for (k = 0; k < nch; k++) {
+                float *dst = work + (int64_t)ch_in[k] * n2;
+                for (j = 0; j < n2; j++)
+                    dst[j] = scratch[j * nch + k];
+            }
+            free(scratch);
+        }
+        else {
+            float *rows = (float *)calloc((size_t)n2 * nch,
+                                          sizeof(float));
+            int64_t j;
+            if (!rows) { eop_stop = 1; break; }
+            residue_impl(&br, luts, lut_off, lut_w, trees, tree_off,
+                         maxlen, vqs, vq_off, dims, rtype, begin, end,
+                         rm[3], rm[4], rm[5], res_books8 + rm[6], dnd,
+                         nch, n2, rows);
+            for (k = 0; k < nch; k++) {
+                float *dst = work + (int64_t)ch_in[k] * n2;
+                for (j = 0; j < n2; j++) dst[j] = rows[k * n2 + j];
+            }
+            free(rows);
+        }
+        if (br.eop) eop_stop = 1;
+        rwork = work;
+        (void)rwork;
+    }
+
+    /* square-polar coupling, reversed order (spec 4.3.5) */
+    for (k = ncoup - 1; k >= 0; k--) {
+        int mag = coup[k * 2], ang = coup[k * 2 + 1];
+        float *M = work + (int64_t)mag * n2;
+        float *A = work + (int64_t)ang * n2;
+        int64_t j;
+        for (j = 0; j < n2; j++) {
+            float m = M[j], a = A[j], M2, A2;
+            if (m > 0) {
+                if (a > 0) { M2 = m; A2 = m - a; }
+                else { M2 = m + a; A2 = m; }
+            }
+            else {
+                if (a > 0) { M2 = m; A2 = m + a; }
+                else { M2 = m - a; A2 = m; }
+            }
+            M[j] = M2;
+            A[j] = A2;
+        }
+    }
+
+    for (c = 0; c < channels; c++) {
+        float *dst = specs + (int64_t)c * n2;
+        int64_t j;
+        if (nonzero[c]) {
+            const float *cv = curves + (int64_t)c * n2;
+            const float *rw = work + (int64_t)c * n2;
+            for (j = 0; j < n2; j++) dst[j] = rw[j] * cv[j];
+        }
+        else {
+            for (j = 0; j < n2; j++) dst[j] = 0.0f;
+        }
+    }
+
+    info[0] = n;
+    info[1] = blockflag;
+    info[2] = long_prev;
+    info[3] = long_next;
+    for (c = 0; c < 8; c++) info[4 + c] = c < channels ? nonzero[c] : 0;
+    free(curves);
+    free(work);
+    return 1;
 }

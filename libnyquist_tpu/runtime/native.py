@@ -214,6 +214,20 @@ def lib():
             i32p_, i64p_, i32p_,                        # trees, maxlen
             f32p_, ctypes.c_int64, f32p_,               # fromdb, n2, out
         ]
+        L.vorbis_packet_decode.restype = ctypes.c_int64
+        L.vorbis_packet_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p_, ctypes.c_int,                    # mode_cfg, nmodes
+            i32p_, i32p_, i32p_, i32p_,             # map blobs
+            i32p_, i32p_, i32p_, i64p_,             # floor blobs
+            f32p_,                                  # fromdb
+            i32p_, i32p_,                           # res meta/books8
+            i32p_, i64p_, i32p_,                    # luts
+            i32p_, i64p_, i32p_,                    # trees
+            f32p_, i64p_, i32p_,                    # vqs
+            f32p_, i32p_,                           # specs, info
+        ]
         L.wv_words_hybrid.restype = ctypes.c_uint64
         L.wv_words_hybrid.argtypes = [
             ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
