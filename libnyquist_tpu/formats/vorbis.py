@@ -1124,24 +1124,56 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     if return_entropy:
         return staged, (bs0, bs1), channels, rate, end_granule
 
-    # Synthesis via the serving path: one IMDCT matmul per distinct
-    # blocksize plus a static two-gather overlap-add precomputed from
-    # the packet sequence (runtime/serving.vorbis_lap_plan) — no
-    # per-packet Python in the dense half.
-    from ..runtime import serving
+    # Batched IMDCT: one matmul per blocksize over every staged spectrum
+    # (the per-packet matvec re-reads the n2 x n matrix each call and
+    # dominates decode time; batching amortizes it on BLAS).
+    td_all = {}
+    for bs in set(item[1] for item in staged):
+        rows = []
+        index = []
+        for k, (specs, n, *_rest) in enumerate(staged):
+            if n != bs:
+                continue
+            for c in range(channels):
+                rows.append(specs[c])
+                index.append((k, c))
+        if rows:
+            out_rows = imdct_apply(np.stack(rows), bs)
+            for (k, c), row in zip(index, out_rows):
+                td_all.setdefault(k, np.zeros((channels, bs)))[c] = row
 
-    if not staged:
+    for k, (specs, n, blockflag, long_prev, long_next, nz_flags) in             enumerate(staged):
+        n2 = n // 2
+        td = td_all.get(k, np.zeros((channels, n)))
+        for c in range(channels):
+            if not nz_flags[c]:
+                td[c] = 0.0
+        w = _lap_window(n, blocksizes, blockflag, long_prev, long_next)
+        td = td * w[None, :]
+
+        # Lapping (spec §1.3.2/4.3.9): emit from the previous window's
+        # center to this window's center (prev_n/4 + n/4 samples); the
+        # windows' sloped regions sum to one across the join.
+        if cache is not None:
+            L = prev_n // 4 + n // 4
+            out = np.zeros((channels, L))
+            p_len = prev_n // 2
+            m = min(p_len, L)
+            out[:, :m] += cache[:, :m]
+            o = prev_n // 4 - n // 4      # cur window start vs prev center
+            s0 = max(o, 0)
+            ss = s0 - o
+            length = min(L - s0, n2 - ss)
+            if length > 0:
+                out[:, s0 : s0 + length] += td[:, ss : ss + length]
+            chunks.append(out.T.copy())
+            total += L
+        cache = td[:, n2:].copy()
+        prev_n = n
+
+    if not chunks:
         raise DecodeError("no Vorbis audio decoded")
-    meta = [(n, bf, lp, ln) for (_s, n, bf, lp, ln, _nz) in staged]
-    plan = serving.vorbis_lap_plan(meta, (bs0, bs1))
-    F = len(staged)
-    nmax2 = plan["nmax"] // 2
-    specs_pad = np.zeros((channels, F, nmax2), np.float32)
-    for f, (s, n, *_r) in enumerate(staged):
-        specs_pad[:, f, : n // 2] = s
-    out = serving.synthesize_vorbis_streams_mixed(
-        specs_pad, plan, use_device=False)          # [ch, out_len]
-    pcm = np.ascontiguousarray(out.T)
+    pcm = np.concatenate(chunks, axis=0)
     if end_granule >= 0:
         pcm = pcm[: int(end_granule)]
     return pcm.astype(np.float32), channels, rate
