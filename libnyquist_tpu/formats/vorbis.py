@@ -962,6 +962,13 @@ def decode_vorbis_buffer(data: bytes, audio: AudioData) -> None:
     audio.length_seconds = out.shape[0] / rate if rate else 0.0
 
 
+# Setup-header cache: codebook/floor/residue/mapping parse and the
+# native packet context are pure functions of the setup packet bytes;
+# repeated loads of the same stream config (serving, re-decodes) skip
+# the ~25 ms rebuild.
+_SETUP_CACHE: dict = {}
+
+
 def _decode_stream_packets(st, return_entropy: bool = False):
     """Decode one logical Vorbis stream.  With return_entropy=True,
     stops at the host/device boundary and returns
@@ -980,34 +987,43 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     bs1 = 1 << b.read(4)
 
     setup = packets[2].data
-    b = LsbBits(setup[7:])
-    books = [VorbisCodebook(b) for _ in range(b.read(8) + 1)]
-    for _ in range(b.read(6) + 1):
-        if b.read(16):
-            raise DecodeError("reserved time domain")
-    floors = []
-    for _ in range(b.read(6) + 1):
-        ftype = b.read(16)
-        if ftype != 1:
-            raise DecodeError(f"unsupported floor type {ftype}")
-        floors.append(Floor1(b))
-    residues = []
-    for _ in range(b.read(6) + 1):
-        rtype = b.read(16)
-        if rtype > 2:
-            raise DecodeError("reserved residue type")
-        residues.append(Residue(b, rtype))
-    mappings = []
-    for _ in range(b.read(6) + 1):
-        if b.read(16):
-            raise DecodeError("reserved mapping type")
-        mappings.append(Mapping(b, channels, len(floors), len(residues)))
-    modes = []
-    for _ in range(b.read(6) + 1):
-        blockflag = b.read1()
-        if b.read(16) or b.read(16):
-            raise DecodeError("reserved mode bits")
-        modes.append((blockflag, b.read(8)))
+    setup_key = (hash(setup), channels)
+    cached = _SETUP_CACHE.get(setup_key)
+    if cached is None:
+        b = LsbBits(setup[7:])
+        books = [VorbisCodebook(b) for _ in range(b.read(8) + 1)]
+        for _ in range(b.read(6) + 1):
+            if b.read(16):
+                raise DecodeError("reserved time domain")
+        floors = []
+        for _ in range(b.read(6) + 1):
+            ftype = b.read(16)
+            if ftype != 1:
+                raise DecodeError(f"unsupported floor type {ftype}")
+            floors.append(Floor1(b))
+        residues = []
+        for _ in range(b.read(6) + 1):
+            rtype = b.read(16)
+            if rtype > 2:
+                raise DecodeError("reserved residue type")
+            residues.append(Residue(b, rtype))
+        mappings = []
+        for _ in range(b.read(6) + 1):
+            if b.read(16):
+                raise DecodeError("reserved mapping type")
+            mappings.append(
+                Mapping(b, channels, len(floors), len(residues)))
+        modes = []
+        for _ in range(b.read(6) + 1):
+            blockflag = b.read1()
+            if b.read(16) or b.read(16):
+                raise DecodeError("reserved mode bits")
+            modes.append((blockflag, b.read(8)))
+        cached = (books, floors, residues, mappings, modes)
+        if len(_SETUP_CACHE) > 16:
+            _SETUP_CACHE.clear()
+        _SETUP_CACHE[setup_key] = cached
+    books, floors, residues, mappings, modes = cached
     mode_bits = ilog(len(modes) - 1)
     blocksizes = (bs0, bs1)
 
@@ -1017,8 +1033,11 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     total = 0
     end_granule = st.last_granule
     staged = []
-    npk = _native_packet_ctx(channels, blocksizes, modes, mappings,
-                             floors, residues, books)
+    npk = _SETUP_CACHE.get((setup_key, "ctx"))
+    if npk is None and (setup_key, "ctx") not in _SETUP_CACHE:
+        npk = _native_packet_ctx(channels, blocksizes, modes, mappings,
+                                 floors, residues, books)
+        _SETUP_CACHE[(setup_key, "ctx")] = npk
     if npk is not None:
         import ctypes
 

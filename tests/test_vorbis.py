@@ -33,6 +33,7 @@ def test_native_residue_matches_python(test_data_dir, monkeypatch):
     monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_VORBIS", "1")
     monkeypatch.setattr(vorbis, "_NATIVE_RES", None)
     monkeypatch.setattr(vorbis, "_NATIVE_RES_TRIED", False)
+    monkeypatch.setattr(vorbis, "_SETUP_CACHE", {})  # drop cached native ctx
     b = nq.load(path)
     assert vorbis._NATIVE_RES is None  # fallback really exercised
     assert a.sample_count == b.sample_count
