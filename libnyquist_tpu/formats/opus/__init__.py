@@ -371,8 +371,62 @@ def _decode_celt_multistream_pipeline(st, head):
     return result
 
 
+def _decode_via_native_scan(data: bytes):
+    """Fastest load path: one C pass demuxes + TOC-splits the whole file
+    (native/ogg_opus.c), one C call entropy-decodes every CELT frame,
+    and the whole-stream BLAS synthesis runs once.  Returns
+    (pcm, head) or None when the stream needs the general path
+    (SILK/hybrid, multistream, lost pages, chained files, native lib
+    unavailable, or explicit routing flags)."""
+    import os
+
+    if (os.environ.get("LIBNYQUIST_OPUS_FRAME_SYNTH")
+            or os.environ.get("LIBNYQUIST_OPUS_PIPELINE")):
+        return None
+    from ...runtime.opus_pipeline import synthesize_stream_host
+    from .celt import (
+        CeltDecoderState, _raw_to_infos, celt_decode_ogg_raw,
+        celt_scan_ogg_native,
+    )
+
+    scan = celt_scan_ogg_native(data)
+    if scan is None:
+        return None
+    info = scan[6]
+    channels = int(info[0])
+    if channels not in (1, 2):
+        return None
+    st = ogg_state = CeltDecoderState(channels=channels)
+    out = celt_decode_ogg_raw(ogg_state, data)
+    if out is None:
+        return None
+    raw, scan_info = out[:8], out[8]
+    infos = _raw_to_infos(st, raw)
+    if not infos:
+        return None
+    pcm = np.asarray(synthesize_stream_host(infos, channels), np.float64)
+    gain_q8 = int(scan_info[3])
+    if gain_q8:
+        pcm = pcm * (10.0 ** (gain_q8 / (20.0 * 256.0)))
+    start = int(scan_info[1])               # preskip
+    end_granule = int(scan_info[7])
+    end = min(pcm.shape[0], end_granule) if end_granule >= 0 \
+        else pcm.shape[0]
+    pcm = pcm[start:end]
+    head = OpusHead(
+        version=1, channels=channels, pre_skip=start,
+        input_rate=int(scan_info[2]), output_gain_q8=gain_q8,
+        mapping_family=int(scan_info[4]), stream_count=1,
+        coupled_count=channels - 1, mapping=list(range(channels)),
+    )
+    return pcm, head
+
+
 def decode_ogg_opus(data: bytes):
     """Full Ogg Opus decode -> (float64 [n, channels], head)."""
+    fast = _decode_via_native_scan(data)
+    if fast is not None:
+        return fast
     streams = ogg.demux(data)
     st = ogg.first_stream_matching(streams, b"OpusHead")
     if st is None:

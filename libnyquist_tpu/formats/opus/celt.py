@@ -2157,6 +2157,12 @@ def celt_decode_stream_native(
     raw = celt_decode_stream_raw(st, frames, frame_sizes, ends, stream_chs)
     if raw is None:
         return None
+    return _raw_to_infos(st, raw)
+
+
+def _raw_to_infos(st: CeltDecoderState, raw):
+    """Wrap the array-form stream decode into per-frame info dicts (the
+    synthesize_stream* input format)."""
     freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
     mode = mode48000()
     CC = st.channels

@@ -169,6 +169,7 @@ static int64_t scan_impl(
     uint32_t serial = 0;
     int64_t pos = 0, n_packets = 0;
     int64_t last_granule = -1;
+    int64_t last_seq = -1;
 
     F.payload = payload_out;
     F.payload_cap = payload_cap;
@@ -220,6 +221,16 @@ static int64_t scan_impl(
         }
         if (granule >= 0 && granule > last_granule)
             last_granule = granule;
+        {
+            /* page-sequence gap = lost pages: the fast path has no
+               concealment, so hand such streams to the general path
+               (formats/ogg.py flags the hole; the decoder conceals) */
+            uint32_t pseq;
+            memcpy(&pseq, data + pos + 18, 4);
+            if (last_seq >= 0 && (int64_t)pseq > last_seq + 1)
+                return -4;
+            if ((int64_t)pseq > last_seq) last_seq = (int64_t)pseq;
+        }
 
         if (!(htype & 0x01) && partial_open) {
             partial_len = 0;         /* hole: drop the partial packet */
