@@ -193,38 +193,68 @@ def synthesize_stream_host(infos: List[dict], channels: int) -> np.ndarray:
     S = sum(info["N"] for info in infos)
     HIST = 1032                                           # > max T + 2
 
-    # 1) batched IMDCT + overlap-add, segmented by (LM, shortBlocks),
-    # written straight into the comb history buffer (no re-stacks;
-    # float32 like the reference's float build)
+    # 1) batched IMDCT + overlap-add, written straight into the comb
+    # history buffer (float32 like the reference's float build).
+    # Uniform frame size (the usual case): ONE GEMM per (LM,
+    # shortBlocks) kind over ALL its frames, wherever they sit in the
+    # stream, then one vectorized tail add — transient-heavy streams
+    # otherwise shatter into thousands of tiny per-segment GEMMs.
     buf = np.zeros((C, HIST + S), np.float32)
-    tails = np.zeros((C, ov), np.float32)
-    i = 0
-    off0 = HIST
-    while i < len(infos):
-        key = (infos[i]["LM"], infos[i]["shortBlocks"])
-        j = i
-        while j < len(infos) and (infos[j]["LM"],
-                                  infos[j]["shortBlocks"]) == key:
-            j += 1
-        LM, shortBlocks = key
-        N = infos[i]["N"]
-        B = shortBlocks if shortBlocks else 1
-        Nmdct = (2 * mode.shortMdctSize if shortBlocks
-                 else (2 * mode.shortMdctSize) << LM)
-        M = celt_synthesis_matrix(Nmdct, ov, B)           # [N, N+ov] f32
-        F = j - i
-        spec = np.empty((F, N), np.float32)
+    Ns = {info["N"] for info in infos}
+    if len(Ns) == 1:
+        N = infos[0]["N"]
+        F = len(infos)
+        bufv = buf[:, HIST:].reshape(C, F, N)
+        tails_all = np.zeros((C, F, ov), np.float32)
+        kinds = {}
+        for k, info in enumerate(infos):
+            kinds.setdefault(
+                (info["LM"], info["shortBlocks"]), []).append(k)
+        for (LM, shortBlocks), sel in kinds.items():
+            B = shortBlocks if shortBlocks else 1
+            Nmdct = (2 * mode.shortMdctSize if shortBlocks
+                     else (2 * mode.shortMdctSize) << LM)
+            M = celt_synthesis_matrix(Nmdct, ov, B)       # [N, N+ov] f32
+            sel_a = np.asarray(sel)
+            for c in range(C):
+                spec = np.stack(
+                    [infos[k]["freq"][c] for k in sel]
+                ).astype(np.float32, copy=False)
+                cont = spec @ M                           # [Fk, N+ov]
+                bufv[c][sel_a] = cont[:, :N]
+                tails_all[c][sel_a] = cont[:, N:]
+        # frame f's TDAC tail folds into frame f+1's head (stream order)
         for c in range(C):
-            for k in range(F):
-                spec[k] = infos[i + k]["freq"][c]
-            cont = spec @ M                               # [F, N+ov]
-            main = cont[:, :N]
-            main[1:, :ov] += cont[:-1, N:]                # intra-segment OLA
-            main[0, :ov] += tails[c]
-            buf[c, off0 : off0 + F * N] = main.reshape(-1)
-            tails[c] = cont[-1, N:]
-        off0 += F * N
-        i = j
+            bufv[c][1:, :, ][:, :ov] += tails_all[c][:-1]
+    else:
+        tails = np.zeros((C, ov), np.float32)
+        i = 0
+        off0 = HIST
+        while i < len(infos):
+            key = (infos[i]["LM"], infos[i]["shortBlocks"])
+            j = i
+            while j < len(infos) and (infos[j]["LM"],
+                                      infos[j]["shortBlocks"]) == key:
+                j += 1
+            LM, shortBlocks = key
+            N = infos[i]["N"]
+            B = shortBlocks if shortBlocks else 1
+            Nmdct = (2 * mode.shortMdctSize if shortBlocks
+                     else (2 * mode.shortMdctSize) << LM)
+            M = celt_synthesis_matrix(Nmdct, ov, B)       # [N, N+ov] f32
+            F = j - i
+            spec = np.empty((F, N), np.float32)
+            for c in range(C):
+                for k in range(F):
+                    spec[k] = infos[i + k]["freq"][c]
+                cont = spec @ M                           # [F, N+ov]
+                main = cont[:, :N]
+                main[1:, :ov] += cont[:-1, N:]            # intra-segment
+                main[0, :ov] += tails[c]
+                buf[c, off0 : off0 + F * N] = main.reshape(-1)
+                tails[c] = cont[-1, N:]
+            off0 += F * N
+            i = j
 
     # 2) comb postfilter: replay the decoder's state machine per frame
     # over the history-backed buffer (celt_decoder_clean.c:652-685)
