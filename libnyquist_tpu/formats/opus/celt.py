@@ -2394,6 +2394,12 @@ def _deemph_toeplitz(coef: float, n: int):
     # the carried m is already coef*y_prev, so it enters y[0]
     # with unit weight: m-term coefficient for y[j] is coef^j
     powers = np.power(coef, i.astype(np.float64))
+    # coef^d underflows to float32 DENORMALS past d ~ 540 (0.85^540 ~
+    # 1e-38), and denormal operands run the GEMM ~10x slower; those
+    # entries are far below float32 resolution of any partial sum, so
+    # flush them to exact zeros.
+    L[L < 1e-30] = 0.0
+    powers = np.where(powers < 1e-30, 0.0, powers)
     return L, powers
 
 

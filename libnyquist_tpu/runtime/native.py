@@ -214,6 +214,12 @@ def lib():
             i32p_, i64p_, i32p_,                        # trees, maxlen
             f32p_, ctypes.c_int64, f32p_,               # fromdb, n2, out
         ]
+        L.celt_comb_stream_host.restype = None
+        L.celt_comb_stream_host.argtypes = [
+            f32p_, ctypes.c_int64, ctypes.c_int64,
+            i32p_, i32p_, i32p_, f64p_, i32p_,
+            f64p_, ctypes.c_int, ctypes.c_int, f64p_,
+        ]
         L.vorbis_packet_decode.restype = ctypes.c_int64
         L.vorbis_packet_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,

@@ -257,12 +257,85 @@ def synthesize_stream_host(infos: List[dict], channels: int) -> np.ndarray:
             i = j
 
     # 2) comb postfilter: replay the decoder's state machine per frame
-    # over the history-backed buffer (celt_decoder_clean.c:652-685)
+    # over the history-backed buffer (celt_decoder_clean.c:652-685).
+    # Native whole-channel driver when available (one C call instead of
+    # two Python calls per frame per channel).
+    n0 = mode.shortMdctSize
+    if _native_comb_stream(buf, HIST, infos, C, mode):
+        pass
+    else:
+        _python_comb_state_machine(buf, HIST, infos, C, mode, n0)
+
+    # 3) deemphasis: blocked Toeplitz as ONE f32 GEMM per channel plus
+    # a vectorized carry fixup (the recursive part of the carry is
+    # weighted coef^(BLK+1) ~ 1e-68 — underflow — so the fixup is one
+    # rank-1 add).
+    coef0 = mode.preemph[0]
+    y = buf[:, HIST:]
+    pcm = np.zeros((S, C))
+    BLK = 960
+    L, powers = _deemph_toeplitz(coef0, BLK)
+    L32 = L.astype(np.float32)
+    p32 = powers.astype(np.float32)
+    pad = (-S) % BLK
+    for c in range(C):
+        x = np.concatenate(
+            [y[c], np.zeros(pad, np.float32)]
+        ).astype(np.float32) + np.float32(VERY_SMALL)
+        blocks = x.reshape(-1, BLK) @ L32.T
+        m = np.concatenate(
+            [[np.float32(0.0)], np.float32(coef0) * blocks[:-1, BLK - 1]]
+        )
+        blocks += m[:, None] * p32[None]
+        pcm[:, c] = blocks.reshape(-1)[:S]
+    return pcm * (1.0 / CELT_SIG_SCALE)
+
+
+def _native_comb_stream(buf, HIST, infos, C, mode) -> bool:
+    from .native import lib
+
+    L = lib()
+    if L is None or not hasattr(L, "celt_comb_stream_host"):
+        return False
+    import ctypes
+
+    from ..formats.opus.celt import COMB_GAINS
+
+    F = len(infos)
+    Ns = np.asarray([i["N"] for i in infos], np.int32)
+    LMs = np.asarray([i["LM"] for i in infos], np.int32)
+    pitch = np.asarray([i["postfilter_pitch"] for i in infos], np.int32)
+    gains = np.asarray([i["postfilter_gain"] for i in infos], np.float64)
+    tapsets = np.asarray(
+        [i["postfilter_tapset"] for i in infos], np.int32)
+    w2 = np.ascontiguousarray(
+        np.asarray(mode.window, np.float64) ** 2)
+    cg = np.ascontiguousarray(np.asarray(COMB_GAINS, np.float64))
+    f32p = ctypes.POINTER(ctypes.c_float)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for c in range(C):
+        row = buf[c]
+        assert row.flags["C_CONTIGUOUS"] and row.dtype == np.float32
+        L.celt_comb_stream_host(
+            row.ctypes.data_as(f32p), HIST, F,
+            Ns.ctypes.data_as(i32p), LMs.ctypes.data_as(i32p),
+            pitch.ctypes.data_as(i32p), gains.ctypes.data_as(f64p),
+            tapsets.ctypes.data_as(i32p),
+            w2.ctypes.data_as(f64p), int(mode.overlap),
+            int(mode.shortMdctSize), cg.ctypes.data_as(f64p),
+        )
+    return True
+
+
+def _python_comb_state_machine(buf, HIST, infos, C, mode, n0):
+    from ..formats.opus.celt import COMBFILTER_MINPERIOD, comb_filter
+
     period = period_old = 0
     gain = gain_old = 0.0
     tapset = tapset_old = 0
     off = HIST
-    n0 = mode.shortMdctSize
+    ov = mode.overlap
     for info in infos:
         N = info["N"]
         LM = info["LM"]
@@ -286,32 +359,6 @@ def synthesize_stream_host(infos: List[dict], channels: int) -> np.ndarray:
         if LM != 0:
             period_old, gain_old, tapset_old = period, gain, tapset
         off += N
-
-    # 3) deemphasis: blocked Toeplitz as ONE f32 GEMM per channel plus a
-    # vectorized carry fixup. The carried m enters block b as powers * m
-    # with m = coef * previous block's last output; the recursive part of
-    # that recurrence is weighted coef^(BLK+1) ~ 1e-68 — underflow — so
-    # every block's carry depends only on the PRE-fixup previous block,
-    # and the whole fixup is one rank-1 add.
-    coef0 = mode.preemph[0]
-    y = buf[:, HIST:]
-    pcm = np.zeros((S, C))
-    BLK = 960
-    L, powers = _deemph_toeplitz(coef0, BLK)
-    L32 = L.astype(np.float32)
-    p32 = powers.astype(np.float32)
-    pad = (-S) % BLK
-    for c in range(C):
-        x = np.concatenate(
-            [y[c], np.zeros(pad, np.float32)]
-        ).astype(np.float32) + np.float32(VERY_SMALL)
-        blocks = x.reshape(-1, BLK) @ L32.T
-        m = np.concatenate(
-            [[np.float32(0.0)], np.float32(coef0) * blocks[:-1, BLK - 1]]
-        )
-        blocks += m[:, None] * p32[None]
-        pcm[:, c] = blocks.reshape(-1)[:S]
-    return pcm * (1.0 / CELT_SIG_SCALE)
 
 
 def synthesize_stream(infos: List[dict], channels: int) -> np.ndarray:
