@@ -423,12 +423,38 @@ def _decode_via_native_scan(data: bytes):
 
 
 def decode_ogg_opus(data: bytes):
-    """Full Ogg Opus decode -> (float64 [n, channels], head)."""
-    fast = _decode_via_native_scan(data)
-    if fast is not None:
-        return fast
+    """Full Ogg Opus decode -> (float64 [n, channels], head).
+
+    Chained files (sequential links, each its own serial + OpusHead)
+    decode link by link and concatenate, like opusfile's op_read loop
+    across links; later links must keep the first link's channel count
+    (our facade returns one fixed layout, reference OpusDecoder.cpp
+    likewise reads a single AudioData shape)."""
     streams = ogg.demux(data)
-    st = ogg.first_stream_matching(streams, b"OpusHead")
+    links = [s for s in streams.values()
+             if s.packets and s.packets[0].data.startswith(b"OpusHead")]
+    if len(links) > 1:
+        first_pcm, head = _decode_one_link(data, links[0])
+        chunks = [first_pcm]
+        for link in links[1:]:
+            try:
+                pcm_l, head_l = _decode_one_link(None, link)
+            except DecodeError:
+                break
+            if head_l.channels != head.channels:
+                break
+            chunks.append(pcm_l)
+        return np.concatenate(chunks, axis=0), head
+    return _decode_one_link(data, links[0] if links else None)
+
+
+def _decode_one_link(data, st):
+    """Decode one logical Opus stream (link).  data is the raw file for
+    the first link (enables the whole-native fast path) or None."""
+    if data is not None:
+        fast = _decode_via_native_scan(data)
+        if fast is not None:
+            return fast
     if st is None:
         raise DecodeError("no Opus stream found in Ogg container")
     head = parse_opus_head(st.packets[0].data)
