@@ -950,11 +950,27 @@ def _lap_window(n, blocksizes, blockflag, long_prev, long_next):
 
 
 def decode_vorbis_buffer(data: bytes, audio: AudioData) -> None:
+    """Chained files (sequential links, each its own serial + id header)
+    decode link by link and concatenate like vorbisfile's ov_read across
+    links; later links must keep the first link's channel count and
+    rate (ov_info varies per link, but this facade returns one fixed
+    AudioData shape like the reference's loaders)."""
     streams = ogg.demux(data)
-    st = ogg.first_stream_matching(streams, b"\x01vorbis")
-    if st is None:
+    links = [s for s in streams.values()
+             if s.packets and s.packets[0].data.startswith(b"\x01vorbis")]
+    if not links:
         raise DecodeError("no Vorbis stream in Ogg container")
-    out, channels, rate = _decode_stream_packets(st)
+    out, channels, rate = _decode_stream_packets(links[0])
+    chunks = [out]
+    for link in links[1:]:
+        try:
+            out_l, ch_l, rate_l = _decode_stream_packets(link)
+        except DecodeError:
+            break
+        if ch_l != channels or rate_l != rate:
+            break
+        chunks.append(out_l)
+    out = np.concatenate(chunks, axis=0) if len(chunks) > 1 else out
     audio.channel_count = channels
     audio.sample_rate = rate
     audio.source_format = PCMFormat.PCM_FLT

@@ -38,3 +38,19 @@ def test_native_residue_matches_python(test_data_dir, monkeypatch):
     assert vorbis._NATIVE_RES is None  # fallback really exercised
     assert a.sample_count == b.sample_count
     assert np.abs(a.samples - b.samples).max() == 0.0
+
+
+def test_chained_vorbis_links_concatenate(test_data_dir):
+    """Chained Ogg Vorbis (two sequential links with distinct serials)
+    concatenates like vorbisfile's ov_read across links."""
+    da = (test_data_dir / "ad_hoc" / "LR_Stereo.ogg").read_bytes()
+    db = (test_data_dir / "ad_hoc" / "BlockWoosh_Stereo.ogg").read_bytes()
+    a = nq.load(da, extension="ogg")
+    b = nq.load(db, extension="ogg")
+    assert (a.channel_count, a.sample_rate) == (b.channel_count,
+                                                b.sample_rate)
+    ab = nq.load(da + db, extension="ogg")
+    assert ab.channel_count == a.channel_count
+    assert ab.sample_count == a.sample_count + b.sample_count
+    assert np.array_equal(ab.samples[: a.sample_count], a.samples)
+    assert np.array_equal(ab.samples[a.sample_count :], b.samples)
