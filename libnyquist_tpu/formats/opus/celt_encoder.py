@@ -466,7 +466,17 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     )
 
     if anti_collapse_rsv:
-        enc.enc_bits(0, 1)   # anti-collapse off (encoder choice)
+        # enable noise filling when any coded band actually collapsed in
+        # some sub-block (celt_encoder.c sets this from the collapse
+        # masks); the decoder then runs anti_collapse and avoids
+        # sputtering silence in short blocks
+        full = (1 << M) - 1
+        collapsed = any(
+            (collapse_masks[i * C + c] & full) != full
+            for c in range(C)
+            for i in range(st.start, codedBands)
+        )
+        enc.enc_bits(1 if collapsed else 0, 1)
 
     quant_energy_finalise(
         mode, st.start, st.end, st.oldEBands, error, fine_quant,
