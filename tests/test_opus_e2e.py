@@ -36,7 +36,6 @@ def test_detodos_opus(test_data_dir):
     assert_matches_golden(audio, "detodos")
 
 
-@pytest.mark.slow
 def test_sb_reverie_oracle(test_data_dir):
     """The reference's headline ctest: int(sum)==403, 21472602 samples."""
     audio = nq.load(str(test_data_dir / "sb-reverie.opus"))
@@ -46,7 +45,6 @@ def test_sb_reverie_oracle(test_data_dir):
     assert_matches_golden(audio, "sb-reverie")
 
 
-@pytest.mark.slow
 def test_sb_reverie_60ms_oracle(test_data_dir):
     """60 ms packets = 3 x 20 ms internal frames
     (reference: opus_decoder_clean.c:286-297)."""
