@@ -710,6 +710,10 @@ class MusepackDecoder:
             res_l[n] = res_l[n - 1] + idx if idx != 4 else br.read(4)
             idx = _lut_dec(br, T["Hdr7"])
             res_r[n] = res_r[n - 1] + idx if idx != 4 else br.read(4)
+            # corrupt streams can walk Res out of table range via the
+            # unbounded delta chain; valid SV7 stays within [-17, 17]
+            if not (-17 <= res_l[n] <= 17 and -17 <= res_r[n] <= 17):
+                raise DecodeError("mpc: Res index out of range")
             if res_l[n] or res_r[n]:
                 if self.ms:
                     self.ms_flag[n] = br.read(1)

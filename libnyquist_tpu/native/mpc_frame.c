@@ -445,6 +445,10 @@ static int64_t read_frame_sv7(
         idx = lut_dec(br, &LUT[LUT_HDR7]);
         if (BAD(idx)) return -1;
         res_r[n] = idx != 4 ? res_r[n - 1] + idx : (int32_t)br_read(br, 4);
+        /* corrupt streams can walk Res out of table range via the
+           unbounded delta chain; valid SV7 stays within [-17, 17] */
+        if (res_l[n] < -17 || res_l[n] > 17
+            || res_r[n] < -17 || res_r[n] > 17) return -1;
         if (res_l[n] || res_r[n]) {
             if (ms) ms_flag[n] = (int32_t)br_read(br, 1);
             max_used = n + 1;

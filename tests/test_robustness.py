@@ -223,3 +223,34 @@ def test_silk_packet_loss_concealment():
     # recovery: a real packet decodes fine afterwards
     back = dec.decode_packet(case["packets"][3])
     assert np.isfinite(back).all()
+
+
+def test_native_paths_byte_fuzz():
+    """Random byte mutations through every native decode plane (opus
+    scan + SILK, MPC SV7/SV8 frame reader, Vorbis whole-packet decode)
+    must produce typed errors or output, never crashes or foreign
+    exceptions."""
+    import random
+
+    random.seed(11)
+    targets = [
+        ("/root/reference/test_data/ad_hoc/detodos.opus", "opus"),
+        ("/root/reference/test_data/ad_hoc/44_16_stereo.mpc", "mpc"),
+        (str(pathlib.Path(__file__).parent / "fixtures" / "sv7_stereo.mpc"),
+         "mpc"),
+        ("/root/reference/test_data/ad_hoc/LR_Stereo.ogg", "ogg"),
+    ]
+    for path, ext in targets:
+        p = pathlib.Path(path)
+        if not p.exists():
+            continue
+        data = bytearray(p.read_bytes())
+        for _ in range(25):
+            mut = bytearray(data)
+            for _ in range(random.randint(1, 8)):
+                pos = random.randrange(len(mut))
+                mut[pos] = random.randrange(256)
+            try:
+                nq.load(bytes(mut), extension=ext)
+            except (NyquistError, MemoryError):
+                pass
