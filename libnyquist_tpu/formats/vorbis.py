@@ -1035,6 +1035,32 @@ def _decode_stream_packets(st, return_entropy: bool = False):
             if b.read(16) or b.read(16):
                 raise DecodeError("reserved mode bits")
             modes.append((blockflag, b.read(8)))
+        # validate every codebook reference once at parse time: corrupt
+        # setups otherwise index past the registry (IndexError in the
+        # Python path, out-of-bounds table reads in the native one)
+        nb = len(books)
+        for fl in floors:
+            if any(bk >= nb for bk in fl.class_book if bk >= 0):
+                raise DecodeError("floor references missing codebook")
+            for row in fl.subclass_books:
+                if any(bk >= nb for bk in row if bk >= 0):
+                    raise DecodeError("floor references missing codebook")
+        for r in residues:
+            if r.classbook >= nb:
+                raise DecodeError("residue references missing codebook")
+            for row in r.books:
+                if any(bk >= nb for bk in row if bk >= 0):
+                    raise DecodeError("residue references missing codebook")
+        for mp in mappings:
+            if any(m >= mp.submaps for m in mp.mux):
+                raise DecodeError("mapping mux exceeds submap count")
+            for s in range(mp.submaps):
+                if (mp.submap_floor[s] >= len(floors)
+                        or mp.submap_residue[s] >= len(residues)):
+                    raise DecodeError("mapping references missing config")
+        for bf, mi in modes:
+            if mi >= len(mappings):
+                raise DecodeError("mode references missing mapping")
         cached = (books, floors, residues, mappings, modes)
         if len(_SETUP_CACHE) > 16:
             _SETUP_CACHE.clear()
