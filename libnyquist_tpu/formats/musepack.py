@@ -833,6 +833,8 @@ class MusepackDecoder:
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     size = 0
     while True:
+        if pos >= len(data):
+            raise DecodeError("mpc: truncated varint")
         b = data[pos]
         pos += 1
         size = (size << 7) | (b & 0x7F)
@@ -889,6 +891,11 @@ def _decode_sv7(data: bytes, audio: AudioData, return_entropy=False):
     br.read(1)  # intensity stereo (should be 0)
     ms = bool(br.read(1))
     max_band = br.read(6)
+    if max_band > 31:
+        # decoder state arrays are 32 bands wide; the 6-bit field can
+        # encode up to 63 in corrupt headers (native reader would
+        # otherwise write out of bounds)
+        raise DecodeError("mpc: max_band out of range")
     br.read(4)  # profile
     br.read(2)  # link
     sample_rate = _SAMPLE_FREQS[br.read(2)]
@@ -983,6 +990,10 @@ def decode_musepack_buffer(data: bytes, audio: AudioData,
     while pos + 3 <= len(data) and not done:
         key = data[pos : pos + 2]
         size, hdr_end = _read_varint(data, pos + 2)
+        if size < hdr_end - pos:
+            # block size includes its own header: anything smaller
+            # (notably 0 from a corrupt varint) cannot advance
+            raise DecodeError("mpc: bad block size")
         body = data[hdr_end : pos + size]
         pos += size
 
@@ -998,6 +1009,8 @@ def decode_musepack_buffer(data: bytes, audio: AudioData,
             br.pos = p * 8
             sample_rate = _SAMPLE_FREQS[br.read(3)]
             max_band = br.read(5) + 1
+            if max_band > 31:
+                raise DecodeError("mpc: max_band out of range")
             channels = br.read(4) + 1
             ms = bool(br.read(1))
             block_pwr = br.read(3) * 2

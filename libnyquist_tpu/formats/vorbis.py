@@ -128,6 +128,12 @@ class VorbisCodebook:
             raise DecodeError("bad codebook sync")
         self.dimensions = bits.read(16)
         self.entries = bits.read(24)
+        # every entry costs >= 1 coded bit, so a valid codebook can
+        # never declare more entries than bits remain in the setup
+        # packet — corrupt headers otherwise drive multi-minute parse
+        # loops (decompression-bomb DoS)
+        if self.entries > bits.limit - bits.pos:
+            raise DecodeError("codebook entries exceed setup packet")
         ordered = bits.read1()
         lengths = [0] * self.entries
         if not ordered:
@@ -145,7 +151,15 @@ class VorbisCodebook:
             i = 0
             while i < self.entries:
                 num = bits.read(ilog(self.entries - i))
+                if bits.eop or cur_len > 32:
+                    # EOF reads return 0 here (libvorbis gets -1 and
+                    # errors), and codeword lengths cap at 32: without
+                    # these checks a corrupt ordered codebook loops
+                    # forever (num == 0 alone is legal: an empty run)
+                    raise DecodeError("bad ordered codebook run")
                 for _ in range(num):
+                    if i >= self.entries:
+                        raise DecodeError("ordered codebook overrun")
                     lengths[i] = cur_len
                     i += 1
                 cur_len += 1
@@ -154,11 +168,19 @@ class VorbisCodebook:
         self.lookup_type = bits.read(4)
         self.vq = None
         if self.lookup_type == 1 or self.lookup_type == 2:
+            if self.entries * max(self.dimensions, 1) > (1 << 18):
+                # VQ expansion is an entries x dims Python loop; real
+                # codebooks top out around 2.5k values (every ad-hoc
+                # fixture) — 256k is a generous bomb guard
+                raise DecodeError("codebook VQ table too large")
             minimum = float32_unpack(bits.read(32))
             delta = float32_unpack(bits.read(32))
             value_bits = bits.read(4) + 1
             sequence_p = bits.read1()
             if self.lookup_type == 1:
+                if self.dimensions == 0:
+                    # (lv+1)**0 == 1 <= entries would loop forever
+                    raise DecodeError("VQ codebook with zero dimensions")
                 # lookup1_values: largest v with v^dim <= entries
                 lv = 0
                 while (lv + 1) ** self.dimensions <= self.entries:
@@ -166,6 +188,9 @@ class VorbisCodebook:
                 quant_count = lv
             else:
                 quant_count = self.entries * self.dimensions
+            # same bomb guard: every mult costs value_bits >= 1 bits
+            if quant_count > bits.limit - bits.pos:
+                raise DecodeError("codebook lookup exceeds setup packet")
             mults = [bits.read(value_bits) for _ in range(quant_count)]
             # Build per-entry VQ vectors
             vq = np.zeros((self.entries, self.dimensions), np.float32)

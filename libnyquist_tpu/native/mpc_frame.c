@@ -274,7 +274,7 @@ static int64_t read_frame_sv8(
                 }
         }
     }
-    for (n = max_used; n <= max_band; n++) {
+    for (n = max_used; n <= max_band && n < 32; n++) {
         res_l[n] = 0;
         res_r[n] = 0;
     }
@@ -572,6 +572,7 @@ int64_t mpc_read_frame(
     int64_t rc;
     (void)buf_len;
     if (!mpc_tables_ready) return -2;
+    if (max_band < 0 || max_band > 31) return -1;
     br.buf = buf;
     br.pos = io[0];
     if (sv7)
