@@ -245,12 +245,13 @@ def test_native_paths_byte_fuzz():
         if not p.exists():
             continue
         data = bytearray(p.read_bytes())
-        for _ in range(25):
-            mut = bytearray(data)
-            for _ in range(random.randint(1, 8)):
-                pos = random.randrange(len(mut))
-                mut[pos] = random.randrange(256)
-            try:
-                nq.load(bytes(mut), extension=ext)
-            except (NyquistError, MemoryError):
-                pass
+        for region in (len(data), min(1024, len(data))):  # body + header
+            for _ in range(15):
+                mut = bytearray(data)
+                for _ in range(random.randint(1, 8)):
+                    pos = random.randrange(region)
+                    mut[pos] = random.randrange(256)
+                try:
+                    nq.load(bytes(mut), extension=ext)
+                except (NyquistError, MemoryError):
+                    pass
