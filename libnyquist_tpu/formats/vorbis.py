@@ -1109,32 +1109,39 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         import ctypes
 
         n2max = blocksizes[1] // 2
-        info = np.zeros(12, np.int32)
-        info_p = info.ctypes.data_as(npk["i32p"])
-        for pkt in packets[3:]:
-            if not pkt.data:
-                continue
-            # C writes channel rows compactly with stride n//2
-            flat = np.empty(channels * n2max, np.float32)
-            rc = npk["L"].vorbis_packet_decode(
-                pkt.data, len(pkt.data), *npk["args"],
-                flat.ctypes.data_as(npk["f32p"]), info_p,
-            )
-            if rc == -1:
-                npk = None   # unsupported shape: python path below
-                staged = []
-                break
-            if rc == 0:
-                continue
-            n = int(info[0])
-            n2 = n // 2
-            specs = flat[: channels * n2].reshape(
-                channels, n2).astype(np.float64)
-            staged.append((
-                specs, n,
-                bool(info[1]), bool(info[2]), bool(info[3]),
-                [bool(info[4 + c]) for c in range(channels)],
-            ))
+        pkts = [p.data for p in packets[3:] if p.data]
+        n_pk = len(pkts)
+        payload = b"".join(pkts)
+        plen = np.fromiter((len(p) for p in pkts), np.int64, n_pk)
+        poff = np.concatenate(([0], np.cumsum(plen[:-1]))) \
+            if n_pk else np.zeros(0, np.int64)
+        cap = n_pk * channels * n2max
+        flat = np.empty(max(cap, 1), np.float32)
+        infos = np.zeros((max(n_pk, 1), 12), np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        rc = npk["L"].vorbis_stream_decode(
+            payload, poff.ctypes.data_as(i64p),
+            plen.ctypes.data_as(i64p), n_pk,
+            *npk["args"],
+            cap, flat.ctypes.data_as(npk["f32p"]),
+            infos.ctypes.data_as(npk["i32p"]),
+        )
+        if rc < 0:
+            npk = None       # unsupported shape: python path below
+        else:
+            pos = 0
+            for k in range(int(rc)):
+                info = infos[k]
+                n = int(info[0])
+                n2 = n // 2
+                specs = flat[pos : pos + channels * n2].reshape(
+                    channels, n2).astype(np.float64)
+                pos += channels * n2
+                staged.append((
+                    specs, n,
+                    bool(info[1]), bool(info[2]), bool(info[3]),
+                    [bool(info[4 + c]) for c in range(channels)],
+                ))
     if npk is None:
         staged = staged or []
     for pkt in (packets[3:] if npk is None else []):

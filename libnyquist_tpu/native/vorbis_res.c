@@ -617,3 +617,49 @@ int64_t vorbis_packet_decode(
     free(work);
     return 1;
 }
+
+/* Whole-stream audio decode: vorbis_packet_decode over every packet in
+ * one call.  Packets arrive concatenated (poff/plen per packet);
+ * outputs pack compactly: specs_out receives each staged packet's
+ * [channels x n2] block back to back, info_out 12 int32s per staged
+ * packet (same layout as vorbis_packet_decode).  Returns the number of
+ * STAGED packets, or -1 when a packet needs the Python path (the
+ * caller falls back for the whole stream). */
+int64_t vorbis_stream_decode(
+    const uint8_t *payload, const int64_t *poff, const int64_t *plen,
+    int64_t n_packets,
+    int channels, int bs0, int bs1, int mode_bits,
+    const int32_t *mode_cfg, int nmodes,
+    const int32_t *map_meta, const int32_t *map_mux,
+    const int32_t *map_submap, const int32_t *map_coup,
+    const int32_t *floor_cfgs, const int32_t *floor_nbrs,
+    const int32_t *floor_sorts, const int64_t *floor_off,
+    const float *fromdb,
+    const int32_t *res_meta, const int32_t *res_books8,
+    const int32_t *luts, const int64_t *lut_off, const int32_t *lut_w,
+    const int32_t *trees, const int64_t *tree_off, const int32_t *maxlen,
+    const float *vqs, const int64_t *vq_off, const int32_t *dims,
+    int64_t specs_cap, float *specs_out, int32_t *info_out)
+{
+    int64_t p, staged = 0, spec_pos = 0;
+    for (p = 0; p < n_packets; p++) {
+        int32_t *info = info_out + staged * 12;
+        int64_t rc;
+        if (spec_pos + (int64_t)channels * (bs1 / 2) > specs_cap)
+            return -1;
+        rc = vorbis_packet_decode(
+            payload + poff[p], plen[p],
+            channels, bs0, bs1, mode_bits, mode_cfg, nmodes,
+            map_meta, map_mux, map_submap, map_coup,
+            floor_cfgs, floor_nbrs, floor_sorts, floor_off, fromdb,
+            res_meta, res_books8,
+            luts, lut_off, lut_w, trees, tree_off, maxlen,
+            vqs, vq_off, dims,
+            specs_out + spec_pos, info);
+        if (rc == -1) return -1;
+        if (rc == 0) continue;
+        spec_pos += (int64_t)channels * (info[0] / 2);
+        staged++;
+    }
+    return staged;
+}

@@ -214,6 +214,20 @@ def lib():
             i32p_, i64p_, i32p_,                        # trees, maxlen
             f32p_, ctypes.c_int64, f32p_,               # fromdb, n2, out
         ]
+        L.vorbis_stream_decode.restype = ctypes.c_int64
+        L.vorbis_stream_decode.argtypes = [
+            ctypes.c_char_p, i64p_, i64p_, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32p_, ctypes.c_int,
+            i32p_, i32p_, i32p_, i32p_,
+            i32p_, i32p_, i32p_, i64p_,
+            f32p_,
+            i32p_, i32p_,
+            i32p_, i64p_, i32p_,
+            i32p_, i64p_, i32p_,
+            f32p_, i64p_, i32p_,
+            ctypes.c_int64, f32p_, i32p_,
+        ]
         L.celt_comb_stream_host.restype = None
         L.celt_comb_stream_host.argtypes = [
             f32p_, ctypes.c_int64, ctypes.c_int64,
