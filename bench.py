@@ -499,11 +499,24 @@ def bench_mpc(K):
             data, AudioData(), return_entropy=True)
     t_host = time.perf_counter() - t0
 
+    from libnyquist_tpu.formats.musepack import _requantize_batch
+
     F = len(ys)
     T = F * 36
-    Y = np.stack([np.concatenate([y[0], y[1]])
-                  .reshape(2, 36, 32) for y in ys])  # [F, 2, 36, 32]
-    Y = Y.transpose(1, 0, 2, 3).reshape(channels, T, 32)
+    if ys and len(ys[0]) == 4:     # raw native snapshots
+        q = np.stack([y[0] for y in ys])
+        res = np.stack([y[1] for y in ys])
+        scf = np.stack([y[2] for y in ys])
+        msf = np.stack([y[3] for y in ys])
+        YL, YR = _requantize_batch(q, res, scf, msf, 31)
+        Y = np.stack([YL, YR])     # [2, F, 36, 32]
+        Y = Y.transpose(0, 1, 2, 3).reshape(2, F, 36, 32)
+        Y = Y.reshape(channels, T, 32) if channels == 2 else \
+            YL.reshape(1, T, 32)
+    else:
+        Y = np.stack([np.concatenate([y[0], y[1]])
+                      .reshape(2, 36, 32) for y in ys])  # [F, 2, 36, 32]
+        Y = Y.transpose(1, 0, 2, 3).reshape(channels, T, 32)
     R = K * channels
     Yb = np.broadcast_to(Y[None], (K,) + Y.shape).reshape(R, T, 32)
     audio_s = T * 32 / rate

@@ -548,6 +548,57 @@ class MusepackDecoder:
         self.last_max_band = int(io[3])
         return True
 
+    def read_block_native(self, br: _Bits, n_frames: int,
+                          key_first: bool):
+        """Decode n_frames SV8 frames in one native call, returning
+        per-frame (q, res, scf, ms) snapshot arrays for batched
+        requantization — or None (caller falls back per frame)."""
+        import ctypes
+
+        native = _native_mpc()
+        if native is None or n_frames <= 0:
+            return None
+        L = native[0]
+        if not hasattr(L, "mpc_read_frames_sv8"):
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        # reuse (or build) the pointer cache shared with _native_read
+        if getattr(self, "_nat_ptrs", None) is None:
+            def p(a):
+                return a.ctypes.data_as(i32p)
+
+            io = np.zeros(4, np.int64)
+            self._nat_ptrs = (io, io.ctypes.data_as(i64p),
+                              (p(self.res[0]), p(self.res[1]),
+                               p(self.scfi[0]), p(self.scfi[1]),
+                               p(self.scf_index[0]), p(self.scf_index[1]),
+                               p(self.dscf_flag[0]), p(self.dscf_flag[1]),
+                               p(self.ms_flag), p(self.q[0]), p(self.q[1])))
+        io, io_p, ptrs = self._nat_ptrs
+        io[0] = br.pos
+        io[1] = self._MusepackDecoder__r1
+        io[2] = self._MusepackDecoder__r2
+        io[3] = self.last_max_band
+        q = np.empty((n_frames, 2, 32, 36), np.int32)
+        res = np.empty((n_frames, 2, 32), np.int32)
+        scf = np.empty((n_frames, 2, 32, 3), np.int32)
+        msf = np.empty((n_frames, 32), np.int32)
+        rc = L.mpc_read_frames_sv8(
+            br.buf, len(br.buf), io_p,
+            int(n_frames), int(bool(key_first)), int(self.max_band),
+            int(self.ms), *ptrs,
+            q.ctypes.data_as(i32p), res.ctypes.data_as(i32p),
+            scf.ctypes.data_as(i32p), msf.ctypes.data_as(i32p),
+        )
+        if rc < 0:
+            raise DecodeError("mpc: bad huffman code")
+        br.pos = int(io[0])
+        self._MusepackDecoder__r1 = int(io[1])
+        self._MusepackDecoder__r2 = int(io[2])
+        self.last_max_band = int(io[3])
+        return q, res, scf, msf
+
     def read_frame(self, br: _Bits, is_key_frame: bool) -> None:
         if self._native_read(br, is_key_frame, sv7=False):
             return
@@ -842,10 +893,42 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             return size, pos
 
 
+def _requantize_batch(q, res, scf, msf, max_band):
+    """Vectorized requantize over all frames at once: q [F,2,32,36],
+    res [F,2,32], scf [F,2,32,3], msf [F,32] -> (YL, YR) [F,36,32]."""
+    F = q.shape[0]
+    nb = max_band + 1
+    cc = np.asarray(_T["Cc"], np.float64)
+    scf_tab = np.asarray(_SCF, np.float64)
+    qq = q[:, :, :nb].astype(np.float64)
+    rr = res[:, :, :nb].astype(np.int64)
+    sc = scf[:, :, :nb] & 0xFF
+    fac = cc[rr + 1][..., None] * scf_tab[sc]          # [F,2,nb,3]
+    v = np.repeat(fac, 12, axis=3) * qq                # [F,2,nb,36]
+    v *= (rr != 0)[..., None]
+    ms_b = msf[:, None, :nb].astype(bool)              # [F,1,nb]
+    v0 = v[:, 0].transpose(0, 2, 1)                    # [F,36,nb]
+    v1 = v[:, 1].transpose(0, 2, 1)
+    YL = np.zeros((F, 36, 32), np.float64)
+    YR = np.zeros((F, 36, 32), np.float64)
+    YL[:, :, :nb] = np.where(ms_b, v0 + v1, v0)
+    YR[:, :, :nb] = np.where(ms_b, v0 - v1, v1)
+    return YL, YR
+
+
 def _finish_batched(audio: AudioData, ys, spans, dec, channels,
                     sample_rate) -> None:
     """Run the deferred whole-stream synthesis and assemble the trimmed
-    pcm (ys: per-frame (yl, yr); spans: (frame_idx, start, stop))."""
+    pcm.  ys entries are either (yl, yr) pairs (per-frame requantize:
+    SV7 / Python fallback) or raw (q, res, scf, ms) snapshots (native
+    SV8 block decode), which batch-requantize here in one pass."""
+    if ys and len(ys[0]) == 4:
+        q = np.stack([y[0] for y in ys])
+        res = np.stack([y[1] for y in ys])
+        scf = np.stack([y[2] for y in ys])
+        msf = np.stack([y[3] for y in ys])
+        YL, YR = _requantize_batch(q, res, scf, msf, dec.max_band)
+        ys = list(zip(YL, YR))
     chunks: list[np.ndarray] = []
     if ys:
         F = len(ys)
@@ -1021,7 +1104,47 @@ def decode_musepack_buffer(data: bytes, audio: AudioData,
             if dec is None:
                 raise DecodeError("MPC audio block before stream header")
             br = _Bits(body)
-            for f in range(1 << block_pwr):
+            n_block = 1 << block_pwr
+            if stream_samples:
+                rem = stream_samples - decoded_samples + SYNTH_DELAY
+                if rem <= 0:
+                    done = True
+                    n_eff = 0
+                else:
+                    n_eff = min(n_block, -(-rem // FRAME_LENGTH))
+            else:
+                n_eff = n_block
+            snap = dec.read_block_native(br, n_eff, key_first=True) \
+                if n_eff else None
+            if snap is not None:
+                # native block decode: bookkeeping only per frame
+                q_s, res_s, scf_s, ms_s = snap
+                for f in range(n_eff):
+                    samples_left = (stream_samples - decoded_samples
+                                    + SYNTH_DELAY)
+                    fidx = None
+                    if samples_to_skip < FRAME_LENGTH + SYNTH_DELAY:
+                        fidx = len(ys)
+                        ys.append((q_s[f], res_s[f], scf_s[f], ms_s[f]))
+                    decoded_samples += FRAME_LENGTH
+                    n_out = min(max(samples_left, 0), FRAME_LENGTH)
+                    start = 0
+                    if samples_to_skip:
+                        if n_out <= samples_to_skip:
+                            samples_to_skip -= n_out
+                            n_out = 0
+                        else:
+                            n_out -= samples_to_skip
+                            start = samples_to_skip
+                            samples_to_skip = 0
+                    if n_out and fidx is not None:
+                        spans.append((fidx, start, start + n_out))
+                if br.pos > br.limit:
+                    raise DecodeError("MPC bitstream overrun")
+                if n_eff < n_block:
+                    done = True
+                continue
+            for f in range(n_block):
                 samples_left = (stream_samples - decoded_samples
                                 + SYNTH_DELAY)
                 if samples_left <= 0 and stream_samples != 0:

@@ -590,3 +590,63 @@ int64_t mpc_read_frame(
     io[3] = last_max_band;
     return rc;
 }
+
+/* Decode n_frames SV8 frames in sequence (one AP block or a prefix of
+ * it), snapshotting each frame's (q, res, scf, ms) for the caller's
+ * batched requantization.  Same io/state conventions as
+ * mpc_read_frame; key_first marks the block's first frame.
+ * Snapshots: q_out [n][2][32][36], res_out [n][2][32],
+ * scf_out [n][2][32][3], ms_out [n][32].
+ * Returns 0 or -1 on a bad huffman code. */
+int64_t mpc_read_frames_sv8(
+    const uint8_t *buf, int64_t buf_len, int64_t *io,
+    int n_frames, int key_first, int max_band, int ms,
+    int32_t *res_l, int32_t *res_r, int32_t *scfi_l, int32_t *scfi_r,
+    int32_t *scf_l, int32_t *scf_r,
+    int32_t *dscf_l, int32_t *dscf_r, int32_t *ms_flag,
+    int32_t *q_l, int32_t *q_r,
+    int32_t *q_out, int32_t *res_out, int32_t *scf_out, int32_t *ms_out)
+{
+    bits br;
+    uint32_t r1 = (uint32_t)io[1], r2 = (uint32_t)io[2];
+    int32_t last_max_band = (int32_t)io[3];
+    int f;
+    (void)buf_len;
+    if (!mpc_tables_ready) return -2;
+    if (max_band < 0 || max_band > 31) return -1;
+    br.buf = buf;
+    br.pos = io[0];
+    for (f = 0; f < n_frames; f++) {
+        int64_t rc = read_frame_sv8(
+            &br, key_first && f == 0 ? 1 : 0, max_band, ms,
+            res_l, res_r, scfi_l, scfi_r, scf_l, scf_r,
+            dscf_l, dscf_r, ms_flag, q_l, q_r,
+            &r1, &r2, &last_max_band);
+        if (rc) {
+            io[0] = br.pos;
+            io[1] = r1;
+            io[2] = r2;
+            io[3] = last_max_band;
+            return rc;
+        }
+        memcpy(q_out + (int64_t)f * 2 * 32 * 36, q_l,
+               sizeof(int32_t) * 32 * 36);
+        memcpy(q_out + (int64_t)f * 2 * 32 * 36 + 32 * 36, q_r,
+               sizeof(int32_t) * 32 * 36);
+        memcpy(res_out + (int64_t)f * 2 * 32, res_l,
+               sizeof(int32_t) * 32);
+        memcpy(res_out + (int64_t)f * 2 * 32 + 32, res_r,
+               sizeof(int32_t) * 32);
+        memcpy(scf_out + (int64_t)f * 2 * 32 * 3, scf_l,
+               sizeof(int32_t) * 32 * 3);
+        memcpy(scf_out + (int64_t)f * 2 * 32 * 3 + 32 * 3, scf_r,
+               sizeof(int32_t) * 32 * 3);
+        memcpy(ms_out + (int64_t)f * 32, ms_flag,
+               sizeof(int32_t) * 32);
+    }
+    io[0] = br.pos;
+    io[1] = r1;
+    io[2] = r2;
+    io[3] = last_max_band;
+    return 0;
+}

@@ -272,6 +272,11 @@ def lib():
             [ctypes.c_char_p, ctypes.c_int64, i64p_]
             + [ctypes.c_int] * 4 + [i32p_] * 11
         )
+        L.mpc_read_frames_sv8.restype = ctypes.c_int64
+        L.mpc_read_frames_sv8.argtypes = (
+            [ctypes.c_char_p, ctypes.c_int64, i64p_]
+            + [ctypes.c_int] * 4 + [i32p_] * 15
+        )
         L.silk_set_tables.restype = None
         L.silk_set_tables.argtypes = [
             ctypes.c_char_p, i64p_, ctypes.c_int,   # u8 blob, offs, n
