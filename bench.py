@@ -420,8 +420,10 @@ def bench_vorbis(K):
     data = path.read_bytes()
 
     def entropy():
-        streams = ogg.demux(data)
-        st = ogg.first_stream_matching(streams, b"\x01vorbis")
+        st = vorbis._collect_stream_native(data)
+        if st is None:
+            streams = ogg.demux(data)
+            st = ogg.first_stream_matching(streams, b"\x01vorbis")
         return vorbis._decode_stream_packets(st, return_entropy=True)
 
     staged, bss, channels, rate, end_gran = entropy()  # warm

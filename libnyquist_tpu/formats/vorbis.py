@@ -974,12 +974,80 @@ def _lap_window(n, blocksizes, blockflag, long_prev, long_next):
     return w
 
 
+
+
+class _CollectedStream:
+    """Shim for _decode_stream_packets over the native Ogg collector:
+    header packets materialize as bytes; the audio packets stay in the
+    contiguous C-filled payload (consumed directly by the whole-stream
+    native decode)."""
+
+    def __init__(self, payload, offs, lens, last_granule):
+        import types
+
+        self._payload = payload
+        self._offs = offs
+        self._lens = lens
+        self.last_granule = last_granule
+        self.packets = [
+            types.SimpleNamespace(data=bytes(
+                payload[offs[i] : offs[i] + lens[i]]))
+            for i in range(min(3, len(offs)))
+        ]
+
+    def materialize(self):
+        """Full packet list (python fallback path only)."""
+        import types
+
+        return self.packets + [
+            types.SimpleNamespace(data=bytes(
+                self._payload[self._offs[i] : self._offs[i]
+                              + self._lens[i]]))
+            for i in range(3, len(self._offs))
+        ]
+
+
+def _collect_stream_native(data: bytes):
+    """One-pass native Ogg demux for the first Vorbis stream; returns a
+    _CollectedStream or None (chained files, native unavailable)."""
+    L = _native_res()
+    if L is None or not hasattr(L, "ogg_collect_packets"):
+        return None
+    import ctypes
+
+    n = len(data)
+    payload = np.empty(max(n, 1), np.uint8)
+    cap = 4096 + n // 8
+    offs = np.empty(cap, np.int64)
+    lens = np.empty(cap, np.int64)
+    info = np.zeros(3, np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = L.ogg_collect_packets(
+        data, n, b"\x01vorbis", 7,
+        payload.ctypes.data_as(ctypes.c_char_p), n,
+        offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p), cap,
+        info.ctypes.data_as(i64p),
+    )
+    if rc < 3 or info[1]:       # no stream / too few packets / chained
+        return None
+    return _CollectedStream(payload, offs[:rc], lens[:rc], int(info[0]))
+
+
 def decode_vorbis_buffer(data: bytes, audio: AudioData) -> None:
     """Chained files (sequential links, each its own serial + id header)
     decode link by link and concatenate like vorbisfile's ov_read across
     links; later links must keep the first link's channel count and
     rate (ov_info varies per link, but this facade returns one fixed
     AudioData shape like the reference's loaders)."""
+    st_c = _collect_stream_native(data)
+    if st_c is not None:
+        out, channels, rate = _decode_stream_packets(st_c)
+        audio.channel_count = channels
+        audio.sample_rate = rate
+        audio.source_format = PCMFormat.PCM_FLT
+        audio.samples = np.ascontiguousarray(out.reshape(-1), np.float32)
+        audio.length_seconds = out.shape[0] / rate if rate else 0.0
+        return
     streams = ogg.demux(data)
     links = [s for s in streams.values()
              if s.packets and s.packets[0].data.startswith(b"\x01vorbis")]
@@ -1109,12 +1177,19 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         import ctypes
 
         n2max = blocksizes[1] // 2
-        pkts = [p.data for p in packets[3:] if p.data]
-        n_pk = len(pkts)
-        payload = b"".join(pkts)
-        plen = np.fromiter((len(p) for p in pkts), np.int64, n_pk)
-        poff = np.concatenate(([0], np.cumsum(plen[:-1]))) \
-            if n_pk else np.zeros(0, np.int64)
+        if isinstance(st, _CollectedStream):
+            payload = st._payload.ctypes.data_as(ctypes.c_char_p)
+            keepalive = st._payload
+            poff = np.ascontiguousarray(st._offs[3:])
+            plen = np.ascontiguousarray(st._lens[3:])
+            n_pk = len(poff)
+        else:
+            pkts = [p.data for p in packets[3:] if p.data]
+            n_pk = len(pkts)
+            payload = b"".join(pkts)
+            plen = np.fromiter((len(p) for p in pkts), np.int64, n_pk)
+            poff = np.concatenate(([0], np.cumsum(plen[:-1]))) \
+                if n_pk else np.zeros(0, np.int64)
         cap = n_pk * channels * n2max
         flat = np.empty(max(cap, 1), np.float32)
         infos = np.zeros((max(n_pk, 1), 12), np.int32)
@@ -1144,6 +1219,8 @@ def _decode_stream_packets(st, return_entropy: bool = False):
                 ))
     if npk is None:
         staged = staged or []
+        if isinstance(st, _CollectedStream):
+            packets = st.materialize()
     for pkt in (packets[3:] if npk is None else []):
         if not pkt.data:
             continue

@@ -316,3 +316,126 @@ int64_t ogg_opus_celt_scan(
     free(partial);
     return r;
 }
+
+/* Generic Ogg packet collector: assemble every packet of the first
+ * logical stream whose FIRST packet starts with `magic`, with the same
+ * hole/orphan semantics as formats/ogg.py demux.  Serves the Vorbis
+ * (and general Opus) paths; TOC-free.
+ *
+ * Returns n_packets, or -1 (no match), -2 (capacity), -5 (partial
+ * overflow).  info_out[3]: last_granule_lo63 (>=0 clamp, -1 none),
+ * more_streams (another bos page with the same magic exists after this
+ * stream started: chained file -> caller uses the Python path), serial.
+ */
+int64_t ogg_collect_packets(
+    const uint8_t *data, int64_t len,
+    const uint8_t *magic, int magic_len,
+    uint8_t *payload_out, int64_t payload_cap,
+    int64_t *offs, int64_t *lens, int64_t max_packets,
+    int64_t *info_out)
+{
+    static const uint8_t oggs[4] = {'O', 'g', 'g', 'S'};
+    uint8_t *partial = (uint8_t *)malloc(PARTIAL_CAP);
+    int64_t partial_len = 0;
+    int partial_open = 0;
+    int have_serial = 0;
+    uint32_t serial = 0;
+    int64_t pos = 0, n_packets = 0;
+    int64_t last_granule = -1;
+    int64_t more = 0;
+
+    if (!partial) return -5;
+#define OUT(v) do { free(partial); return (v); } while (0)
+
+    while (pos + 27 <= len) {
+        uint8_t htype, nsegs;
+        uint32_t pserial;
+        int64_t granule, lacing_at, body_at, body_len, i;
+        const uint8_t *lacing;
+        while (pos + 27 <= len && memcmp(data + pos, oggs, 4))
+            pos++;
+        if (pos + 27 > len) break;
+        htype = data[pos + 5];
+        memcpy(&granule, data + pos + 6, 8);
+        memcpy(&pserial, data + pos + 14, 4);
+        nsegs = data[pos + 26];
+        lacing_at = pos + 27;
+        if (lacing_at + nsegs > len) break;
+        lacing = data + lacing_at;
+        body_at = lacing_at + nsegs;
+        body_len = 0;
+        for (i = 0; i < nsegs; i++) body_len += lacing[i];
+        if (body_at + body_len > len) break;
+
+        if ((htype & 0x02) && nsegs >= 1
+            && lacing[0] >= (uint8_t)magic_len
+            && !memcmp(data + body_at, magic, (size_t)magic_len)) {
+            if (!have_serial) {
+                have_serial = 1;
+                serial = pserial;
+            }
+            else if (pserial != serial) {
+                more = 1;       /* chained: second matching stream */
+                pos = body_at + body_len;
+                continue;
+            }
+        }
+        if (!have_serial || pserial != serial) {
+            pos = body_at + body_len;
+            continue;
+        }
+        if (granule >= 0 && granule > last_granule)
+            last_granule = granule;
+
+        if (!(htype & 0x01) && partial_open) {
+            partial_len = 0;
+            partial_open = 0;
+        }
+        i = 0;
+        if ((htype & 0x01) && !partial_open) {
+            for (; i < nsegs; i++)
+                if (lacing[i] < 255) { i++; break; }
+            if (i == nsegs && (nsegs == 0 || lacing[nsegs - 1] == 255)) {
+                pos = body_at + body_len;
+                continue;
+            }
+        }
+        {
+            int64_t off = body_at;
+            int64_t j;
+            for (j = 0; j < i; j++) off += lacing[j];
+            for (; i < nsegs; i++) {
+                int64_t lace = lacing[i];
+                if (partial_len + lace > PARTIAL_CAP) OUT(-5);
+                memcpy(partial + partial_len, data + off, (size_t)lace);
+                partial_len += lace;
+                partial_open = 1;
+                off += lace;
+                if (lace < 255) {
+                    if (n_packets >= max_packets) OUT(-2);
+                    {
+                        int64_t at = n_packets
+                            ? offs[n_packets - 1] + lens[n_packets - 1]
+                            : 0;
+                        if (at + partial_len > payload_cap) OUT(-2);
+                        memcpy(payload_out + at, partial,
+                               (size_t)partial_len);
+                        offs[n_packets] = at;
+                        lens[n_packets] = partial_len;
+                        n_packets++;
+                    }
+                    partial_len = 0;
+                    partial_open = 0;
+                }
+            }
+        }
+        pos = body_at + body_len;
+    }
+    if (!have_serial) OUT(-1);
+    info_out[0] = last_granule >= 0 ? last_granule : -1;
+    info_out[1] = more;
+    info_out[2] = (int64_t)serial;
+    free(partial);
+    return n_packets;
+#undef OUT
+}

@@ -645,6 +645,7 @@ int64_t vorbis_stream_decode(
     for (p = 0; p < n_packets; p++) {
         int32_t *info = info_out + staged * 12;
         int64_t rc;
+        if (plen[p] == 0) continue;     /* python path skips empties */
         if (spec_pos + (int64_t)channels * (bs1 / 2) > specs_cap)
             return -1;
         rc = vorbis_packet_decode(

@@ -214,6 +214,13 @@ def lib():
             i32p_, i64p_, i32p_,                        # trees, maxlen
             f32p_, ctypes.c_int64, f32p_,               # fromdb, n2, out
         ]
+        L.ogg_collect_packets.restype = ctypes.c_int64
+        L.ogg_collect_packets.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int64,
+            i64p_, i64p_, ctypes.c_int64, i64p_,
+        ]
         L.vorbis_stream_decode.restype = ctypes.c_int64
         L.vorbis_stream_decode.argtypes = [
             ctypes.c_char_p, i64p_, i64p_, ctypes.c_int64,
