@@ -1209,8 +1209,10 @@ def _decode_stream_packets(st, return_entropy: bool = False):
                 info = infos[k]
                 n = int(info[0])
                 n2 = n // 2
+                # zero-copy float32 views into the C output buffer
+                # (consumers cast; `flat` stays alive via these refs)
                 specs = flat[pos : pos + channels * n2].reshape(
-                    channels, n2).astype(np.float64)
+                    channels, n2)
                 pos += channels * n2
                 staged.append((
                     specs, n,
