@@ -27,6 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..runtime.jaxcfg import ensure_jax_cache
+
+ensure_jax_cache()
+
 # Standard IMA tables (spec constants; reference: WavDecoder.cpp:40-72).
 IMA_INDEX_TABLE = np.array(
     [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], np.int32

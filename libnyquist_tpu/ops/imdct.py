@@ -36,6 +36,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..runtime.jaxcfg import ensure_jax_cache
+
+ensure_jax_cache()
+
 
 def celt_window(overlap: int) -> np.ndarray:
     """CELT's power-of-sine window (verified against the mode table to 3e-8;

@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..runtime.jaxcfg import ensure_jax_cache
+
+ensure_jax_cache()
+
 
 def _kaiser(n: int, beta: float) -> np.ndarray:
     return np.kaiser(n, beta)

@@ -1,0 +1,33 @@
+"""Shared JAX configuration for the device ops.
+
+Enables the persistent compilation cache so shape-bucketed kernels
+(ADPCM scans, synthesis matmuls, SRC) compile once per machine instead
+of once per process — first-compile on a TPU behind a slow link costs
+tens of seconds.  Opt out with LIBNYQUIST_NO_JAX_CACHE=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+_done = False
+
+
+def ensure_jax_cache() -> None:
+    global _done
+    if _done:
+        return
+    _done = True
+    if os.environ.get("LIBNYQUIST_NO_JAX_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("LIBNYQUIST_JAX_CACHE_DIR", "/tmp/jaxcache"),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
