@@ -199,7 +199,9 @@ def bench_e2e_opus(K):
 
     # ---------- host half: K real streams, timed ----------
     raw, CC, audio_s = _host_decode_opus(data)  # warm (build, page cache)
-    t_host, host_workers = _timed_host_pass(data, K)
+    # median of 3 passes: the shared-core rig's timing noise is +-10%
+    passes = sorted(_timed_host_pass(data, K) for _ in range(3))
+    t_host, host_workers = passes[1]
     freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
     F, _, N = freq.shape
     if not (np.asarray(fsz) == N).all():
