@@ -115,9 +115,24 @@ _T = _load_tables()
 # ---------------------------------------------------------------------------
 _NATIVE_MPC = None
 _NATIVE_MPC_TRIED = False
+_NATIVE_MPC_LOCK = None
 
 
 def _native_mpc():
+    """One-time native setup, locked: mpc_set_tables writes C globals
+    and concurrent serving threads must not race it."""
+    global _NATIVE_MPC_LOCK
+    if _NATIVE_MPC_TRIED:
+        return _NATIVE_MPC
+    if _NATIVE_MPC_LOCK is None:
+        import threading
+
+        _NATIVE_MPC_LOCK = threading.Lock()
+    with _NATIVE_MPC_LOCK:
+        return _native_mpc_locked()
+
+
+def _native_mpc_locked():
     global _NATIVE_MPC, _NATIVE_MPC_TRIED
     if _NATIVE_MPC_TRIED:
         return _NATIVE_MPC

@@ -1297,6 +1297,16 @@ def _copy_resampler(r: Resampler) -> Resampler:
 
 _NATIVE = None          # (lib, keepalive-dict) once initialised
 _NATIVE_TRIED = False
+_NATIVE_LOCK = None
+
+
+def _native_lock():
+    global _NATIVE_LOCK
+    if _NATIVE_LOCK is None:
+        import threading
+
+        _NATIVE_LOCK = threading.Lock()
+    return _NATIVE_LOCK
 
 # Table order contracts with native/silk_dec.c (enum TU8_* / T32_*).
 _U8_TABLES = [
@@ -1322,7 +1332,17 @@ _I32_TABLES = [
 
 
 def _native_silk():
-    """Load the native library and hand it the normative tables once."""
+    """Load the native library and hand it the normative tables once
+    (locked: silk_set_tables writes C globals, and concurrent serving
+    threads must not race the one-time setup)."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    with _native_lock():
+        return _native_silk_locked()
+
+
+def _native_silk_locked():
     global _NATIVE, _NATIVE_TRIED
     if _NATIVE_TRIED:
         return _NATIVE
