@@ -255,3 +255,25 @@ def test_native_paths_byte_fuzz():
                     nq.load(bytes(mut), extension=ext)
                 except (NyquistError, MemoryError):
                     pass
+
+
+def test_reference_corpus_sweep():
+    """Every file in the reference corpus either decodes to finite
+    output or raises a typed error — never a foreign exception (the
+    reference's asset matrix is the fixture sweep, SURVEY section 4)."""
+    root = pathlib.Path("/root/reference/test_data")
+    if not root.is_dir():
+        pytest.skip("reference test_data not available")
+    ok = 0
+    for f in sorted(root.rglob("*")):
+        if not f.is_file():
+            continue
+        if f.suffix.lower().lstrip(".") in ("txt", "md", "bin", "py", "sh"):
+            continue
+        try:
+            d = nq.load(str(f))
+            assert np.isfinite(np.asarray(d.samples)).all(), f.name
+            ok += 1
+        except NyquistError:
+            pass
+    assert ok >= 55   # 61 at round 2; guard against silent regressions
