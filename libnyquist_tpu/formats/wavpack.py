@@ -957,7 +957,18 @@ class _Block:
         return bits.view(np.float32)
 
     def _restore_float_nowvx(self, values: np.ndarray) -> np.ndarray:
-        """unpack_floats.c float_values_nowvx, vectorized."""
+        """unpack_floats.c float_values_nowvx (native; numpy fallback)."""
+        L = native.lib()
+        if L is not None and hasattr(L, "wv_float_nowvx"):
+            vals = np.ascontiguousarray(values, np.int32)
+            out = np.empty(len(vals), np.uint32)
+            L.wv_float_nowvx(
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(vals), self.float_flags, self.float_shift,
+                self.float_max_exp,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            )
+            return self._normalize_float_bits(out)
         v = values.astype(np.int64)
         v <<= self.float_shift
         v = (v & 0xFFFFFFFF)

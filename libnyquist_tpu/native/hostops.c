@@ -500,6 +500,44 @@ void wv_float_values(int32_t *values, int64_t n, const unsigned char *wvx,
     }
 }
 
+/* Lossy float restore without the wvx side-bitstream                 */
+/* (reference: wavpack/src/unpack_floats.c float_values_nowvx).       */
+void wv_float_nowvx(const int32_t *values, int64_t n, int float_flags,
+                    int float_shift, int float_max_exp, uint32_t *out_bits)
+{
+    for (int64_t i = 0; i < n; i++) {
+        int shift_count = 0, exp = float_max_exp;
+        uint32_t sign = 0;
+        int32_t v = values[i];
+
+        if (v == 0) {
+            out_bits[i] = 0;
+            continue;
+        }
+        v = (int32_t)((uint32_t)v << float_shift);
+        if (v < 0) {
+            v = -v;
+            sign = 1;
+        }
+        if (v >= 0x1000000) {
+            while (v & 0xf000000) {
+                v >>= 1;
+                exp++;
+            }
+        }
+        else if (exp) {
+            while (!(v & 0x800000) && --exp) {
+                shift_count++;
+                v <<= 1;
+            }
+            if (shift_count && (float_flags & 1))       /* SHIFT_ONES */
+                v |= (1 << shift_count) - 1;
+        }
+        out_bits[i] = (sign << 31) | (((uint32_t)exp & 0xff) << 23)
+                      | ((uint32_t)v & 0x7fffff);
+    }
+}
+
 /* ------------------------------------------------------------------ */
 /* WavPack hybrid (lossy) entropy words (read_words.c:67 get_word,    */
 /* entropy_utils.c:update_error_limit / wp_log2 / wp_exp2s).          */

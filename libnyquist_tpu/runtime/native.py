@@ -268,6 +268,11 @@ def lib():
             ctypes.c_uint64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint32),
         ]
+        L.wv_float_nowvx.restype = None
+        L.wv_float_nowvx.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+        ]
         L.mpc_set_tables.restype = None
         L.mpc_set_tables.argtypes = [
             i32p_, ctypes.c_char_p, i64p_,          # can rows/syms/meta
