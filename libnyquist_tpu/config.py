@@ -17,6 +17,8 @@ flags, all read at first use and centralized here.
 |                             | (TPU) batched pipeline |
 | LIBNYQUIST_OPUS_FRAME_SYNTH | single-file Opus loads use per-frame
 |                             | host synthesis (oracle path) |
+| LIBNYQUIST_FLAC_MD5         | verify the STREAMINFO MD5 of decoded
+|                             | FLAC audio (libFLAC md5_checking) |
 
 The NO_NATIVE_* flags are the analog of building the reference without
 its optimized translation units: every native plane keeps a pure-Python
@@ -38,6 +40,7 @@ class Config:
     no_native_mpc: bool
     opus_device_pipeline: bool
     opus_frame_synth: bool
+    flac_md5: bool
 
 
 def current() -> Config:
@@ -52,4 +55,5 @@ def current() -> Config:
         no_native_mpc=bool(e("LIBNYQUIST_NO_NATIVE_MPC")),
         opus_device_pipeline=bool(e("LIBNYQUIST_OPUS_PIPELINE")),
         opus_frame_synth=bool(e("LIBNYQUIST_OPUS_FRAME_SYNTH")),
+        flac_md5=bool(e("LIBNYQUIST_FLAC_MD5")),
     )

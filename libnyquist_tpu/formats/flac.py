@@ -13,6 +13,8 @@ int32 samples / 2^(bps-1) -> float32.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..audio_data import AudioData, PCMFormat
@@ -246,6 +248,7 @@ def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
     stream_channels = 0
     stream_rate = 0
     total_samples = 0
+    md5_expect = b""
     # Metadata blocks
     while pos + 4 <= len(data):
         hdr = data[pos]
@@ -262,6 +265,7 @@ def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
             total_samples = (
                 (body[13] & 0xF) << 32
             ) | int.from_bytes(body[14:18], "big")
+            md5_expect = bytes(body[18:34])
         pos += 4 + length
         if last:
             break
@@ -351,6 +355,24 @@ def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
     pcm = np.concatenate(chunks, axis=0)
     if total_samples:
         pcm = pcm[:total_samples]
+    if (md5_expect and md5_expect != b"\x00" * 16
+            and os.environ.get("LIBNYQUIST_FLAC_MD5")):
+        # STREAMINFO MD5 of the unencoded data: interleaved little-endian
+        # signed samples, (bps+7)/8 bytes each (libFLAC md5.c
+        # format_input_ / stream_decoder.c FLAC__stream_decoder_finish
+        # md5 comparison).  Off by default like libFLAC's md5_checking;
+        # set LIBNYQUIST_FLAC_MD5=1 to verify (decode integrity test).
+        import hashlib
+
+        nb = (stream_bps + 7) // 8
+        flat = pcm.reshape(-1)
+        if nb in (1, 2, 4):
+            raw = flat.astype(f"<i{nb}").tobytes()
+        else:
+            raw = (flat.astype("<i8").view(np.uint8)
+                   .reshape(-1, 8)[:, :nb].tobytes())
+        if hashlib.md5(raw).digest() != md5_expect:
+            raise DecodeError("FLAC MD5 signature mismatch")
     scale = np.float32(1.0 / (1 << (stream_bps - 1)))
     audio.channel_count = pcm.shape[1]
     audio.sample_rate = stream_rate

@@ -24,3 +24,21 @@ def test_flac(name, test_data_dir):
         assert np.abs(audio.samples - ref).max() == 0.0  # lossless
     else:
         assert_matches_golden(audio, f"{name}_flac")
+
+
+def test_flac_md5_checking(test_data_dir, monkeypatch):
+    """STREAMINFO MD5 verification (libFLAC md5_checking; off by
+    default like FLAC__stream_decoder_set_md5_checking)."""
+    from libnyquist_tpu.errors import DecodeError
+
+    monkeypatch.setenv("LIBNYQUIST_FLAC_MD5", "1")
+    for name in ("KittyPurr16_Stereo", "KittyPurr24_Stereo",
+                 "KittyPurr8_Stereo"):
+        nq.load(str(test_data_dir / "ad_hoc" / f"{name}.flac"))
+
+    data = bytearray(
+        (test_data_dir / "ad_hoc" / "KittyPurr8_Stereo.flac").read_bytes()
+    )
+    data[-40] ^= 0x40  # corrupt audio data far from the headers
+    with pytest.raises(DecodeError):
+        nq.load(bytes(data), extension="flac")
