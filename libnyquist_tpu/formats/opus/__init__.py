@@ -20,6 +20,7 @@ from ...audio_data import AudioData, PCMFormat
 from ...errors import DecodeError
 from .. import ogg
 from .decoder import OpusDecoder
+from .repacketizer import Repacketizer, packet_pad, packet_unpad  # noqa: F401
 
 
 @dataclass
