@@ -111,3 +111,19 @@ void celt_comb_stream_host(
         off += N;
     }
 }
+
+/* Whole-stream deemphasis: the exact 1-pole recurrence of the
+   reference (celt_decoder_clean.c:189-256 deemphasis — float build:
+   tmp = x[j] + m + VERY_SMALL; m = coef0*tmp), applied in place over
+   a full channel.  O(n) scalar replaces the blocked-Toeplitz GEMM
+   (O(n*BLK)) on the host path; returns the final carry m. */
+float celt_deemph_stream_host(float *y, int64_t n, float coef, float m0)
+{
+    float m = m0;
+    for (int64_t i = 0; i < n; i++) {
+        float t = y[i] + 1e-30f + m;
+        y[i] = t;
+        m = coef * t;
+    }
+    return m;
+}

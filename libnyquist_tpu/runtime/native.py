@@ -241,6 +241,10 @@ def lib():
             i32p_, i32p_, i32p_, f64p_, i32p_,
             f64p_, ctypes.c_int, ctypes.c_int, f64p_,
         ]
+        L.celt_deemph_stream_host.restype = ctypes.c_float
+        L.celt_deemph_stream_host.argtypes = [
+            f32p_, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ]
         L.vorbis_packet_decode.restype = ctypes.c_int64
         L.vorbis_packet_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,

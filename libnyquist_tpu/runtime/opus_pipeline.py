@@ -266,13 +266,30 @@ def synthesize_stream_host(infos: List[dict], channels: int) -> np.ndarray:
     else:
         _python_comb_state_machine(buf, HIST, infos, C, mode, n0)
 
-    # 3) deemphasis: blocked Toeplitz as ONE f32 GEMM per channel plus
-    # a vectorized carry fixup (the recursive part of the carry is
-    # weighted coef^(BLK+1) ~ 1e-68 — underflow — so the fixup is one
-    # rank-1 add).
+    # 3) deemphasis.  Native: the exact O(n) scalar recurrence of the
+    # reference (celt_decoder_clean.c:189 deemphasis).  Fallback:
+    # blocked Toeplitz as ONE f32 GEMM per channel plus a vectorized
+    # carry fixup (the recursive part of the carry is weighted
+    # coef^(BLK+1) ~ 1e-68 — underflow — so the fixup is one rank-1
+    # add).
     coef0 = mode.preemph[0]
     y = buf[:, HIST:]
     pcm = np.zeros((S, C))
+    from .native import lib as _native_lib
+
+    L = _native_lib()
+    if L is not None and hasattr(L, "celt_deemph_stream_host"):
+        import ctypes
+
+        f32p = ctypes.POINTER(ctypes.c_float)
+        for c in range(C):
+            x = np.ascontiguousarray(y[c], np.float32)
+            L.celt_deemph_stream_host(
+                x.ctypes.data_as(f32p), S, np.float32(coef0),
+                np.float32(0.0),
+            )
+            pcm[:, c] = x
+        return pcm * (1.0 / CELT_SIG_SCALE)
     BLK = 960
     L, powers = _deemph_toeplitz(coef0, BLK)
     L32 = L.astype(np.float32)
