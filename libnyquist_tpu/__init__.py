@@ -15,6 +15,7 @@ from .errors import (
     UnsupportedExtensionError,
 )
 from .io import NyquistIO, is_file_supported, load
+from .streaming import StreamReader
 
 
 def resample(x, sr_in: int, sr_out: int, **kwargs):
@@ -33,6 +34,7 @@ __all__ = [
     "load",
     "is_file_supported",
     "resample",
+    "StreamReader",
     "NyquistError",
     "DecodeError",
     "TruncatedDataError",
