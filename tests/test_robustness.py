@@ -277,3 +277,42 @@ def test_reference_corpus_sweep():
         except NyquistError:
             pass
     assert ok >= 55   # 61 at round 2; guard against silent regressions
+
+
+def test_celt_pitch_plc_extrapolates_and_decays():
+    """The pitch-based PLC branch (upstream celt_decoder.c:465-678):
+    first losses extrapolate the waveform periodically with decaying
+    energy; from the 5th consecutive loss the decoder switches to the
+    noise branch (noise_based = loss_count >= 5)."""
+    import pathlib
+
+    from libnyquist_tpu.formats import ogg as oggmod
+    from libnyquist_tpu.formats.opus.celt import (
+        CeltDecoderState, celt_decode_frame, celt_decode_lost)
+
+    data = pathlib.Path(
+        "/root/reference/test_data/sb-reverie.opus").read_bytes()
+    stream = list(oggmod.demux(data).values())[0]
+    pkts = [p.data for p in stream.packets
+            if not p.data.startswith((b"OpusHead", b"OpusTags"))][:260]
+    st = CeltDecoderState(channels=2)
+    for p in pkts[:256]:
+        last = celt_decode_frame(st, p, 960)
+    rms_real = float(np.sqrt((last ** 2).mean()))
+
+    rms = []
+    for lc in range(6):
+        pcm = celt_decode_lost(st, 960, lc)
+        assert pcm.shape == (960, 2)
+        assert np.isfinite(pcm).all()
+        rms.append(float(np.sqrt((pcm ** 2).mean())))
+    # a pitch was detected and reused across consecutive losses
+    assert 100 <= st.last_pitch_index <= 720
+    # losses 1..4 fade monotonically below the first concealed frame
+    assert rms[1] < rms[0] * 1.01
+    assert rms[4] < rms[1]
+    # concealment energy stays in the ballpark of the real signal
+    assert rms[0] <= 2.0 * max(rms_real, 1e-6)
+    # the next real frame still decodes cleanly after the losses
+    nxt = celt_decode_frame(st, pkts[256], 960)
+    assert np.isfinite(nxt).all()
