@@ -240,6 +240,31 @@ def _decode_subframe(br: BitReader, blocksize, bps):
     return out
 
 
+def decode_ogg_flac(data: bytes, audio: AudioData) -> None:
+    """Ogg-encapsulated FLAC (reference: FLAC/src/ogg_decoder_aspect.c,
+    ogg_mapping.c: first packet = 0x7F 'FLAC' major minor nheaders(be16)
+    + 'fLaC' + STREAMINFO; nheaders more metadata packets; then one
+    audio frame per packet).  Strip the 9-byte mapping header and
+    concatenate — the native stream scanner handles the rest."""
+    from . import ogg
+
+    for st in ogg.demux(data).values():
+        if not (st.packets
+                and st.packets[0].data.startswith(b"\x7fFLAC")):
+            continue
+        first = st.packets[0].data
+        if len(first) < 13 or first[9:13] != b"fLaC":
+            raise DecodeError("bad Ogg FLAC first packet")
+        if first[5] != 1:
+            raise DecodeError("unsupported Ogg FLAC mapping version")
+        body = bytearray(first[9:])
+        for p in st.packets[1:]:
+            body += p.data
+        decode_flac_buffer(bytes(body), audio)
+        return
+    raise DecodeError("no Ogg FLAC stream found")
+
+
 def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
     if not data.startswith(b"fLaC"):
         raise DecodeError("bad FLAC marker")

@@ -47,6 +47,7 @@ def _ensure_registry() -> None:
     register_decoder(["aiff", "aif", "aifc"], aiff.decode_aiff_buffer)
     register_decoder("caf", aiff.decode_caf_buffer)
     register_decoder("flac", flac.decode_flac_buffer)
+    register_decoder("oggflac", flac.decode_ogg_flac)
     register_decoder("mp3", mp3.decode_mp3_buffer)
     register_decoder(["ogg", "oga"], vorbis.decode_vorbis_buffer)
     register_decoder("opus", decode_opus_buffer)
@@ -86,6 +87,8 @@ def sniff_extension(data: bytes) -> Optional[str]:
             return "opus"
         if head[:7] == b"\x01vorbis":
             return "ogg"
+        if head[:5] == b"\x7fFLAC":
+            return "oggflac"
         return "ogg"
     if data[:4] == b"wvpk":
         return "wv"

@@ -42,3 +42,22 @@ def test_flac_md5_checking(test_data_dir, monkeypatch):
     data[-40] ^= 0x40  # corrupt audio data far from the headers
     with pytest.raises(DecodeError):
         nq.load(bytes(data), extension="flac")
+
+
+def test_ogg_flac(test_data_dir):
+    """Ogg-encapsulated FLAC (reference: FLAC/src/ogg_decoder_aspect.c,
+    mapping per ogg_mapping.c).  Fixture muxed by tools/gen_ogg_flac.py
+    from a corpus file; decode must be bit-identical to the native
+    .flac through every dispatch route (path ext, magic sniff, and an
+    .ogg extension that re-sniffs to the FLAC subtype)."""
+    import pathlib
+
+    ref = nq.load(
+        str(test_data_dir / "ad_hoc" / "KittyPurr8_Stereo_Dithered.flac"))
+    fix = pathlib.Path(__file__).parent / "fixtures" / "kitty8_dithered.oga"
+    data = fix.read_bytes()
+    for audio in (nq.load(str(fix)), nq.load(data),
+                  nq.load(data, extension="ogg")):
+        assert audio.sample_count == ref.sample_count
+        assert audio.sample_rate == ref.sample_rate
+        assert np.array_equal(audio.samples, ref.samples)
