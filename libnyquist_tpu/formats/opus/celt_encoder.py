@@ -328,18 +328,18 @@ def transient_detect(pcm_win: np.ndarray, N: int, n_short: int) -> int:
 
 
 def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
-                      nbytes: int) -> bytes:
-    """Encode one 20 ms CELT frame (long blocks, intra energy).
+                      nbytes: int, LM: int = 3) -> bytes:
+    """Encode one CELT frame (intra energy; frame length 120 << LM).
 
     Args:
       pcm_win: [C, N + overlap] input windows (frame advance N), scaled
         to the CELT signal domain (+-32768 * gain handled by caller).
       nbytes: target packet payload size (CBR, excluding the TOC byte).
+      LM: 0..3 -> 2.5/5/10/20 ms frames.
     Returns the compressed frame payload.
     """
     mode = mode48000()
     C = st.channels
-    LM = 3
     M = 1 << LM
     N = M * mode.shortMdctSize
     eBands = mode.eBands
@@ -349,7 +349,7 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     total_bits = nbytes * 8
 
     n_short = mode.shortMdctSize
-    isTransient = transient_detect(pcm_win, N, n_short)
+    isTransient = transient_detect(pcm_win, N, n_short) if LM > 0 else 0
     if isTransient:
         # B=8 short MDCTs, spectra interleaved like the decoder reads
         # them (celt_synthesize_host: freq[c, b::B][:n_short])
@@ -499,11 +499,13 @@ PRESKIP = 312
 
 
 def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
-                    bitrate_kbps: int = 96, vbr: bool = True) -> bytes:
+                    bitrate_kbps: int = 96, vbr: bool = True,
+                    frame_ms: float = 20) -> bytes:
     """Encode interleaved float32 [-1, 1] PCM to an Ogg Opus byte string.
 
-    CELT-only fullband 20 ms frames. Input must be 48 kHz (callers
-    resample first — ops/src.py); mono or stereo.
+    CELT-only fullband frames of 2.5/5/10/20 ms (TOC configs 28-31,
+    RFC 6716 table 2). Input must be 48 kHz (callers resample first —
+    ops/src.py); mono or stereo.
 
     vbr=True runs constrained VBR: each frame's size follows its
     dynalloc demand (tonal peaks) and loudness, banking bytes from quiet
@@ -520,14 +522,19 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
         raise ValueError("opus encoding requires 48 kHz input (resample)")
     if channels not in (1, 2):
         raise ValueError("opus encoding supports mono or stereo")
+    lm_by_ms = {2.5: 0, 5: 1, 10: 2, 20: 3}
+    if frame_ms not in lm_by_ms:
+        raise ValueError("frame_ms must be one of 2.5, 5, 10, 20")
+    LM = lm_by_ms[frame_ms]
+    frame = 120 << LM
 
     pcm = np.asarray(samples, np.float64).reshape(-1, channels).T  # [C, S]
     S = pcm.shape[1]
     # preskip priming + frame padding
     lead = np.zeros((channels, PRESKIP), np.float64)
     pcm = np.concatenate([lead, pcm], axis=1)
-    F = -(-pcm.shape[1] // FRAME)
-    pad = F * FRAME + mode48000().overlap - pcm.shape[1]
+    F = -(-pcm.shape[1] // frame)
+    pad = F * frame + mode48000().overlap - pcm.shape[1]
     pcm = np.concatenate([pcm, np.zeros((channels, pad))], axis=1)
 
     # celt_preemphasis (celt.c): x'[n] = SIG_SCALE*(x[n] - c*x[n-1])
@@ -535,22 +542,23 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
     pre[:, 0] = 32768.0 * pcm[:, 0]
     pre[:, 1:] = 32768.0 * (pcm[:, 1:] - PREEMPH_COEF * pcm[:, :-1])
 
-    base = max(20, int(bitrate_kbps * 1000 * 0.02 / 8))
+    base = max(12, int(bitrate_kbps * 1000 * (frame / 48000.0) / 8))
     st = CeltEncoderState(channels)
     mode = mode48000()
-    toc = (31 << 3) | ((1 if channels == 2 else 0) << 2)  # CELT FB 20ms
+    # CELT fullband configs 28..31 = 2.5/5/10/20 ms (RFC 6716 §3.1)
+    toc = ((28 + LM) << 3) | ((1 if channels == 2 else 0) << 2)
     packets = []
     overlap = mode.overlap
-    M = 1 << 3
-    cap = init_caps(mode, 3, channels)
+    M = 1 << LM
+    cap = init_caps(mode, LM, channels)
     reservoir = 2.0 * base          # banked bytes (bounded credit)
     loud_avg = None
     for k in range(F):
-        win = pre[:, k * FRAME : k * FRAME + FRAME + overlap]
+        win = pre[:, k * frame : k * frame + frame + overlap]
         nbytes = base
         if vbr:
             freq_a = np.stack([
-                mdct_forward(win[c], 2 * FRAME, overlap)
+                mdct_forward(win[c], 2 * frame, overlap)
                 for c in range(channels)
             ])
             bandE_a = compute_band_energies(mode, freq_a, channels, M)
@@ -558,7 +566,7 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
                 mode.eMeans[: mode.nbEBands])
             boosts = dynalloc_analysis(
                 bandLogE_a, st.start, st.end, channels,
-                mode.eBands, 3, cap)
+                mode.eBands, LM, cap)
             demand = int(boosts.sum()) // 64        # eighth-bits -> bytes
             loud = float(np.mean(
                 np.maximum(bandLogE_a, -10.0)[:, st.start : st.end]))
@@ -568,9 +576,10 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
             loud_avg = 0.95 * loud_avg + 0.05 * loud
             want = base + min(demand, base) - relief
             nbytes = int(np.clip(
-                want, 20, base + max(0.0, min(reservoir, base))))
+                want, 12, base + max(0.0, min(reservoir, base))))
             reservoir = min(reservoir + base - nbytes, 8.0 * base)
-        packets.append(bytes([toc]) + celt_encode_frame(st, win, nbytes))
+        packets.append(bytes([toc])
+                       + celt_encode_frame(st, win, nbytes, LM))
 
     head = (b"OpusHead" + bytes([1, channels])
             + struct.pack("<HIh", PRESKIP, 48000, 0) + bytes([0]))
@@ -581,7 +590,7 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
              write_page(tags, 0, serial, 1)]
     total = PRESKIP + S
     seq = 2
-    PER_PAGE = 50                     # ~1 s per page, like opusenc
+    PER_PAGE = max(1, 48000 // frame)  # ~1 s per page, like opusenc
     idx = 0
     while idx < len(packets):
         # fill a page: at most PER_PAGE packets and 255 lacing segments
@@ -594,7 +603,7 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
             take += 1
         sub = packets[idx : idx + take]
         idx += take
-        granule = min(FRAME * idx, total)
+        granule = min(frame * idx, total)
         pages.append(write_page_multi(sub, granule, serial, seq,
                                       eos=(idx >= len(packets))))
         seq += 1

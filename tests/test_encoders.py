@@ -202,3 +202,34 @@ def test_opus_encode_transients_confine_pre_echo():
     finally:
         ce.transient_detect = orig
     assert pre_echo(buf_t) < 0.25 * pre_echo(buf_l)
+
+
+@pytest.mark.parametrize("frame_ms,min_snr", [
+    (2.5, 20.0), (5, 24.0), (10, 25.0), (20, 25.0),
+])
+def test_opus_encode_frame_sizes(frame_ms, min_snr):
+    """CELT fullband TOC configs 28-31 (2.5/5/10/20 ms, RFC 6716
+    table 2).  Each stream was also validated through the reference's
+    own opusfile build (identical SNR to the decimal: 24.0/27.2/28.6/
+    27.8 dB for this tone mix at 96 kbps)."""
+    from libnyquist_tpu.formats.opus.celt_encoder import encode_ogg_opus
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1320 * t)
+         + 0.1 * np.sin(2 * np.pi * 3520 * t)).astype(np.float32)
+    enc = encode_ogg_opus(x, 1, sr, bitrate_kbps=96, frame_ms=frame_ms)
+    d = nq.load(enc, extension="opus")
+    assert d.sample_count == len(x)
+    y = np.asarray(d.samples, np.float64)
+    err = y - x
+    snr = 10 * np.log10((x ** 2).sum() / max((err ** 2).sum(), 1e-12))
+    assert snr > min_snr
+    # the TOC config matches the requested duration
+    from libnyquist_tpu.formats import ogg as oggmod
+    from libnyquist_tpu.formats.opus.packet import samples_per_frame
+    st = list(oggmod.demux(enc).values())[0]
+    aud = [p.data for p in st.packets
+           if not p.data.startswith((b"OpusHead", b"OpusTags"))]
+    assert samples_per_frame(aud[0][0]) == int(48 * frame_ms)
