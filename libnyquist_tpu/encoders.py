@@ -236,8 +236,10 @@ def encode_aiff_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
 
 
 def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
-                          bitrate_kbps: int = 96) -> bytes:
-    """Encode AudioData to Ogg Opus (CELT-only fullband 20 ms frames).
+                          bitrate_kbps: int = 96,
+                          frame_ms: float = 20) -> bytes:
+    """Encode AudioData to Ogg Opus (CELT-only fullband frames of
+    2.5/5/10/20 ms).
 
     The reference declares this API but ships no implementation
     (Encoders.h:40); this is a working encoder validated against both
@@ -268,7 +270,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
         samples = per.T.reshape(-1).astype(np.float32)
     from .formats.opus.celt_encoder import encode_ogg_opus
 
-    return encode_ogg_opus(samples, ch, 48000, bitrate_kbps)
+    return encode_ogg_opus(samples, ch, 48000, bitrate_kbps,
+                           frame_ms=frame_ms)
 
 
 def encode_opus_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
