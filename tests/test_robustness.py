@@ -316,3 +316,64 @@ def test_celt_pitch_plc_extrapolates_and_decays():
     # the next real frame still decodes cleanly after the losses
     nxt = celt_decode_frame(st, pkts[256], 960)
     assert np.isfinite(nxt).all()
+
+
+def test_silk_plc_golden_invariants():
+    """SILK loss concealment vs the reference's own PLC output
+    (tests/golden/opus_plc.bin, generated by tools/opus_plc_golden.c:
+    opus_decode_float(NULL) on the golden SILK cases — the fork's clean
+    CELT decoder has PLC stripped, so only pure-SILK cases exist).
+
+    Our SILK concealment is a waveform fade, not a silk/PLC.c port, so
+    post-loss output legitimately diverges (measured 1-8 dB SNR vs the
+    reference PLC; a future PLC.c port should push this toward
+    bit-exact).  What must hold today: identical sample counts, exact
+    decode before the first loss, finite bounded output throughout."""
+    import pathlib
+    import struct
+
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+    here = pathlib.Path(__file__).parent / "golden"
+    blob = (here / "opus_plc.bin").read_bytes()
+    raw = (here / "opus_packets.bin").read_bytes()
+
+    pos = 4
+    (n_cases,) = struct.unpack_from("<i", raw, 0)
+    cases = []
+    for _ in range(n_cases):
+        ch, sr, npk, frame = struct.unpack_from("<4i", raw, pos)
+        pos += 16
+        pkts = []
+        for _ in range(npk):
+            (ln,) = struct.unpack_from("<i", raw, pos)
+            pos += 4
+            pkts.append(raw[pos : pos + ln])
+            pos += ln
+        (ns,) = struct.unpack_from("<q", raw, pos)
+        pos += 8 + ns * 4
+        cases.append((ch, npk, frame, pkts))
+
+    p = 4
+    (nplc,) = struct.unpack_from("<i", blob, 0)
+    assert nplc >= 6
+    for _ in range(nplc):
+        ci, ch, npk, frame = struct.unpack_from("<4i", blob, p)
+        p += 16
+        lost = np.frombuffer(blob, np.uint8, npk, p)
+        p += npk
+        (total,) = struct.unpack_from("<q", blob, p)
+        p += 8
+        ref = np.frombuffer(blob, np.float32, total, p)
+        p += total * 4
+        _, _, _, pkts = cases[ci]
+        dec = OpusDecoder(channels=ch)
+        outs = [dec.decode_packet(None if lost[i] else pkts[i])
+                for i in range(npk)]
+        mine = np.concatenate(outs).reshape(-1).astype(np.float32)
+        assert mine.size == total
+        assert np.isfinite(mine).all()
+        pre = int(np.argmax(lost)) * frame * ch
+        assert pre > 0
+        assert np.array_equal(mine[:pre], ref[:pre])
+        assert np.abs(mine).max() <= max(2.0 * np.abs(ref).max(), 0.1)
