@@ -377,3 +377,50 @@ def test_silk_plc_golden_invariants():
         assert pre > 0
         assert np.array_equal(mine[:pre], ref[:pre])
         assert np.abs(mine).max() <= max(2.0 * np.abs(ref).max(), 0.1)
+
+
+def test_dtx_packets_conceal():
+    """DTX: a TOC-only packet (zero-length frame) decodes as a
+    concealment frame of the TOC's duration, like the reference's
+    opus_decode treating len<=1 data as loss (opus_decoder_clean.c
+    data==NULL path).  Both packet-level and full Ogg-file level."""
+    import pathlib
+    import struct
+
+    from libnyquist_tpu.formats import ogg as oggmod
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+    raw = (pathlib.Path(__file__).parent
+           / "golden" / "opus_packets.bin").read_bytes()
+    pos = 4
+    ch, sr, npk, frame = struct.unpack_from("<4i", raw, pos)
+    pos += 16
+    pkts = []
+    for _ in range(12):
+        (ln,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        pkts.append(raw[pos : pos + ln])
+        pos += ln
+
+    dec = OpusDecoder(channels=ch)
+    for p in pkts[:5]:
+        dec.decode_packet(p)
+    out = dec.decode_packet(bytes([pkts[5][0] & 0xFC]))
+    assert out.shape == (frame, ch)
+    assert np.isfinite(out).all()
+
+    pkts[6] = bytes([pkts[6][0] & 0xFC])
+    head = (b"OpusHead" + bytes([1, ch]) + struct.pack("<H", 0)
+            + struct.pack("<I", 48000) + struct.pack("<h", 0)
+            + bytes([0]))
+    tags = b"OpusTags" + struct.pack("<I", 1) + b"x" + struct.pack("<I", 0)
+    pages = [oggmod.write_page(head, 0, 7, 0, bos=True),
+             oggmod.write_page(tags, 0, 7, 1)]
+    g = 0
+    for i, p in enumerate(pkts):
+        g += frame
+        pages.append(oggmod.write_page(p, g, 7, 2 + i,
+                                       eos=(i == len(pkts) - 1)))
+    a = nq.load(b"".join(pages), extension="opus")
+    assert a.sample_count == frame * 12 * ch
+    assert np.isfinite(a.samples).all()
