@@ -110,3 +110,86 @@ def test_leaf_trace_replay_bit_exact(test_data_dir, monkeypatch):
         assert np.array_equal(Xb, ref), (N, K, spread, B)
         checked += len(items)
     assert checked == len(traces)
+
+
+def test_hadamard_interleave_is_static_gather():
+    """The band-level (de)interleave used for short blocks
+    (celt.py:1033, upstream bands.c deinterleave_hadamard) is a pure
+    permutation of the band — on device it lowers to one precomputed
+    static gather per (N0, stride, hadamard) shape."""
+    rng = np.random.default_rng(3)
+    for stride in sorted(C.ORDERY_TABLE):
+        for N0 in (4, 8, 15, 24):
+            for hadamard in (0, 1):
+                N = N0 * stride
+                x = rng.standard_normal(N)
+                ref = x.copy()
+                C._deinterleave_hadamard(ref, N0, stride, hadamard)
+                # precompute the gather: where each output slot reads
+                eye = np.arange(N, dtype=np.float64)
+                probe = eye.copy()
+                C._deinterleave_hadamard(probe, N0, stride, hadamard)
+                perm = probe.astype(np.int64)
+                assert np.array_equal(x[perm], ref)
+                # interleave is its inverse permutation
+                back = ref.copy()
+                C._interleave_hadamard(back, N0, stride, hadamard)
+                assert np.array_equal(back, x)
+
+
+def test_stereo_merge_batched_replay(test_data_dir, monkeypatch):
+    """_stereo_merge (celt.py:1529, upstream bands.c stereo_merge)
+    replayed batched across all merges of a real decode, bit-exact —
+    the stereo step of the device scan."""
+    monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_CELT", "1")
+
+    calls = []
+    orig = C._stereo_merge
+
+    def rec(X, Y, mid, N):
+        xb, yb = np.array(X[:N], np.float64), np.array(Y[:N], np.float64)
+        orig(X, Y, mid, N)
+        calls.append((N, float(mid), xb, yb,
+                      np.array(X[:N], np.float64),
+                      np.array(Y[:N], np.float64)))
+
+    monkeypatch.setattr(C, "_stereo_merge", rec)
+
+    data = (test_data_dir / "short.opus").read_bytes()
+    stream = list(oggmod.demux(data).values())[0]
+    pkts = [p.data for p in stream.packets
+            if not p.data.startswith((b"OpusHead", b"OpusTags"))]
+    st = C.CeltDecoderState(channels=2)
+    for p in pkts[:48]:
+        C.celt_decode_frame(st, p[1:], 960)
+    assert len(calls) > 50
+
+    import math
+    groups = {}
+    for cl in calls:
+        groups.setdefault(cl[0], []).append(cl)
+    for N, items in groups.items():
+        X = np.stack([it[2] for it in items])
+        Y = np.stack([it[3] for it in items])
+        mid = np.array([it[1] for it in items])
+        refX = np.stack([it[4] for it in items])
+        refY = np.stack([it[5] for it in items])
+        # NOTE (design finding): the two energy reductions must keep
+        # the scalar path's accumulation order — einsum's SIMD order
+        # differs from BLAS ddot in the last bit, which flips the
+        # gains.  The device scan must pin its reduction order the
+        # same way (or tolerate 1-ulp gain differences).
+        xp = np.array([float(np.dot(Y[i], X[i]))
+                       for i in range(len(items))]) * mid
+        side = np.array([float(np.dot(Y[i], Y[i]))
+                         for i in range(len(items))])
+        El = mid * mid + side - 2 * xp
+        Er = mid * mid + side + 2 * xp
+        passthru = (Er < 6e-4) | (El < 6e-4)
+        lg = 1.0 / np.sqrt(np.where(passthru, 1.0, El))
+        rg = 1.0 / np.sqrt(np.where(passthru, 1.0, Er))
+        L = mid[:, None] * X
+        outX = np.where(passthru[:, None], X, lg[:, None] * (L - Y))
+        outY = np.where(passthru[:, None], X, rg[:, None] * (L + Y))
+        assert np.array_equal(outX, refX), N
+        assert np.array_equal(outY, refY), N
