@@ -192,6 +192,124 @@ static uint32_t lcg_rand(uint32_t seed) {
     return 1664525u * seed + 1013904223u;
 }
 
+/* ------------------------- trace context -------------------------- */
+
+/* iy-split trace (DESIGN_iy_split.md): when attached to the band
+ * context, the float value plane of the PVQ decode is SKIPPED and an
+ * integer trace is emitted instead; the device (or the NumPy validator)
+ * replays the floats from the trace.  Bit decisions never depend on
+ * computed sample values (design fact 1), so the entropy stream is
+ * unchanged.  Leaf types: 0 = PVQ vector, 1 = fold fill (reads the
+ * transformed lowband), 2 = noise fill (no lowband), 4 = N==1 sign
+ * (value +-1, gain ignored — bands.c quant_band_n1).  Zero fills emit
+ * nothing (replay buffers default to zero). */
+#define LF_PVQ 0
+#define LF_FOLD 1
+#define LF_NOISE 2
+#define LF_N1 4
+
+typedef struct {
+    /* leaf stream (parallel arrays, cursor lf_n) */
+    int64_t lf_cap, lf_n;
+    int32_t *lf_frame;
+    int8_t *lf_band, *lf_call, *lf_type;
+    int16_t *lf_off, *lf_len;
+    int32_t *lf_k;
+    int16_t *lf_stride;
+    double *lf_gain;
+    uint32_t *lf_seed;
+    int64_t *lf_iy_off;
+    /* PVQ integer vector heap */
+    int64_t iy_cap, iy_n;
+    int16_t *iy_heap;
+    /* dense per (frame, band) records [n_frames * nbEBands] */
+    uint8_t *bd_mode;       /* 0 skip, 1 mono, 2 stereo, 3 stereoN2,
+                               4 dual, 5 stereoN1 */
+    int32_t *bd_eff_lb;     /* lowband offset into norm, -1 = none */
+    int8_t *bd_tf;          /* tf_change */
+    int16_t *bd_imid, *bd_iside, *bd_itheta;
+    int8_t *bd_inv, *bd_sign, *bd_cflag;
+    /* anti-collapse records (cursor ac_n) */
+    int64_t ac_cap, ac_n;
+    int32_t *ac_frame;
+    int8_t *ac_band, *ac_c, *ac_k;
+    uint32_t *ac_seed;
+    float *ac_r;
+    /* dense scaled-unrotated PVQ plane [n_frames, 2, xs_nmax] float32:
+       g*iy at final positions (g = gain/sqrt(Ryy)) and the +-1 N1
+       signs; the device applies the spreading rotations, fills, merges
+       and denormalise.  The per-leaf scale is trivial float work the
+       host keeps (one sqrt per leaf); the per-sample float plane it
+       replaces is what the iy-split moves off-host. */
+    float *xs;
+    int32_t xs_nmax;
+    int32_t cur_bandoff;    /* M * eBands[current band] */
+    int err;                /* set on capacity overflow */
+} tracectx;
+
+/* ------------------------- band context -------------------------- */
+
+typedef struct {
+    const int16_t *eBands;
+    const int16_t *logN;
+    const int16_t *cache_index;
+    const uint8_t *cache_bits;
+    int nbEBands;
+    int band;
+    int intensity;
+    int spread;
+    int tf_change;
+    ecdec *dec;
+    int64_t remaining_bits;
+    uint32_t seed;
+    /* iy-split trace state (NULL tr = normal full-float decode) */
+    tracectx *tr;
+    int64_t cur_frame;
+    int cur_call;               /* 0 = X/mono/dual-L, 1 = Y/dual-R */
+    const double *band_base;    /* leaf offsets = X - band_base */
+} bctx;
+
+static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
+                      int stride, double gain, uint32_t seed,
+                      const int *iy) {
+    tracectx *T = ctx->tr;
+    int64_t n = T->lf_n;
+    if (n >= T->lf_cap) { T->err = 1; return; }
+    T->lf_frame[n] = (int32_t)ctx->cur_frame;
+    T->lf_band[n] = (int8_t)ctx->band;
+    T->lf_call[n] = (int8_t)ctx->cur_call;
+    T->lf_type[n] = (int8_t)type;
+    T->lf_off[n] = (int16_t)(X - ctx->band_base);
+    T->lf_len[n] = (int16_t)N;
+    T->lf_k[n] = K;
+    T->lf_stride[n] = (int16_t)stride;
+    T->lf_gain[n] = gain;
+    T->lf_seed[n] = seed;
+    if (type == LF_PVQ) {
+        int j;
+        int64_t Ryy = 0;
+        double g;
+        float *xs;
+        if (T->iy_n + N > T->iy_cap) { T->err = 1; return; }
+        T->lf_iy_off[n] = T->iy_n;
+        for (j = 0; j < N; j++)
+            T->iy_heap[T->iy_n + j] = (int16_t)iy[j];
+        T->iy_n += N;
+        for (j = 0; j < N; j++) Ryy += (int64_t)iy[j] * iy[j];
+        g = gain / sqrt((double)Ryy);
+        xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
+                      * (int64_t)T->xs_nmax)
+            + T->cur_bandoff + (X - ctx->band_base);
+        for (j = 0; j < N; j++) xs[j] = (float)(g * iy[j]);
+    } else {
+        T->lf_iy_off[n] = -1;
+        if (type == LF_N1)
+            T->xs[(ctx->cur_frame * 2 + ctx->cur_call)
+                  * (int64_t)T->xs_nmax + T->cur_bandoff] = (float)K;
+    }
+    T->lf_n = n + 1;
+}
+
 static void exp_rotation1(double *X, int len, int stride, double c, double s) {
     int i;
     for (i = 0; i < len - stride; i++) {
@@ -247,17 +365,26 @@ static int extract_collapse_mask(const int *iy, int N, int B) {
     return mask;
 }
 
-static int alg_unquant(double *X, int N, int K, int spread, int B, ecdec *dec,
-                       double gain) {
+static int alg_unquant_tr(bctx *ctx, double *X, int N, int K, int spread,
+                          int B, ecdec *dec, double gain) {
     int iy[256];
     double Ryy = 0, g;
     int j;
     cwrsi(N, K, ec_dec_uint(dec, (uint32_t)pvq_v(N, K)), iy);
+    if (ctx && ctx->tr) {
+        emit_leaf(ctx, LF_PVQ, X, N, K, B, gain, 0, iy);
+        return extract_collapse_mask(iy, N, B);
+    }
     for (j = 0; j < N; j++) Ryy += (double)iy[j] * iy[j];
     g = gain / sqrt(Ryy);
     for (j = 0; j < N; j++) X[j] = g * iy[j];
     exp_rotation(X, N, -1, B, K, spread);
     return extract_collapse_mask(iy, N, B);
+}
+
+static int alg_unquant(double *X, int N, int K, int spread, int B, ecdec *dec,
+                       double gain) {
+    return alg_unquant_tr(0, X, N, K, spread, B, dec, gain);
 }
 
 static void renormalise_vector(double *X, int N, double gain) {
@@ -318,22 +445,6 @@ static void interleave_hadamard(double *X, int N0, int stride, int had) {
     memcpy(X, tmp, N * sizeof(double));
 }
 
-/* ------------------------- band context -------------------------- */
-
-typedef struct {
-    const int16_t *eBands;
-    const int16_t *logN;
-    const int16_t *cache_index;
-    const uint8_t *cache_bits;
-    int nbEBands;
-    int band;
-    int intensity;
-    int spread;
-    int tf_change;
-    ecdec *dec;
-    int64_t remaining_bits;
-    uint32_t seed;
-} bctx;
 
 static const uint8_t *band_cache(const bctx *c, int band, int LM) {
     return c->cache_bits + c->cache_index[(LM + 1) * c->nbEBands + band];
@@ -490,9 +601,19 @@ static int quant_band_n1(bctx *ctx, double *X, double *Y, int b,
             ctx->remaining_bits -= 1 << BITRES;
             b -= 1 << BITRES;
         }
-        chans[c][0] = sign ? -1.0 : 1.0;
+        if (ctx->tr) {
+            /* value is +-1 regardless of gain (bands.c quant_band_n1);
+               stereo N==1 emits one leaf per channel slot.  Offset is
+               always 0 within the band (emit via band_base: chans[1]
+               points into the other channel's buffer). */
+            if (Y) ctx->cur_call = c;
+            emit_leaf(ctx, LF_N1, ctx->band_base, 1, sign ? -1 : 1, 1,
+                      1.0, 0, 0);
+        }
+        else
+            chans[c][0] = sign ? -1.0 : 1.0;
     }
-    if (lowband_out) lowband_out[0] = X[0];
+    if (lowband_out && !ctx->tr) lowband_out[0] = X[0];
     return 1;
 }
 
@@ -568,14 +689,23 @@ static int quant_partition(bctx *ctx, double *X, int N, int b, int B,
         }
         if (q != 0) {
             int K = get_pulses(q);
-            cm = alg_unquant(X, N, K, ctx->spread, B, dec, gain);
+            cm = alg_unquant_tr(ctx, X, N, K, ctx->spread, B, dec, gain);
         }
         else {
             int cm_mask = (1 << B) - 1;
             fill &= cm_mask;
             if (!fill) {
-                memset(X, 0, N * sizeof(double));
+                if (!ctx->tr) memset(X, 0, N * sizeof(double));
                 cm = 0;
+            }
+            else if (ctx->tr) {
+                /* trace mode: record the fill leaf and advance the LCG
+                   by exactly the draws the full decode would consume */
+                int j;
+                emit_leaf(ctx, lowband ? LF_FOLD : LF_NOISE, X, N, 0, B,
+                          gain, ctx->seed, 0);
+                for (j = 0; j < N; j++) ctx->seed = lcg_rand(ctx->seed);
+                cm = lowband ? fill : cm_mask;
             }
             else {
                 int j;
@@ -618,19 +748,21 @@ static int quant_band(bctx *ctx, double *X, int N, int b, int B,
     if (tf_change > 0) recombine = tf_change;
     if (lowband_scratch && lowband
         && (recombine || ((N_B & 1) == 0 && tf_change < 0) || B0 > 1)) {
-        memcpy(lowband_scratch, lowband, N * sizeof(double));
+        /* trace mode keeps the pointer swap (NULLness + offsets) but
+           skips the copy: lowband values are replayed on device */
+        if (!ctx->tr) memcpy(lowband_scratch, lowband, N * sizeof(double));
         lowband = lowband_scratch;
     }
 
     for (k = 0; k < recombine; k++) {
-        if (lowband) haar1(lowband, N >> k, 1 << k);
+        if (lowband && !ctx->tr) haar1(lowband, N >> k, 1 << k);
         fill = BIT_ILV[fill & 0xF] | BIT_ILV[fill >> 4] << 2;
     }
     B >>= recombine;
     N_B <<= recombine;
 
     while ((N_B & 1) == 0 && tf_change < 0) {
-        if (lowband) haar1(lowband, N_B, B);
+        if (lowband && !ctx->tr) haar1(lowband, N_B, B);
         fill |= fill << B;
         B <<= 1;
         N_B >>= 1;
@@ -640,14 +772,14 @@ static int quant_band(bctx *ctx, double *X, int N, int b, int B,
     B0 = B;
     N_B0 = N_B;
 
-    if (B0 > 1 && lowband)
+    if (B0 > 1 && lowband && !ctx->tr)
         deinterleave_hadamard(lowband, N_B >> recombine, B0 << recombine,
                               longBlocks);
 
     cm = quant_partition(ctx, X, N, b, B, lowband, LM, gain, fill);
 
     /* resynthesis */
-    if (B0 > 1)
+    if (B0 > 1 && !ctx->tr)
         interleave_hadamard(X, N_B >> recombine, B0 << recombine, longBlocks);
     N_B = N_B0;
     B = B0;
@@ -655,15 +787,15 @@ static int quant_band(bctx *ctx, double *X, int N, int b, int B,
         B >>= 1;
         N_B <<= 1;
         cm |= cm >> B;
-        haar1(X, N_B, B);
+        if (!ctx->tr) haar1(X, N_B, B);
     }
     for (k = 0; k < recombine; k++) {
         cm = BIT_DILV[cm];
-        haar1(X, N0 >> k, 1 << k);
+        if (!ctx->tr) haar1(X, N0 >> k, 1 << k);
     }
     B <<= recombine;
 
-    if (lowband_out) {
+    if (lowband_out && !ctx->tr) {
         int j;
         double n = sqrt((double)N0);
         for (j = 0; j < N0; j++) lowband_out[j] = n * X[j];
@@ -705,8 +837,12 @@ static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
     double mid, side;
     int cm;
     int orig_fill = fill;
-    if (N == 1)
+    tracectx *T = ctx->tr;
+    int64_t bslot = T ? ctx->cur_frame * ctx->nbEBands + ctx->band : 0;
+    if (N == 1) {
+        if (T) T->bd_mode[bslot] = 5;
         return quant_band_n1(ctx, X, Y, b, lowband_out);
+    }
     compute_theta(ctx, &sctx, N, &b, B, B, LM, 1, &fill);
     inv = sctx.inv;
     imid = sctx.imid;
@@ -714,6 +850,12 @@ static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
     itheta = sctx.itheta;
     mid = imid / 32768.0;
     side = iside / 32768.0;
+    if (T) {
+        T->bd_imid[bslot] = (int16_t)imid;
+        T->bd_iside[bslot] = (int16_t)iside;
+        T->bd_itheta[bslot] = (int16_t)itheta;
+        T->bd_inv[bslot] = (int8_t)inv;
+    }
 
     if (N == 2) {
         int mbits = b, sbits = 0, c, sign = 0;
@@ -726,20 +868,31 @@ static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
         y2 = c ? X : Y;
         if (sbits) sign = (int)ec_dec_bits(dec, 1);
         sign = 1 - 2 * sign;
+        if (T) {
+            T->bd_mode[bslot] = 3;
+            T->bd_sign[bslot] = (int8_t)sign;
+            T->bd_cflag[bslot] = (int8_t)c;
+            ctx->cur_call = c;
+            /* leaves of the decoded x2 live at offset 0 of whichever
+               slot c selects; replay reads them from slot c */
+            ctx->band_base = x2;
+        }
         cm = quant_band(ctx, x2, N, mbits, B, lowband, LM, lowband_out, 1.0,
                         lowband_scratch, orig_fill);
-        y2[0] = -sign * x2[1];
-        y2[1] = sign * x2[0];
-        X[0] *= mid;
-        X[1] *= mid;
-        Y[0] *= side;
-        Y[1] *= side;
-        tmp = X[0];
-        X[0] = tmp - Y[0];
-        Y[0] = tmp + Y[0];
-        tmp = X[1];
-        X[1] = tmp - Y[1];
-        Y[1] = tmp + Y[1];
+        if (!T) {
+            y2[0] = -sign * x2[1];
+            y2[1] = sign * x2[0];
+            X[0] *= mid;
+            X[1] *= mid;
+            Y[0] *= side;
+            Y[1] *= side;
+            tmp = X[0];
+            X[0] = tmp - Y[0];
+            Y[0] = tmp + Y[0];
+            tmp = X[1];
+            X[1] = tmp - Y[1];
+            Y[1] = tmp + Y[1];
+        }
     }
     else {
         int mbits = cdiv(b - sctx.delta, 2), sbits;
@@ -749,28 +902,33 @@ static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
         sbits = b - mbits;
         ctx->remaining_bits -= sctx.qalloc;
         rebalance = ctx->remaining_bits;
+        if (T) T->bd_mode[bslot] = 2;
         if (mbits >= sbits) {
+            if (T) { ctx->cur_call = 0; ctx->band_base = X; }
             cm = quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out,
                             1.0, lowband_scratch, fill);
             rebalance = mbits - (rebalance - ctx->remaining_bits);
             if (rebalance > 3 << BITRES && itheta != 0)
                 sbits += (int)(rebalance - (3 << BITRES));
+            if (T) { ctx->cur_call = 1; ctx->band_base = Y; }
             cm |= quant_band(ctx, Y, N, sbits, B, 0, LM, 0, side, 0,
                              fill >> B);
         }
         else {
+            if (T) { ctx->cur_call = 1; ctx->band_base = Y; }
             cm = quant_band(ctx, Y, N, sbits, B, 0, LM, 0, side, 0,
                             fill >> B);
             rebalance = sbits - (rebalance - ctx->remaining_bits);
             if (rebalance > 3 << BITRES && itheta != 16384)
                 mbits += (int)(rebalance - (3 << BITRES));
+            if (T) { ctx->cur_call = 0; ctx->band_base = X; }
             cm |= quant_band(ctx, X, N, mbits, B, lowband, LM, lowband_out,
                              1.0, lowband_scratch, fill);
         }
     }
-    if (N != 2)
+    if (N != 2 && !T)
         stereo_merge(X, Y, mid, N);
-    if (inv) {
+    if (inv && !T) {
         int j;
         for (j = 0; j < N; j++) Y[j] = -Y[j];
     }
@@ -781,14 +939,15 @@ static int quant_band_stereo(bctx *ctx, double *X, double *Y, int N, int b,
 
 /* ec state layout (int64 x10): offs, end_offs, end_window, nend_bits,
    nbits_total, rng, rem, val, ext, error */
-uint32_t celt_bands_decode(
+static uint32_t celt_bands_decode_i(
     const uint8_t *buf, uint32_t storage, int64_t *ec,
     const int16_t *eBands, int nbEBands, const int16_t *logN,
     const int16_t *cache_index, const uint8_t *cache_bits,
     int start, int end, int shortBlocks, int spread, int dual_stereo,
     int intensity, const int32_t *tf_res, int64_t total_bits,
     int64_t balance, const int32_t *pulses, int LM, int codedBands,
-    uint32_t seed, int C, double *X_, uint8_t *collapse_masks)
+    uint32_t seed, int C, double *X_, uint8_t *collapse_masks,
+    tracectx *T, int64_t frame_idx, int32_t *avg_band_out)
 {
     ecdec dec;
     bctx ctx;
@@ -830,6 +989,10 @@ uint32_t celt_bands_decode(
     ctx.spread = spread;
     ctx.dec = &dec;
     ctx.seed = seed;
+    ctx.tr = T;
+    ctx.cur_frame = frame_idx;
+    ctx.cur_call = 0;
+    ctx.band_base = 0;
 
     for (i = start; i < end; i++) {
         int last = (i == end - 1);
@@ -898,17 +1061,37 @@ uint32_t celt_bands_decode(
         if (dual_stereo && i == intensity) {
             int j;
             dual_stereo = 0;
-            for (j = 0; j < M * eBands[i] - norm_offset; j++)
-                norm[j] = 0.5 * (norm[j] + norm2[j]);
+            if (T) {
+                if (avg_band_out) *avg_band_out = i;
+            }
+            else
+                for (j = 0; j < M * eBands[i] - norm_offset; j++)
+                    norm[j] = 0.5 * (norm[j] + norm2[j]);
+        }
+
+        if (T) {
+            int64_t bslot = frame_idx * nbEBands + i;
+            T->bd_eff_lb[bslot] = effective_lowband;
+            T->bd_tf[bslot] = (int8_t)tf_change;
+            T->cur_bandoff = M * eBands[i];
         }
 
         if (dual_stereo) {
+            if (T) {
+                T->bd_mode[frame_idx * nbEBands + i] = 4;
+                ctx.cur_call = 0;
+                ctx.band_base = X;
+            }
             x_cm = quant_band(&ctx, X, N, b / 2, B,
                               effective_lowband != -1
                                   ? norm + effective_lowband : 0,
                               LM,
                               last ? 0 : norm + M * eBands[i] - norm_offset,
                               1.0, lowband_scratch, x_cm);
+            if (T) {
+                ctx.cur_call = 1;
+                ctx.band_base = Y;
+            }
             y_cm = quant_band(&ctx, Y, N, b / 2, B,
                               effective_lowband != -1
                                   ? norm2 + effective_lowband : 0,
@@ -918,6 +1101,10 @@ uint32_t celt_bands_decode(
         }
         else {
             if (Y) {
+                if (T) {
+                    ctx.cur_call = 0;
+                    ctx.band_base = X;
+                }
                 x_cm = quant_band_stereo(
                     &ctx, X, Y, N, b, B,
                     effective_lowband != -1 ? norm + effective_lowband : 0,
@@ -925,6 +1112,11 @@ uint32_t celt_bands_decode(
                     lowband_scratch, x_cm | y_cm);
             }
             else {
+                if (T) {
+                    T->bd_mode[frame_idx * nbEBands + i] = 1;
+                    ctx.cur_call = 0;
+                    ctx.band_base = X;
+                }
                 x_cm = quant_band(
                     &ctx, X, N, b, B,
                     effective_lowband != -1 ? norm + effective_lowband : 0,
@@ -950,6 +1142,22 @@ uint32_t celt_bands_decode(
     ec[8] = dec.ext;
     ec[9] = dec.error;
     return ctx.seed;
+}
+
+uint32_t celt_bands_decode(
+    const uint8_t *buf, uint32_t storage, int64_t *ec,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const int16_t *cache_index, const uint8_t *cache_bits,
+    int start, int end, int shortBlocks, int spread, int dual_stereo,
+    int intensity, const int32_t *tf_res, int64_t total_bits,
+    int64_t balance, const int32_t *pulses, int LM, int codedBands,
+    uint32_t seed, int C, double *X_, uint8_t *collapse_masks)
+{
+    return celt_bands_decode_i(
+        buf, storage, ec, eBands, nbEBands, logN, cache_index, cache_bits,
+        start, end, shortBlocks, spread, dual_stereo, intensity, tf_res,
+        total_bits, balance, pulses, LM, codedBands, seed, C, X_,
+        collapse_masks, 0, 0, 0);
 }
 
 /* ---------------- allocation (rate.c port of our Python) ---------- */
@@ -1465,12 +1673,14 @@ int64_t celt_dynalloc(
 /* throughput").                                                      */
 /* ================================================================== */
 
-/* bands.c anti_collapse (decode side) */
-static uint32_t anti_collapse_c(
+/* bands.c anti_collapse (decode side); trace mode (T != NULL) emits
+   (frame, band, c, k, seed, r) records and only advances the LCG. */
+static uint32_t anti_collapse_c_i(
     const int16_t *eBands, int nbE, double *X_,
     const uint8_t *collapse_masks, int LM, int C, int size,
     int start, int end, const double *logE, const double *prev1logE,
-    const double *prev2logE, const int32_t *pulses, uint32_t seed)
+    const double *prev2logE, const int32_t *pulses, uint32_t seed,
+    tracectx *T, int64_t frame_idx)
 {
     int i, c, j, k;
     for (i = start; i < end; i++) {
@@ -1497,17 +1707,41 @@ static uint32_t anti_collapse_c(
             X = X_ + c * size + ((int)eBands[i] << LM);
             for (k = 0; k < (1 << LM); k++) {
                 if (!(collapse_masks[i * C + c] & (1u << k))) {
-                    for (j = 0; j < N0; j++) {
-                        seed = lcg_rand(seed);
-                        X[(j << LM) + k] = (seed & 0x8000) ? r : -r;
+                    if (T) {
+                        if (T->ac_n >= T->ac_cap) { T->err = 1; return seed; }
+                        T->ac_frame[T->ac_n] = (int32_t)frame_idx;
+                        T->ac_band[T->ac_n] = (int8_t)i;
+                        T->ac_c[T->ac_n] = (int8_t)c;
+                        T->ac_k[T->ac_n] = (int8_t)k;
+                        T->ac_seed[T->ac_n] = seed;
+                        T->ac_r[T->ac_n] = (float)r;
+                        T->ac_n++;
+                        for (j = 0; j < N0; j++) seed = lcg_rand(seed);
+                    }
+                    else {
+                        for (j = 0; j < N0; j++) {
+                            seed = lcg_rand(seed);
+                            X[(j << LM) + k] = (seed & 0x8000) ? r : -r;
+                        }
                     }
                     renorm = 1;
                 }
             }
-            if (renorm) renormalise_vector(X, N0 << LM, 1.0);
+            if (renorm && !T) renormalise_vector(X, N0 << LM, 1.0);
         }
     }
     return seed;
+}
+
+static uint32_t anti_collapse_c(
+    const int16_t *eBands, int nbE, double *X_,
+    const uint8_t *collapse_masks, int LM, int C, int size,
+    int start, int end, const double *logE, const double *prev1logE,
+    const double *prev2logE, const int32_t *pulses, uint32_t seed)
+{
+    return anti_collapse_c_i(eBands, nbE, X_, collapse_masks, LM, C, size,
+                             start, end, logE, prev1logE, prev2logE,
+                             pulses, seed, 0, 0);
 }
 
 /* bands.c denormalise_bands for one channel into float32 output */
@@ -1537,7 +1771,7 @@ static void denormalise_c(
  *   prob_model_all         int32 [4][2][42] e_prob_model
  *   freq_out               float32 [n_frames, CCout, Nmax]
  * Returns 0, or 1+index of the first frame with a range-coder error. */
-int64_t celt_decode_stream(
+static int64_t celt_decode_stream_i(
     const uint8_t *payload, const int64_t *offs, const int64_t *lens,
     const int32_t *frame_sizes, const int32_t *ends,
     const int32_t *stream_chs, int64_t n_frames,
@@ -1551,7 +1785,8 @@ int64_t celt_decode_stream(
     int CC, int CCout, int downsample, int start,
     int32_t nmax, float *freq_out,
     int32_t *out_short_blocks, int32_t *out_pf_pitch,
-    double *out_pf_gain, int32_t *out_pf_tapset, int32_t *out_silence)
+    double *out_pf_gain, int32_t *out_pf_tapset, int32_t *out_silence,
+    tracectx *T, int32_t *fr_misc, float *fr_gains)
 {
     static const uint8_t tapset_icdf_c[3] = {2, 1, 0};
     static const uint8_t spread_icdf_c[4] = {25, 23, 2, 0};
@@ -1579,7 +1814,7 @@ int64_t celt_decode_stream(
         int64_t balance;
         double X[2 * 960];
         uint8_t collapse_masks[64];
-        float *fout = freq_out + f * (int64_t)CCout * nmax;
+        float *fout = T ? 0 : freq_out + f * (int64_t)CCout * nmax;
         int anti_collapse_on = 0;
 
         if (C > CCout) return 1 + f;  /* caller must size CCout >= C */
@@ -1679,18 +1914,21 @@ int64_t celt_decode_stream(
         celt_fine_energy(data, length, ecst, fine_quant, oldEBands,
                          nbEBands, start, end, C);
 
-        memset(X, 0, sizeof(double) * (size_t)(C * N));
+        int32_t avg_band = -1;
+        if (!T) memset(X, 0, sizeof(double) * (size_t)(C * N));
         memset(collapse_masks, 0, sizeof(collapse_masks));
-        rng = celt_bands_decode(
+        rng = celt_bands_decode_i(
             data, length, ecst, eBands, nbEBands, logN, cache_index,
             cache_bits, start, end, shortBlocks, spread_decision,
             dual_stereo, intensity, tf_res,
             (int64_t)length * (8 << BITRES) - anti_collapse_rsv,
-            balance, pulses, LM, codedBands, rng, C, X, collapse_masks);
+            balance, pulses, LM, codedBands, rng, C, X, collapse_masks,
+            T, f, &avg_band);
+        if (T && T->err) return -2;
         /* celt_bands_decode packs channel 1 at stride
            N_full = M*eBands[nbEBands] (< N); the rest of this frame
            (anti-collapse, denormalise) uses stride N — repack. */
-        if (C == 2) {
+        if (C == 2 && !T) {
             int N_full = M * eBands[nbEBands];
             if (N_full != N) {
                 memmove(X + N, X + N_full,
@@ -1713,15 +1951,37 @@ int64_t celt_decode_stream(
                              fine_priority, (int64_t)length * 8 - tell,
                              oldEBands, nbEBands, start, end, C);
 
-        if (anti_collapse_on)
-            rng = anti_collapse_c(eBands, nbEBands, X, collapse_masks,
-                                  LM, C, N, start, end, oldEBands,
-                                  oldLogE, oldLogE2, pulses, rng);
+        if (anti_collapse_on) {
+            rng = anti_collapse_c_i(eBands, nbEBands, X, collapse_masks,
+                                    LM, C, N, start, end, oldEBands,
+                                    oldLogE, oldLogE2, pulses, rng, T, f);
+            if (T && T->err) return -2;
+        }
         /* Next frame's PVQ seed is the range coder's final rng, not the
            PVQ-updated seed (celt_decoder_clean.c:714 st->rng = dec->rng). */
         rng = (uint32_t)ecst[5];
 
-        if (silence) {
+        if (T) {
+            /* trace mode: emit denormalise gains + frame metadata; the
+               replay does the float plane (denormalise_c analog). */
+            float *g = fr_gains + (int64_t)f * 2 * nbEBands;
+            if (silence) {
+                for (i = 0; i < 2 * nbEBands; i++) oldEBands[i] = -28.0;
+            } else {
+                for (c = 0; c < C; c++)
+                    for (i = start; i < effEnd; i++)
+                        g[c * nbEBands + i] = (float)exp(
+                            0.6931471805599453094
+                            * (oldEBands[c * nbEBands + i] + eMeans[i]));
+            }
+            fr_misc[f * 6 + 0] = spread_decision;
+            fr_misc[f * 6 + 1] = intensity;
+            fr_misc[f * 6 + 2] = avg_band;
+            fr_misc[f * 6 + 3] = anti_collapse_on;
+            fr_misc[f * 6 + 4] = codedBands;
+            fr_misc[f * 6 + 5] = dual_stereo;
+        }
+        else if (silence) {
             for (i = 0; i < 2 * nbEBands; i++) oldEBands[i] = -28.0;
             for (c = 0; c < CCout; c++)
                 for (i = 0; i < N; i++) fout[c * nmax + i] = 0.0f;
@@ -1779,4 +2039,92 @@ int64_t celt_decode_stream(
     }
     *rng_io = rng;
     return 0;
+}
+
+int64_t celt_decode_stream(
+    const uint8_t *payload, const int64_t *offs, const int64_t *lens,
+    const int32_t *frame_sizes, const int32_t *ends,
+    const int32_t *stream_chs, int64_t n_frames,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const int16_t *cache_index, const uint8_t *cache_bits,
+    const uint8_t *cache_caps, const uint8_t *allocVectors,
+    int nbAllocVectors, const double *eMeans,
+    const int32_t *prob_model_all, int shortMdctSize, int effEBands,
+    double *oldEBands, double *oldLogE, double *oldLogE2,
+    double *backgroundLogE, int64_t *rng_io,
+    int CC, int CCout, int downsample, int start,
+    int32_t nmax, float *freq_out,
+    int32_t *out_short_blocks, int32_t *out_pf_pitch,
+    double *out_pf_gain, int32_t *out_pf_tapset, int32_t *out_silence)
+{
+    return celt_decode_stream_i(
+        payload, offs, lens, frame_sizes, ends, stream_chs, n_frames,
+        eBands, nbEBands, logN, cache_index, cache_bits, cache_caps,
+        allocVectors, nbAllocVectors, eMeans, prob_model_all,
+        shortMdctSize, effEBands, oldEBands, oldLogE, oldLogE2,
+        backgroundLogE, rng_io, CC, CCout, downsample, start, nmax,
+        freq_out, out_short_blocks, out_pf_pitch, out_pf_gain,
+        out_pf_tapset, out_silence, 0, 0, 0);
+}
+
+/* iy-split trace entry (DESIGN_iy_split.md): same entropy decode, no
+ * float value plane; emits the replay trace instead of freq spectra.
+ * tcaps[0..2] = leaf/iy/anti-collapse capacities in, [3..5] = counts
+ * out.  Returns 0, 1+frame on range-coder error, -2 on overflow. */
+int64_t celt_decode_stream_trace(
+    const uint8_t *payload, const int64_t *offs, const int64_t *lens,
+    const int32_t *frame_sizes, const int32_t *ends,
+    const int32_t *stream_chs, int64_t n_frames,
+    const int16_t *eBands, int nbEBands, const int16_t *logN,
+    const int16_t *cache_index, const uint8_t *cache_bits,
+    const uint8_t *cache_caps, const uint8_t *allocVectors,
+    int nbAllocVectors, const double *eMeans,
+    const int32_t *prob_model_all, int shortMdctSize, int effEBands,
+    double *oldEBands, double *oldLogE, double *oldLogE2,
+    double *backgroundLogE, int64_t *rng_io,
+    int CC, int CCout, int downsample, int start,
+    int32_t *out_short_blocks, int32_t *out_pf_pitch,
+    double *out_pf_gain, int32_t *out_pf_tapset, int32_t *out_silence,
+    int64_t *tcaps,
+    int32_t *lf_frame, int8_t *lf_band, int8_t *lf_call, int8_t *lf_type,
+    int16_t *lf_off, int16_t *lf_len, int32_t *lf_k, int16_t *lf_stride,
+    double *lf_gain, uint32_t *lf_seed, int64_t *lf_iy_off,
+    int16_t *iy_heap,
+    uint8_t *bd_mode, int32_t *bd_eff_lb, int8_t *bd_tf,
+    int16_t *bd_imid, int16_t *bd_iside, int16_t *bd_itheta,
+    int8_t *bd_inv, int8_t *bd_sign, int8_t *bd_cflag,
+    int32_t *ac_frame, int8_t *ac_band, int8_t *ac_c, int8_t *ac_k,
+    uint32_t *ac_seed, float *ac_r,
+    int32_t *fr_misc, float *fr_gains,
+    float *xs_dense, int32_t xs_nmax)
+{
+    tracectx T;
+    int64_t rc;
+    memset(&T, 0, sizeof(T));
+    T.lf_cap = tcaps[0];
+    T.iy_cap = tcaps[1];
+    T.ac_cap = tcaps[2];
+    T.lf_frame = lf_frame; T.lf_band = lf_band; T.lf_call = lf_call;
+    T.lf_type = lf_type; T.lf_off = lf_off; T.lf_len = lf_len;
+    T.lf_k = lf_k; T.lf_stride = lf_stride; T.lf_gain = lf_gain;
+    T.lf_seed = lf_seed; T.lf_iy_off = lf_iy_off; T.iy_heap = iy_heap;
+    T.bd_mode = bd_mode; T.bd_eff_lb = bd_eff_lb; T.bd_tf = bd_tf;
+    T.bd_imid = bd_imid; T.bd_iside = bd_iside; T.bd_itheta = bd_itheta;
+    T.bd_inv = bd_inv; T.bd_sign = bd_sign; T.bd_cflag = bd_cflag;
+    T.ac_frame = ac_frame; T.ac_band = ac_band; T.ac_c = ac_c;
+    T.ac_k = ac_k; T.ac_seed = ac_seed; T.ac_r = ac_r;
+    T.xs = xs_dense; T.xs_nmax = xs_nmax;
+    rc = celt_decode_stream_i(
+        payload, offs, lens, frame_sizes, ends, stream_chs, n_frames,
+        eBands, nbEBands, logN, cache_index, cache_bits, cache_caps,
+        allocVectors, nbAllocVectors, eMeans, prob_model_all,
+        shortMdctSize, effEBands, oldEBands, oldLogE, oldLogE2,
+        backgroundLogE, rng_io, CC, CCout, downsample, start, 0, 0,
+        out_short_blocks, out_pf_pitch, out_pf_gain, out_pf_tapset,
+        out_silence, &T, fr_misc, fr_gains);
+    tcaps[3] = T.lf_n;
+    tcaps[4] = T.iy_n;
+    tcaps[5] = T.ac_n;
+    if (T.err) return -2;
+    return rc;
 }

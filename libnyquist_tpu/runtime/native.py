@@ -134,6 +134,37 @@ def lib():
             ctypes.c_int32, f32p_,                  # nmax, freq_out
             i32p_, i32p_, f64p_, i32p_, i32p_,      # sb, pfp, pfg, pft, sil
         ]
+        i8p_ = ctypes.POINTER(ctypes.c_int8)
+        u8p_ = ctypes.POINTER(ctypes.c_uint8)
+        u32p_ = ctypes.POINTER(ctypes.c_uint32)
+        i16p__ = ctypes.POINTER(ctypes.c_int16)
+        f64p__ = ctypes.POINTER(ctypes.c_double)
+        L.celt_decode_stream_trace.restype = ctypes.c_int64
+        L.celt_decode_stream_trace.argtypes = [
+            ctypes.c_char_p, i64p_, i64p_,          # payload, offs, lens
+            i32p_, i32p_, i32p_, ctypes.c_int64,    # fsz, ends, chs, n
+            i16p__, ctypes.c_int, i16p__, i16p__,   # eBands, nb, logN, ci
+            ctypes.c_char_p, ctypes.c_char_p,       # cache_bits, cache_caps
+            ctypes.c_char_p, ctypes.c_int,          # allocVectors, nbAV
+            f64p__, i32p_,                          # eMeans, prob_model
+            ctypes.c_int, ctypes.c_int,             # shortMdctSize, effEBands
+            f64p__, f64p__, f64p__, f64p__, i64p_,  # state + rng
+            ctypes.c_int, ctypes.c_int,             # CC, CCout
+            ctypes.c_int, ctypes.c_int,             # downsample, start
+            i32p_, i32p_, f64p__, i32p_, i32p_,     # sb, pfp, pfg, pft, sil
+            i64p_,                                  # tcaps[6]
+            i32p_, i8p_, i8p_, i8p_,                # lf frame/band/call/type
+            i16p__, i16p__, i32p_, i16p__,          # lf off/len/k/stride
+            f64p__, u32p_, i64p_,                   # lf gain/seed/iy_off
+            i16p__,                                 # iy_heap
+            u8p_, i32p_, i8p_,                      # bd mode/eff_lb/tf
+            i16p__, i16p__, i16p__,                 # bd imid/iside/itheta
+            i8p_, i8p_, i8p_,                       # bd inv/sign/cflag
+            i32p_, i8p_, i8p_, i8p_, u32p_,         # ac frame/band/c/k/seed
+            ctypes.POINTER(ctypes.c_float),         # ac_r
+            i32p_, ctypes.POINTER(ctypes.c_float),  # fr_misc, fr_gains
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,  # xs, nmax
+        ]
         L.celt_compute_allocation.restype = None
         L.celt_compute_allocation.argtypes = [
             ctypes.c_char_p, ctypes.c_uint32,

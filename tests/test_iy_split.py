@@ -1,0 +1,141 @@
+"""iy-split trace + replay vs the full native decode (DESIGN_iy_split.md).
+
+The bits-only native trace decode (celt_decode_stream_trace) plus the
+float64 NumPy replayer must reproduce celt_decode_stream's denormalised
+spectra to float32 rounding, with identical decoder state evolution —
+this is the reference chain the JAX device replay is validated against.
+Reference spec: third_party/opus/celt/bands.c quant_all_bands value
+plane (bands.c:653), vq.c/cwrs.c, anti_collapse (bands.c:284).
+"""
+
+import pathlib
+import struct
+
+import numpy as np
+import pytest
+
+import libnyquist_tpu  # noqa: F401
+from libnyquist_tpu.formats import ogg as oggmod
+from libnyquist_tpu.formats.opus import iy_split
+from libnyquist_tpu.formats.opus.celt import (
+    CeltDecoderState, celt_decode_stream_raw, _native_celt,
+)
+from libnyquist_tpu.formats.opus.decoder import _endband_for_bandwidth
+from libnyquist_tpu.formats.opus.packet import parse_packet
+
+pytestmark = pytest.mark.skipif(
+    _native_celt() is None, reason="native host library unavailable")
+
+
+def _frames_from_ogg(data):
+    streams = oggmod.demux(data)
+    st = oggmod.first_stream_matching(streams, b"OpusHead")
+    frames, sizes, ends, chs = [], [], [], []
+    for pkt in st.packets[2:]:
+        if not pkt.data:
+            continue
+        parsed = parse_packet(pkt.data)
+        eb = _endband_for_bandwidth(parsed.bandwidth)
+        for fr in parsed.frames:
+            frames.append(fr)
+            sizes.append(parsed.frame_size)
+            ends.append(eb)
+            chs.append(parsed.stream_channels)
+    return frames, sizes, ends, chs
+
+
+def _frames_from_golden(path):
+    raw = path.read_bytes()
+    pos = 4
+    ch, _sr, n_packets, _frame = struct.unpack_from("<4i", raw, pos)
+    pos += 16
+    frames, sizes, ends, chs = [], [], [], []
+    for _ in range(n_packets):
+        (ln,) = struct.unpack_from("<i", raw, pos)
+        pos += 4
+        pk = parse_packet(raw[pos : pos + ln])
+        pos += ln
+        eb = _endband_for_bandwidth(pk.bandwidth)
+        for fr in pk.frames:
+            frames.append(fr)
+            sizes.append(pk.frame_size)
+            ends.append(eb)
+            chs.append(pk.stream_channels)
+    return ch, frames, sizes, ends, chs
+
+
+def _trace(st, frames, sizes, ends, chs):
+    payload = b"".join(frames)
+    lens = np.fromiter((len(f) for f in frames), np.int64, len(frames))
+    offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+    return iy_split.celt_trace_stream_arrays(
+        st, payload, offs, lens, np.asarray(sizes, np.int32),
+        np.asarray(ends, np.int32), np.asarray(chs, np.int32))
+
+
+def _check_replay(ch, frames, sizes, ends, chs):
+    st1 = CeltDecoderState(channels=ch)
+    freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends, chs)[0]
+    st2 = CeltDecoderState(channels=ch)
+    tr = _trace(st2, frames, sizes, ends, chs)
+    assert tr is not None
+    freq_rep = iy_split.replay_numpy(tr)
+    d = np.abs(freq_rep.astype(np.float64) - freq_ref.astype(np.float64))
+    rel = (d / (1.0 + np.abs(freq_ref))).max()
+    assert rel < 1e-6, f"replay relative error {rel}"
+    # identical state evolution (entropy plane untouched by the split)
+    assert np.array_equal(st1.oldEBands, st2.oldEBands)
+    assert st1.rng == st2.rng
+    return tr
+
+
+def test_replay_golden_corpus(golden_dir):
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    tr = _check_replay(ch, frames, sizes, ends, chs)
+    # the corpus must exercise stereo bands + anti-collapse
+    assert (tr.bd_mode == 2).any()
+    assert len(tr.ac_frame) > 0
+
+
+def test_replay_short_opus(test_data_dir):
+    data = (test_data_dir / "short.opus").read_bytes()
+    frames, sizes, ends, chs = _frames_from_ogg(data)
+    _check_replay(2, frames, sizes, ends, chs)
+
+
+@pytest.mark.parametrize("frame_ms", [2.5, 5, 10])
+def test_replay_small_frames(frame_ms):
+    """Encoder-generated small-frame streams exercise LM 0-2 geometry
+    (N=120/240/480) through the trace replay."""
+    from libnyquist_tpu.formats.opus.celt_encoder import encode_ogg_opus
+
+    rng = np.random.default_rng(5)
+    sr = 48000
+    t = np.arange(sr) / sr
+    pcm = np.stack([
+        0.4 * np.sin(2 * np.pi * 440 * t)
+        + 0.1 * rng.standard_normal(sr),
+        0.4 * np.sin(2 * np.pi * 660 * t)
+        + 0.1 * rng.standard_normal(sr),
+    ], axis=1).reshape(-1).astype(np.float32)
+    data = encode_ogg_opus(pcm, 2, sr, bitrate_kbps=96,
+                           frame_ms=frame_ms)
+    frames, sizes, ends, chs = _frames_from_ogg(data)
+    assert sizes[0] == int(120 * frame_ms / 2.5)
+    _check_replay(2, frames, sizes, ends, chs)
+
+
+def test_replay_sb_reverie_slice():
+    """First 2000 frames of the reference headliner (transients, dual
+    stereo, folds)."""
+    import pathlib
+
+    p = pathlib.Path("/root/reference/test_data/sb-reverie.opus")
+    if not p.exists():
+        pytest.skip("reference corpus unavailable")
+    frames, sizes, ends, chs = _frames_from_ogg(p.read_bytes())
+    tr = _check_replay(2, frames[:2000], sizes[:2000], ends[:2000],
+                       chs[:2000])
+    assert (tr.bd_mode == 4).any()      # dual stereo exercised
+    assert (tr.lf_type == iy_split.LF_FOLD).any()
