@@ -379,7 +379,7 @@ def rotation_matrix(length, stride, K, spread):
     """exp_rotation as its [length, length] linear operator (probe)."""
     eye = np.eye(length, dtype=np.float64)
     exp_rotation_batched(eye, length, stride, K, spread)
-    return eye.T.copy()  # X @ R == rotated rows
+    return eye  # rot(x) == x @ M (row j = rot(e_j))
 
 
 def _lcg_tables(nmax):

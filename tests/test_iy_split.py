@@ -139,3 +139,56 @@ def test_replay_sb_reverie_slice():
                        chs[:2000])
     assert (tr.bd_mode == 4).any()      # dual stereo exercised
     assert (tr.lf_type == iy_split.LF_FOLD).any()
+
+
+def test_replay_device_golden_corpus(golden_dir):
+    """JAX device replay (ops/celt_replay.py) vs the full native decode
+    on the golden corpus (runs on the virtual CPU mesh in CI; the bench
+    exercises it on the real chip with the end-to-end oracle)."""
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st1 = CeltDecoderState(channels=ch)
+    freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends, chs)[0]
+    st2 = CeltDecoderState(channels=ch)
+    tr = _trace(st2, frames, sizes, ends, chs)
+    freq_dev = np.asarray(celt_replay.replay_device(tr))
+    d = np.abs(freq_dev.astype(np.float64) - freq_ref.astype(np.float64))
+    rel = d / (1.0 + np.abs(freq_ref))
+    # f32 device plane: bulk ~1e-5 in the freq domain = ~3e-10 on PCM
+    # after the 1/32768 signal scale (BASELINE.md demands <1e-4 on PCM);
+    # isolated positions hit f32 cancellation in the stereo merge
+    assert rel.max() < 1e-3, f"device replay relative error {rel.max()}"
+    assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_replay_device_small_frames():
+    """Device replay across LM 0-2 geometry."""
+    from libnyquist_tpu.formats.opus.celt_encoder import encode_ogg_opus
+    from libnyquist_tpu.ops import celt_replay
+
+    rng = np.random.default_rng(7)
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    pcm = np.stack([
+        0.5 * np.sin(2 * np.pi * 500 * t)
+        + 0.2 * rng.standard_normal(len(t)),
+        0.5 * np.sin(2 * np.pi * 750 * t)
+        + 0.2 * rng.standard_normal(len(t)),
+    ], axis=1).reshape(-1).astype(np.float32)
+    for frame_ms in (2.5, 5, 10):
+        data = encode_ogg_opus(pcm, 2, sr, bitrate_kbps=128,
+                               frame_ms=frame_ms)
+        frames, sizes, ends, chs = _frames_from_ogg(data)
+        st1 = CeltDecoderState(channels=2)
+        freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends,
+                                          chs)[0]
+        st2 = CeltDecoderState(channels=2)
+        tr = _trace(st2, frames, sizes, ends, chs)
+        freq_dev = np.asarray(celt_replay.replay_device(tr))
+        d = np.abs(freq_dev.astype(np.float64)
+                   - freq_ref.astype(np.float64))
+        rel = d / (1.0 + np.abs(freq_ref))
+        assert rel.max() < 1e-3, (frame_ms, rel.max())
+        assert (rel > 1e-4).mean() < 1e-4, frame_ms
