@@ -141,6 +141,50 @@ def _host_decode_opus(data):
     return raw, head.channels, sum(sizes) / 48000.0
 
 
+def _host_decode_opus_iy(data):
+    """iy-split host half (DESIGN_iy_split.md): native bits-only trace
+    decode + vectorized replay assembly.  The float value plane runs on
+    device (ops/celt_replay.py).  Returns None when the stream needs
+    the general path."""
+    import ctypes
+
+    from libnyquist_tpu.formats.opus.celt import (
+        CeltDecoderState, celt_scan_ogg_native)
+    from libnyquist_tpu.formats.opus.iy_split import (
+        celt_trace_stream_arrays)
+    from libnyquist_tpu.ops.celt_replay import build_replay_arrays
+
+    scan = celt_scan_ogg_native(data)
+    if scan is None:
+        return None
+    payload, offs, lens, fsz, ends, chs, info = scan
+    pay_p = payload.ctypes.data_as(ctypes.c_char_p)
+    cs = CeltDecoderState(channels=int(info[0]))
+    tr = celt_trace_stream_arrays(cs, pay_p, offs, lens, fsz, ends, chs)
+    del pay_p
+    if tr is None:
+        return None
+    arrs, _static, key = build_replay_arrays(tr)
+    return tr, arrs, key, float(np.sum(fsz)) / 48000.0
+
+
+def _timed_host_pass_iy(data, K):
+    """Host half of the iy-split path, K streams (threaded like
+    _timed_host_pass; the C trace decode releases the GIL)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(os.cpu_count() or 1, K)
+    t0 = time.perf_counter()
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            list(ex.map(lambda _: _host_decode_opus_iy(data), range(K)))
+    else:
+        for _ in range(K):
+            _host_decode_opus_iy(data)
+    return time.perf_counter() - t0, workers
+
+
 def _timed_host_pass(data, K):
     """Decode K streams on all available cores (the C calls release the
     GIL, so a thread pool scales to the host's core count — production
@@ -184,7 +228,7 @@ def _comb_parity_check(jax, jnp):
           file=sys.stderr)
 
 
-def bench_e2e_opus(K):
+def bench_e2e_opus(K, use_iy=True):
     jax = _jax_setup()
     import jax.numpy as jnp
     from jax import lax
@@ -198,12 +242,25 @@ def bench_e2e_opus(K):
     mode = mode48000()
 
     # ---------- host half: K real streams, timed ----------
-    raw, CC, audio_s = _host_decode_opus(data)  # warm (build, page cache)
-    # median of 3 passes: the shared-core rig's timing noise is +-10%
-    passes = sorted(_timed_host_pass(data, K) for _ in range(3))
-    t_host, host_workers = passes[1]
-    freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
-    F, _, N = freq.shape
+    iy = _host_decode_opus_iy(data) if use_iy else None
+    if iy is not None:
+        # iy-split: host = bits-only trace + replay assembly; the PVQ
+        # float plane + denormalise run on device (ops/celt_replay.py)
+        tr, iy_arrs, iy_key, audio_s = iy
+        passes = sorted(_timed_host_pass_iy(data, K) for _ in range(3))
+        t_host, host_workers = passes[1]
+        fsz, cha = tr.fsz, tr.chs
+        sb, pfp, pfg, pft = tr.sb, tr.pfp, tr.pfg, tr.pft
+        CC = tr.CC
+        F = len(fsz)
+        N = int(fsz[0])
+    else:
+        raw, CC, audio_s = _host_decode_opus(data)  # warm
+        # median of 3 passes: shared-core rig timing noise is +-10%
+        passes = sorted(_timed_host_pass(data, K) for _ in range(3))
+        t_host, host_workers = passes[1]
+        freq, fsz, cha, sb, pfp, pfg, pft, sil = raw
+        F, _, N = freq.shape
     if not (np.asarray(fsz) == N).all():
         raise RuntimeError("bench stream must have a fixed frame size")
 
@@ -215,8 +272,9 @@ def bench_e2e_opus(K):
     Fpad = n_steps * FC
     R = K * CC
 
-    spec_all = np.zeros((CC, Fpad, N), np.float32)
-    spec_all[:, :F] = np.transpose(freq, (1, 0, 2))
+    if iy is None:
+        spec_all = np.zeros((CC, Fpad, N), np.float32)
+        spec_all[:, :F] = np.transpose(freq, (1, 0, 2))
     TA, gA, TB1, gB1 = serving.postfilter_params_arrays(sb, pfp, pfg, pft)
     msk = np.zeros(Fpad, np.float32)
     msk[:F] = np.asarray(sb) != 0
@@ -242,6 +300,19 @@ def bench_e2e_opus(K):
     # Staging (untimed; documented): production PCIe makes this <1% of
     # decode, this rig's debug tunnel does not (see module docstring).
     t0 = time.perf_counter()
+    if iy is not None:
+        from libnyquist_tpu.ops.celt_replay import _compiled_replay
+
+        replay_fn = _compiled_replay(iy_key)
+        d_iy = jax.device_put(iy_arrs)
+
+        @jax.jit
+        def trace_to_spec(freq_dev):
+            # [F, CCout, N] replayed spectra -> padded [CC, Fpad, N]
+            sp = jnp.transpose(freq_dev[:, :CC], (1, 0, 2))
+            return jnp.pad(sp, ((0, 0), (0, Fpad - F), (0, 0)))
+
+        spec_all = np.asarray(trace_to_spec(replay_fn(d_iy)))  # warm+val
     d = {
         "spec": jax.device_put(spec_all),
         "msk": jax.device_put(msk),
@@ -283,10 +354,16 @@ def bench_e2e_opus(K):
     jax.block_until_ready(acc)
 
     # Timed: full decode's worth of chained steps + one final fetch.
+    # iy-split: each stream's device half includes its PVQ-plane replay
+    # (K replays of this stream's trace) feeding the synthesis chain.
     samples = []
     for _ in range(3):
         tails, hist, mem, acc = zeros()
         t0 = time.perf_counter()
+        if iy is not None:
+            for _k in range(K):
+                freq_dev = replay_fn(d_iy)
+            d["spec"] = trace_to_spec(freq_dev)
         for s in range(n_steps):
             tails, hist, mem, acc = step(d, s * FC, tails, hist, mem, acc)
         acc_h = np.asarray(acc)  # completion barrier
@@ -668,6 +745,7 @@ def main():
     K = 8
     if "--streams" in argv:
         K = int(argv[argv.index("--streams") + 1])
+    use_iy = "--no-iy" not in argv
     if "--synth" in argv:
         result = bench_synth_legacy()
     elif "--mp3" in argv:
@@ -677,7 +755,7 @@ def main():
     elif "--mpc" in argv:
         result = bench_mpc(K)
     else:
-        result = bench_e2e_opus(K)
+        result = bench_e2e_opus(K, use_iy=use_iy)
         # per-codec figures (short fixtures: larger K amortizes the
         # fixed per-dispatch device cost like opus's longer streams)
         if REF_MP3.exists():

@@ -116,7 +116,11 @@ class OpusDecoder:
             from .celt import celt_decode_lost
 
             return celt_decode_lost(self.celt, frame_size, self.loss_count)
-        # SILK / hybrid: repeat + fade the last output
+        if (self.prev_mode == MODE_SILK_ONLY and self.silk is not None
+                and hasattr(self.silk, "conceal")):
+            # reference opus_decode(NULL): decode_frame PLC path
+            return self._decode_frame(None, frame_size)
+        # hybrid (or Python SILK fallback): repeat + fade the last output
         F2_5 = self.Fs // 400
         last = self._last_pcm
         reps = int(np.ceil(frame_size / max(len(last), 1)))
@@ -202,13 +206,23 @@ class OpusDecoder:
             else:
                 internal_rate = 16000
             payload_ms = max(10, 1000 * audiosize // self.Fs)
-            pcm_silk = self.silk.decode(
-                dec,
-                n_channels_internal=self.stream_channels,
-                internal_rate=internal_rate,
-                payload_ms=payload_ms,
-                total_ms=1000 * frame_size // self.Fs,
-            )  # int16-scaled float array [frame_size, channels] @48k
+            if data is None and hasattr(self.silk, "conceal"):
+                # lost frame: LPC/LTP extrapolation + comfort noise
+                # (reference silk/PLC.c, CNG.c via silk_decode_lost)
+                pcm_silk = self.silk.conceal(
+                    n_channels_internal=self.stream_channels,
+                    internal_rate=internal_rate,
+                    payload_ms=payload_ms,
+                    total_ms=1000 * frame_size // self.Fs,
+                )
+            else:
+                pcm_silk = self.silk.decode(
+                    dec,
+                    n_channels_internal=self.stream_channels,
+                    internal_rate=internal_rate,
+                    payload_ms=payload_ms,
+                    total_ms=1000 * frame_size // self.Fs,
+                )  # int16-scaled float array [frame_size, channels]
 
         # Redundancy signaling
         redundancy = False

@@ -1458,6 +1458,25 @@ class NativeSilkDecoder:
          dec.error) = ec.tolist()
         return out[: n * ch].reshape(n, ch).astype(np.float64)
 
+    def conceal(self, n_channels_internal, internal_rate, payload_ms,
+                total_ms):
+        """Packet-loss concealment for one lost SILK packet duration
+        (reference silk/PLC.c + CNG.c via native silk_decode_lost);
+        caller passes the last good packet's configuration."""
+        import ctypes
+
+        ch = self.nChannelsAPI
+        n_expected = payload_ms * 48
+        out = np.zeros(n_expected * ch, np.int16)
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        n = self._L.silk_decode_lost(
+            self._h, int(n_channels_internal), int(internal_rate),
+            int(payload_ms), out.ctypes.data_as(i16p),
+        )
+        if n < 0:
+            raise DecodeError("native SILK conceal failed")
+        return out[: n * ch].reshape(n, ch).astype(np.float64)
+
 
 def make_silk_decoder(channels: int):
     """Native decoder when available, pure-Python fallback otherwise."""

@@ -21,6 +21,7 @@
 #include <stdint.h>
 #include <stdlib.h>
 #include <string.h>
+#include <stdlib.h>
 
 #include "ecdec.h"
 
@@ -864,6 +865,30 @@ typedef struct {
     int64_t sLPC_Q14_buf[MAX_LPC_ORDER];
     resampler rs;
     int rs_valid;
+    /* --- packet-loss concealment state (silk/PLC.h silk_PLC_struct,
+       CNG.c silk_CNG_struct; VERDICT r2 item 3) --- */
+    int lossCnt;
+    int64_t exc_Q14_buf[MAX_FRAME_LENGTH];
+    struct {
+        int64_t pitchL_Q8;
+        int64_t LTPCoef_Q14[LTP_ORDER];      /* int16 semantics */
+        int64_t prevLPC_Q12[MAX_LPC_ORDER];  /* int16 semantics */
+        int last_frame_lost;
+        int64_t rand_seed, randScale_Q14;
+        int64_t conc_energy;
+        int conc_energy_shift;
+        int64_t prevLTP_scale_Q14;
+        int64_t prevGain_Q16[2];
+        int fs_kHz, nb_subfr, subfr_length;
+    } plc;
+    struct {
+        int64_t exc_buf_Q14[MAX_FRAME_LENGTH];
+        int64_t smth_NLSF_Q15[MAX_LPC_ORDER];
+        int64_t synth_state[MAX_LPC_ORDER];
+        int64_t smth_Gain_Q16;
+        int64_t rand_seed;
+        int fs_kHz;
+    } cng;
 } chan_state;
 
 typedef struct {
@@ -1020,6 +1045,18 @@ typedef struct {
     int64_t ltp_scale;
 } frame_params;
 
+/* bwexpander.c (int16 AR coefs; silk_MUL + RSHIFT_ROUND, not SMULWB) */
+static void bwexpander_16(int64_t *ar, int d, int64_t chirp_q16)
+{
+    int i;
+    int64_t chirp_minus_one_q16 = chirp_q16 - 65536;
+    for (i = 0; i < d - 1; i++) {
+        ar[i] = I16(RSHIFT_ROUND(chirp_q16 * ar[i], 16));
+        chirp_q16 += RSHIFT_ROUND(chirp_q16 * chirp_minus_one_q16, 16);
+    }
+    ar[d - 1] = I16(RSHIFT_ROUND(chirp_q16 * ar[d - 1], 16));
+}
+
 static void decode_parameters(chan_state *st, int cond_coding,
                               frame_params *p)
 {
@@ -1044,6 +1081,13 @@ static void decode_parameters(chan_state *st, int cond_coding,
         memcpy(p->pred0, p->pred1, sizeof(p->pred1));
     }
     for (i = 0; i < st->LPC_order; i++) st->prevNLSF_Q15[i] = nlsf[i];
+
+    /* After a packet loss do BWE of LPC coefs
+       (decode_parameters.c:81, BWE_AFTER_LOSS_Q16 = 63570 = 0.97) */
+    if (st->lossCnt) {
+        bwexpander_16(p->pred0, st->LPC_order, 63570);
+        bwexpander_16(p->pred1, st->LPC_order, 63570);
+    }
 
     memset(p->pitchL, 0, sizeof(p->pitchL));
     memset(p->ltp_coef, 0, sizeof(p->ltp_coef));
@@ -1077,7 +1121,7 @@ static void lpc_analysis_filter(const int64_t *x, const int64_t *B,
     }
 }
 
-static void decode_core(chan_state *st, const frame_params *p,
+static void decode_core(chan_state *st, frame_params *p,
                         const int *pulses, int64_t *xq)
 {
     indices_t *ind = &st->ind;
@@ -1101,6 +1145,8 @@ static void decode_core(chan_state *st, const frame_params *p,
         v += (int64_t)offset_q10 << 4;
         if (rand_seed < 0) v = -v;
         exc_q14[i] = v;
+        st->exc_Q14_buf[i] = v;   /* persisted for PLC/CNG (decode_core.c
+                                     psDec->exc_Q14) */
         rand_seed = I32(rand_seed + pulses[i]);
     }
 
@@ -1112,8 +1158,20 @@ static void decode_core(chan_state *st, const frame_params *p,
 
     for (k = 0; k < st->nb_subfr; k++) {
         const int64_t *A_Q12 = (k >> 1) == 0 ? p->pred0 : p->pred1;
-        const int64_t *B_Q14 = p->ltp_coef + k * LTP_ORDER;
+        int64_t *B_Q14 = p->ltp_coef + k * LTP_ORDER;
         int signal_type = ind->signalType;
+
+        /* Avoid abrupt transition from voiced PLC to unvoiced normal
+           decoding (decode_core.c:125-133); the LTPCoef/pitchL
+           mutations are visible to the later PLC state update, as in
+           the reference. */
+        if (st->lossCnt && st->prevSignalType == TYPE_VOICED
+            && ind->signalType != TYPE_VOICED && k < MAX_NB_SUBFR / 2) {
+            memset(B_Q14, 0, LTP_ORDER * sizeof(int64_t));
+            B_Q14[LTP_ORDER / 2] = 4096;   /* 0.25 in Q14 */
+            signal_type = TYPE_VOICED;
+            p->pitchL[k] = st->lagPrev;
+        }
         int64_t gain_q10 = p->gains[k] >> 6;
         int64_t inv_gain_q31 = inverse32_varq(p->gains[k], 47);
         int64_t gain_adj_q16;
@@ -1206,11 +1264,454 @@ static void decode_core(chan_state *st, const frame_params *p,
     memcpy(st->sLPC_Q14_buf, sLPC, sizeof(st->sLPC_Q14_buf));
 }
 
+/* ============== packet-loss concealment + comfort noise ==============
+ * Port of the reference's silk/PLC.c (silk_PLC_update :95, _conceal
+ * :168, _glue_frames :367) and silk/CNG.c (silk_CNG :80, _exc :36) in
+ * this file's int64/I32 idiom; bit-exact against the reference
+ * decoder's own opus_decode(NULL) output (tests/golden/opus_plc.bin).
+ * silk_PLC(update) + silk_CNG run on EVERY normal frame, so the state
+ * they read (exc_Q14_buf, prev LPC/LTP/gains/pitch) is persisted by
+ * decode_core/decode_parameters above. */
+
+#define NB_ATT 2
+#define RAND_BUF_SIZE 128
+#define RAND_BUF_MASK (RAND_BUF_SIZE - 1)
+#define V_PITCH_GAIN_START_MIN_Q14 11469
+#define V_PITCH_GAIN_START_MAX_Q14 15565
+#define MAX_PITCH_LAG_MS_PLC 18
+#define LOG2_INV_LPC_GAIN_HIGH_THRES 3
+#define LOG2_INV_LPC_GAIN_LOW_THRES 8
+#define PITCH_DRIFT_FAC_Q16 655
+#define BWE_COEF_Q16 ((int64_t)(0.99 * 65536.0 + 0.5))
+#define CNG_BUF_MASK_MAX 255
+#define CNG_GAIN_SMTH_Q16 4634
+#define CNG_NLSF_SMTH_Q16 16348
+#define CNG_RAND_SEED 3176576
+
+static const int64_t HARM_ATT_Q15[NB_ATT] = {32440, 31130};
+static const int64_t PLC_RAND_ATT_V_Q15[NB_ATT] = {31130, 26214};
+static const int64_t PLC_RAND_ATT_UV_Q15[NB_ATT] = {32440, 29491};
+
+/* sum_sqr_shift.c (int16 inputs; uint32 wrap semantics preserved) */
+static void sum_sqr_shift(int64_t *energy, int *shift, const int64_t *x,
+                          int len)
+{
+    int i, shft = 0;
+    int64_t nrg = 0, nrg_tmp;
+    len--;
+    for (i = 0; i < len; i += 2) {
+        nrg = I32(nrg + I32(SMULBB(x[i], x[i])));
+        nrg = I32(nrg + I32(SMULBB(x[i + 1], x[i + 1])));
+        if (nrg < 0) {
+            nrg = (int64_t)((uint32_t)(uint64_t)nrg >> 2);
+            shft = 2;
+            break;
+        }
+    }
+    for (; i < len; i += 2) {
+        nrg_tmp = SMULBB(x[i], x[i]);
+        nrg_tmp = I32(nrg_tmp + I32(SMULBB(x[i + 1], x[i + 1])));
+        nrg = I32((uint32_t)(uint64_t)nrg
+                  + ((uint32_t)(uint64_t)nrg_tmp >> shft));
+        if (nrg < 0) {
+            nrg = (int64_t)((uint32_t)(uint64_t)nrg >> 2);
+            shft += 2;
+        }
+    }
+    if (i == len) {
+        nrg_tmp = SMULBB(x[i], x[i]);
+        nrg = I32((uint32_t)(uint64_t)nrg
+                  + ((uint32_t)(uint64_t)nrg_tmp >> shft));
+    }
+    if (nrg & 0xC0000000) {
+        nrg = (int64_t)((uint32_t)(uint64_t)nrg >> 2);
+        shft += 2;
+    }
+    *energy = nrg;
+    *shift = shft;
+}
+
+static void plc_reset(chan_state *st)
+{
+    st->plc.pitchL_Q8 = (int64_t)st->frame_length << 7;
+    st->plc.prevGain_Q16[0] = (int64_t)1 << 16;
+    st->plc.prevGain_Q16[1] = (int64_t)1 << 16;
+    st->plc.subfr_length = 20;
+    st->plc.nb_subfr = 2;
+}
+
+/* PLC.c:95 silk_PLC_update */
+static void plc_update(chan_state *st, const frame_params *p)
+{
+    int64_t LTP_Gain_Q14 = 0, temp;
+    int i, j;
+    st->prevSignalType = st->ind.signalType;
+    if (st->ind.signalType == TYPE_VOICED) {
+        for (j = 0; j * st->subfr_length < p->pitchL[st->nb_subfr - 1];
+             j++) {
+            if (j == st->nb_subfr) break;
+            temp = 0;
+            for (i = 0; i < LTP_ORDER; i++)
+                temp += p->ltp_coef[(st->nb_subfr - 1 - j) * LTP_ORDER
+                                    + i];
+            if (temp > LTP_Gain_Q14) {
+                LTP_Gain_Q14 = temp;
+                for (i = 0; i < LTP_ORDER; i++)
+                    st->plc.LTPCoef_Q14[i] = p->ltp_coef[
+                        (st->nb_subfr - 1 - j) * LTP_ORDER + i];
+                st->plc.pitchL_Q8 =
+                    (int64_t)p->pitchL[st->nb_subfr - 1 - j] << 8;
+            }
+        }
+        memset(st->plc.LTPCoef_Q14, 0, sizeof(st->plc.LTPCoef_Q14));
+        st->plc.LTPCoef_Q14[LTP_ORDER / 2] = I16(LTP_Gain_Q14);
+
+        if (LTP_Gain_Q14 < V_PITCH_GAIN_START_MIN_Q14) {
+            int64_t scale_q10 = CDIV(
+                (int64_t)V_PITCH_GAIN_START_MIN_Q14 << 10,
+                LTP_Gain_Q14 > 1 ? LTP_Gain_Q14 : 1);
+            for (i = 0; i < LTP_ORDER; i++)
+                st->plc.LTPCoef_Q14[i] = I16(
+                    SMULBB(st->plc.LTPCoef_Q14[i], scale_q10) >> 10);
+        }
+        else if (LTP_Gain_Q14 > V_PITCH_GAIN_START_MAX_Q14) {
+            int64_t scale_q14 = CDIV(
+                (int64_t)V_PITCH_GAIN_START_MAX_Q14 << 14,
+                LTP_Gain_Q14 > 1 ? LTP_Gain_Q14 : 1);
+            for (i = 0; i < LTP_ORDER; i++)
+                st->plc.LTPCoef_Q14[i] = I16(
+                    SMULBB(st->plc.LTPCoef_Q14[i], scale_q14) >> 14);
+        }
+    }
+    else {
+        st->plc.pitchL_Q8 = (int64_t)(st->fs_kHz * 18) << 8;
+        memset(st->plc.LTPCoef_Q14, 0, sizeof(st->plc.LTPCoef_Q14));
+    }
+    for (i = 0; i < st->LPC_order; i++)
+        st->plc.prevLPC_Q12[i] = p->pred1[i];
+    st->plc.prevLTP_scale_Q14 = p->ltp_scale;
+    st->plc.prevGain_Q16[0] = p->gains[st->nb_subfr - 2];
+    st->plc.prevGain_Q16[1] = p->gains[st->nb_subfr - 1];
+    st->plc.subfr_length = st->subfr_length;
+    st->plc.nb_subfr = st->nb_subfr;
+}
+
+/* PLC.c:168 silk_PLC_conceal */
+static void plc_conceal(chan_state *st, frame_params *p, int64_t *frame)
+{
+    int i, j, k, lag, idx, sLTP_buf_idx;
+    int shift1, shift2;
+    int64_t energy1, energy2;
+    int64_t rand_seed, harm_Gain_Q15, rand_Gain_Q15, inv_gain_Q30;
+    int64_t rand_scale_Q14;
+    int64_t LPC_pred_Q10, LTP_pred_Q12;
+    int64_t exc_buf[2 * 80];
+    int64_t A_Q12[MAX_LPC_ORDER];
+    int64_t sLTP[320];
+    int64_t sLTP_Q14[320 + MAX_FRAME_LENGTH];
+    int64_t filt[320];
+    const int64_t *rand_ptr;
+    int64_t *B_Q14 = st->plc.LTPCoef_Q14;
+    int64_t prevGain_Q10[2];
+
+    prevGain_Q10[0] = st->plc.prevGain_Q16[0] >> 6;
+    prevGain_Q10[1] = st->plc.prevGain_Q16[1] >> 6;
+
+    if (st->first_frame_after_reset)
+        memset(st->plc.prevLPC_Q12, 0, sizeof(st->plc.prevLPC_Q12));
+
+    /* scale the last two subframes of excitation */
+    for (k = 0; k < 2; k++)
+        for (i = 0; i < st->plc.subfr_length; i++)
+            exc_buf[k * st->plc.subfr_length + i] = SAT16(
+                SMULWW(st->exc_Q14_buf[
+                           i + (k + st->plc.nb_subfr - 2)
+                               * st->plc.subfr_length],
+                       prevGain_Q10[k]) >> 8);
+    sum_sqr_shift(&energy1, &shift1, exc_buf, st->plc.subfr_length);
+    sum_sqr_shift(&energy2, &shift2, exc_buf + st->plc.subfr_length,
+                  st->plc.subfr_length);
+
+    if ((energy1 >> shift2) < (energy2 >> shift1)) {
+        idx = (st->plc.nb_subfr - 1) * st->plc.subfr_length
+              - RAND_BUF_SIZE;
+        rand_ptr = st->exc_Q14_buf + (idx > 0 ? idx : 0);
+    }
+    else {
+        idx = st->plc.nb_subfr * st->plc.subfr_length - RAND_BUF_SIZE;
+        rand_ptr = st->exc_Q14_buf + (idx > 0 ? idx : 0);
+    }
+
+    rand_scale_Q14 = st->plc.randScale_Q14;
+    harm_Gain_Q15 = HARM_ATT_Q15[st->lossCnt < NB_ATT - 1
+                                 ? st->lossCnt : NB_ATT - 1];
+    if (st->prevSignalType == TYPE_VOICED)
+        rand_Gain_Q15 = PLC_RAND_ATT_V_Q15[
+            st->lossCnt < NB_ATT - 1 ? st->lossCnt : NB_ATT - 1];
+    else
+        rand_Gain_Q15 = PLC_RAND_ATT_UV_Q15[
+            st->lossCnt < NB_ATT - 1 ? st->lossCnt : NB_ATT - 1];
+
+    /* bandwidth-expand previous LPC (persists across losses) */
+    bwexpander_16(st->plc.prevLPC_Q12, st->LPC_order, BWE_COEF_Q16);
+    for (i = 0; i < st->LPC_order; i++)
+        A_Q12[i] = st->plc.prevLPC_Q12[i];
+
+    if (st->lossCnt == 0) {
+        rand_scale_Q14 = 1 << 14;
+        if (st->prevSignalType == TYPE_VOICED) {
+            for (i = 0; i < LTP_ORDER; i++)
+                rand_scale_Q14 -= B_Q14[i];
+            if (rand_scale_Q14 < 3277) rand_scale_Q14 = 3277;
+            rand_scale_Q14 = I16(
+                SMULBB(rand_scale_Q14, st->plc.prevLTP_scale_Q14) >> 14);
+        }
+        else {
+            int64_t invGain_Q30, down_scale_Q30;
+            invGain_Q30 = lpc_inverse_pred_gain(st->plc.prevLPC_Q12,
+                                                st->LPC_order);
+            down_scale_Q30 = ((int64_t)1 << 30)
+                             >> LOG2_INV_LPC_GAIN_HIGH_THRES;
+            if (invGain_Q30 < down_scale_Q30)
+                down_scale_Q30 = invGain_Q30;
+            if (down_scale_Q30 < ((int64_t)1 << 30)
+                                 >> LOG2_INV_LPC_GAIN_LOW_THRES)
+                down_scale_Q30 = ((int64_t)1 << 30)
+                                 >> LOG2_INV_LPC_GAIN_LOW_THRES;
+            down_scale_Q30 = I32(down_scale_Q30
+                                 << LOG2_INV_LPC_GAIN_HIGH_THRES);
+            rand_Gain_Q15 = SMULWB(down_scale_Q30, rand_Gain_Q15) >> 14;
+        }
+    }
+
+    rand_seed = st->plc.rand_seed;
+    lag = (int)RSHIFT_ROUND(st->plc.pitchL_Q8, 8);
+    sLTP_buf_idx = st->ltp_mem_length;
+
+    /* rewhiten the LTP state (LPC analysis filter over outBuf) */
+    idx = st->ltp_mem_length - lag - st->LPC_order - LTP_ORDER / 2;
+    if (idx <= 0) idx = 1;  /* reference asserts idx > 0 */
+    lpc_analysis_filter(st->outBuf + idx, A_Q12,
+                        st->ltp_mem_length - idx, st->LPC_order, filt);
+    memset(sLTP, 0, sizeof(sLTP));
+    for (i = 0; i < st->ltp_mem_length - idx; i++)
+        sLTP[idx + i] = filt[i];
+    inv_gain_Q30 = inverse32_varq(st->plc.prevGain_Q16[1], 46);
+    if (inv_gain_Q30 > (I32_MAX >> 1)) inv_gain_Q30 = I32_MAX >> 1;
+    memset(sLTP_Q14, 0, sizeof(sLTP_Q14));
+    for (i = idx + st->LPC_order; i < st->ltp_mem_length; i++)
+        sLTP_Q14[i] = SMULWB(inv_gain_Q30, sLTP[i]);
+
+    /* LTP synthesis */
+    for (k = 0; k < st->nb_subfr; k++) {
+        int pred_base = sLTP_buf_idx - lag + LTP_ORDER / 2;
+        for (i = 0; i < st->subfr_length; i++) {
+            int pp = pred_base + i;
+            LTP_pred_Q12 = 2;
+            LTP_pred_Q12 = I32(SMLAWB(LTP_pred_Q12, sLTP_Q14[pp],
+                                      B_Q14[0]));
+            LTP_pred_Q12 = I32(SMLAWB(LTP_pred_Q12, sLTP_Q14[pp - 1],
+                                      B_Q14[1]));
+            LTP_pred_Q12 = I32(SMLAWB(LTP_pred_Q12, sLTP_Q14[pp - 2],
+                                      B_Q14[2]));
+            LTP_pred_Q12 = I32(SMLAWB(LTP_pred_Q12, sLTP_Q14[pp - 3],
+                                      B_Q14[3]));
+            LTP_pred_Q12 = I32(SMLAWB(LTP_pred_Q12, sLTP_Q14[pp - 4],
+                                      B_Q14[4]));
+            rand_seed = silk_rand(rand_seed);
+            j = (int)((rand_seed >> 25) & RAND_BUF_MASK);
+            sLTP_Q14[sLTP_buf_idx] = I32(
+                I32(SMLAWB(LTP_pred_Q12, rand_ptr[j], rand_scale_Q14))
+                << 2);
+            sLTP_buf_idx++;
+        }
+        for (j = 0; j < LTP_ORDER; j++)
+            B_Q14[j] = I16(SMULBB(harm_Gain_Q15, B_Q14[j]) >> 15);
+        rand_scale_Q14 = I16(
+            SMULBB(rand_scale_Q14, rand_Gain_Q15) >> 15);
+        st->plc.pitchL_Q8 = I32(SMLAWB(st->plc.pitchL_Q8,
+                                       st->plc.pitchL_Q8,
+                                       PITCH_DRIFT_FAC_Q16));
+        if (st->plc.pitchL_Q8 >
+            ((int64_t)(MAX_PITCH_LAG_MS_PLC * st->fs_kHz) << 8))
+            st->plc.pitchL_Q8 =
+                (int64_t)(MAX_PITCH_LAG_MS_PLC * st->fs_kHz) << 8;
+        lag = (int)RSHIFT_ROUND(st->plc.pitchL_Q8, 8);
+    }
+
+    /* LPC synthesis */
+    {
+        int64_t *sLPC = sLTP_Q14 + st->ltp_mem_length - MAX_LPC_ORDER;
+        memcpy(sLPC, st->sLPC_Q14_buf, sizeof(st->sLPC_Q14_buf));
+        for (i = 0; i < st->frame_length; i++) {
+            int pos = MAX_LPC_ORDER + i;
+            LPC_pred_Q10 = st->LPC_order >> 1;
+            for (j = 0; j < st->LPC_order; j++)
+                LPC_pred_Q10 = I32(SMLAWB(LPC_pred_Q10,
+                                          sLPC[pos - 1 - j], A_Q12[j]));
+            sLPC[pos] = I32(sLPC[pos] + I32(LPC_pred_Q10 << 4));
+            frame[i] = SAT16(SAT16(RSHIFT_ROUND(
+                SMULWW(sLPC[pos], prevGain_Q10[1]), 8)));
+        }
+        memcpy(st->sLPC_Q14_buf, sLPC + st->frame_length,
+               sizeof(st->sLPC_Q14_buf));
+    }
+
+    st->plc.rand_seed = rand_seed;
+    st->plc.randScale_Q14 = rand_scale_Q14;
+    for (i = 0; i < MAX_NB_SUBFR; i++) p->pitchL[i] = lag;
+}
+
+/* PLC.c:64 silk_PLC */
+static void silk_plc(chan_state *st, frame_params *p, int64_t *frame,
+                     int lost)
+{
+    if (st->fs_kHz != st->plc.fs_kHz) {
+        plc_reset(st);
+        st->plc.fs_kHz = st->fs_kHz;
+    }
+    if (lost) {
+        plc_conceal(st, p, frame);
+        st->lossCnt++;
+    }
+    else
+        plc_update(st, p);
+}
+
+/* PLC.c:367 silk_PLC_glue_frames */
+static void plc_glue(chan_state *st, int64_t *frame, int length)
+{
+    int i, energy_shift;
+    int64_t energy;
+    if (st->lossCnt) {
+        sum_sqr_shift(&st->plc.conc_energy, &st->plc.conc_energy_shift,
+                      frame, length);
+        st->plc.last_frame_lost = 1;
+    }
+    else {
+        if (st->plc.last_frame_lost) {
+            sum_sqr_shift(&energy, &energy_shift, frame, length);
+            if (energy_shift > st->plc.conc_energy_shift)
+                st->plc.conc_energy >>= energy_shift
+                                        - st->plc.conc_energy_shift;
+            else if (energy_shift < st->plc.conc_energy_shift)
+                energy >>= st->plc.conc_energy_shift - energy_shift;
+            if (energy > st->plc.conc_energy) {
+                int64_t frac_Q24, LZ, gain_Q16, slope_Q16;
+                LZ = CLZ32(st->plc.conc_energy) - 1;
+                st->plc.conc_energy = I32(st->plc.conc_energy << LZ);
+                energy >>= (24 - LZ) > 0 ? 24 - LZ : 0;
+                frac_Q24 = CDIV(st->plc.conc_energy,
+                                energy > 1 ? energy : 1);
+                gain_Q16 = I32(sqrt_approx(frac_Q24) << 4);
+                slope_Q16 = CDIV(((int64_t)1 << 16) - gain_Q16, length);
+                slope_Q16 = I32(slope_Q16 << 2);
+                for (i = 0; i < length; i++) {
+                    frame[i] = SMULWB(gain_Q16, frame[i]);
+                    gain_Q16 += slope_Q16;
+                    if (gain_Q16 > (int64_t)1 << 16) break;
+                }
+            }
+        }
+        st->plc.last_frame_lost = 0;
+    }
+}
+
+/* CNG.c:36 silk_CNG_exc */
+static void cng_exc(int64_t *residual_Q10, const int64_t *exc_buf_Q14,
+                    int64_t Gain_Q16, int length, int64_t *rand_seed)
+{
+    int64_t seed = *rand_seed;
+    int i, idx, exc_mask = CNG_BUF_MASK_MAX;
+    while (exc_mask > length) exc_mask >>= 1;
+    for (i = 0; i < length; i++) {
+        seed = silk_rand(seed);
+        idx = (int)((seed >> 24) & exc_mask);
+        residual_Q10[i] = I16(SAT16(
+            SMULWW(exc_buf_Q14[idx], Gain_Q16 >> 4)));
+    }
+    *rand_seed = seed;
+}
+
+static void cng_reset(chan_state *st)
+{
+    int i;
+    int64_t step = CDIV(32767, st->LPC_order + 1), acc = 0;
+    for (i = 0; i < st->LPC_order; i++) {
+        acc += step;
+        st->cng.smth_NLSF_Q15[i] = acc;
+    }
+    st->cng.smth_Gain_Q16 = 0;
+    st->cng.rand_seed = CNG_RAND_SEED;
+}
+
+/* CNG.c:80 silk_CNG */
+static void silk_cng(chan_state *st, const frame_params *p,
+                     int64_t *frame, int length)
+{
+    int i, subfr;
+    int64_t sum_Q6, max_Gain_Q16;
+    int64_t A_Q12[MAX_LPC_ORDER];
+    if (st->fs_kHz != st->cng.fs_kHz) {
+        cng_reset(st);
+        st->cng.fs_kHz = st->fs_kHz;
+    }
+    if (st->lossCnt == 0
+        && st->prevSignalType == TYPE_NO_VOICE_ACTIVITY) {
+        for (i = 0; i < st->LPC_order; i++)
+            st->cng.smth_NLSF_Q15[i] += SMULWB(
+                st->prevNLSF_Q15[i] - st->cng.smth_NLSF_Q15[i],
+                CNG_NLSF_SMTH_Q16);
+        max_Gain_Q16 = 0;
+        subfr = 0;
+        for (i = 0; i < st->nb_subfr; i++)
+            if (p->gains[i] > max_Gain_Q16) {
+                max_Gain_Q16 = p->gains[i];
+                subfr = i;
+            }
+        memmove(st->cng.exc_buf_Q14 + st->subfr_length,
+                st->cng.exc_buf_Q14,
+                (size_t)((st->nb_subfr - 1) * st->subfr_length)
+                    * sizeof(int64_t));
+        memcpy(st->cng.exc_buf_Q14,
+               st->exc_Q14_buf + subfr * st->subfr_length,
+               (size_t)st->subfr_length * sizeof(int64_t));
+        for (i = 0; i < st->nb_subfr; i++)
+            st->cng.smth_Gain_Q16 += SMULWB(
+                p->gains[i] - st->cng.smth_Gain_Q16, CNG_GAIN_SMTH_Q16);
+    }
+    if (st->lossCnt) {
+        int64_t CNG_sig_Q10[MAX_FRAME_LENGTH + MAX_LPC_ORDER];
+        cng_exc(CNG_sig_Q10 + MAX_LPC_ORDER, st->cng.exc_buf_Q14,
+                st->cng.smth_Gain_Q16, length, &st->cng.rand_seed);
+        nlsf2a(st->cng.smth_NLSF_Q15, st->LPC_order, A_Q12);
+        memcpy(CNG_sig_Q10, st->cng.synth_state,
+               MAX_LPC_ORDER * sizeof(int64_t));
+        for (i = 0; i < length; i++) {
+            int pos = MAX_LPC_ORDER + i;
+            int j;
+            sum_Q6 = st->LPC_order >> 1;
+            for (j = 0; j < st->LPC_order; j++)
+                sum_Q6 = I32(SMLAWB(sum_Q6, CNG_sig_Q10[pos - 1 - j],
+                                    A_Q12[j]));
+            CNG_sig_Q10[pos] = I32(CNG_sig_Q10[pos] + I32(sum_Q6 << 4));
+            frame[i] = SAT16(frame[i] + RSHIFT_ROUND(sum_Q6, 6));
+        }
+        memcpy(st->cng.synth_state, CNG_sig_Q10 + length,
+               MAX_LPC_ORDER * sizeof(int64_t));
+    }
+    else
+        memset(st->cng.synth_state, 0,
+               (size_t)st->LPC_order * sizeof(int64_t));
+}
+
 /* ---------------- frame (silk.py decode_frame) --------------------- */
 
 static void decode_frame(chan_state *st, ecdec *dec, int cond_coding,
                          int64_t *xq)
 {
+    /* reference decode_frame.c:39-120: normal decode + PLC state
+       update + output buffering + glue + CNG */
     frame_params params;
     int pulses[MAX_ITER * SHELL_FRAME];
     int mv, i;
@@ -1219,6 +1720,8 @@ static void decode_frame(chan_state *st, ecdec *dec, int cond_coding,
                   st->frame_length, pulses);
     decode_parameters(st, cond_coding, &params);
     decode_core(st, &params, pulses, xq);
+    silk_plc(st, &params, xq, 0);
+    st->lossCnt = 0;
     st->prevSignalType = st->ind.signalType;
     st->first_frame_after_reset = 0;
     mv = st->ltp_mem_length - st->frame_length;
@@ -1226,6 +1729,25 @@ static void decode_frame(chan_state *st, ecdec *dec, int cond_coding,
         st->outBuf[i] = st->outBuf[st->frame_length + i];
     for (i = 0; i < st->frame_length; i++)
         st->outBuf[mv + i] = xq[i];
+    plc_glue(st, xq, st->frame_length);
+    silk_cng(st, &params, xq, st->frame_length);
+    st->lagPrev = params.pitchL[st->nb_subfr - 1];
+}
+
+/* Lost-frame path (decode_frame.c:98-100 + PLC extrapolation) */
+static void decode_frame_lost(chan_state *st, int64_t *xq)
+{
+    frame_params params;
+    int mv, i;
+    memset(&params, 0, sizeof(params));
+    silk_plc(st, &params, xq, 1);
+    mv = st->ltp_mem_length - st->frame_length;
+    for (i = 0; i < mv; i++)
+        st->outBuf[i] = st->outBuf[st->frame_length + i];
+    for (i = 0; i < st->frame_length; i++)
+        st->outBuf[mv + i] = xq[i];
+    plc_glue(st, xq, st->frame_length);
+    silk_cng(st, &params, xq, st->frame_length);
     st->lagPrev = params.pitchL[st->nb_subfr - 1];
 }
 
@@ -1328,7 +1850,7 @@ void silk_free(void *h) { free(h); }
 static int64_t silk_decode_one(silk_state *s, ecdec *dec,
                                int n_channels_internal, int internal_rate,
                                int payload_ms, int new_packet,
-                               int16_t *out)
+                               int16_t *out, int lost)
 {
     chan_state *cs = s->ch;
     int64_t ms_pred_q13[2] = {0, 0};
@@ -1379,7 +1901,7 @@ static int64_t silk_decode_one(silk_state *s, ecdec *dec,
     }
     s->nChannelsInternal = n_channels_internal;
 
-    if (cs[0].nFramesDecoded == 0) {
+    if (cs[0].nFramesDecoded == 0 && !lost) {
         for (n = 0; n < n_channels_internal; n++) {
             for (i = 0; i < cs[n].nFramesPerPacket; i++)
                 cs[n].VAD_flags[i] = ec_dec_bit_logp(dec, 1);
@@ -1427,12 +1949,19 @@ static int64_t silk_decode_one(silk_state *s, ecdec *dec,
     }
 
     if (n_channels_internal == 2) {
-        stereo_decode_pred(dec, ms_pred_q13);
-        if (cs[1].VAD_flags[cs[0].nFramesDecoded] == 0)
-            decode_only_middle =
-                ec_dec_icdf(dec, TU8[TU8_STEREO_MID], 8);
-        else
-            decode_only_middle = 0;
+        if (!lost) {
+            stereo_decode_pred(dec, ms_pred_q13);
+            if (cs[1].VAD_flags[cs[0].nFramesDecoded] == 0)
+                decode_only_middle =
+                    ec_dec_icdf(dec, TU8[TU8_STEREO_MID], 8);
+            else
+                decode_only_middle = 0;
+        }
+        else {
+            /* dec_API.c:237: reuse the previous MS predictors */
+            ms_pred_q13[0] = s->stereo_pred_prev[0];
+            ms_pred_q13[1] = s->stereo_pred_prev[1];
+        }
     }
 
     if (n_channels_internal == 2 && decode_only_middle == 0
@@ -1445,7 +1974,8 @@ static int64_t silk_decode_one(silk_state *s, ecdec *dec,
         cs[1].first_frame_after_reset = 1;
     }
 
-    has_side = !decode_only_middle;
+    has_side = lost ? !s->prev_decode_only_middle
+                    : !decode_only_middle;
     frame_len = cs[0].frame_length;
     memset(samples1, 0, sizeof(samples1));
     for (n = 0; n < n_channels_internal; n++) {
@@ -1457,7 +1987,10 @@ static int64_t silk_decode_one(silk_state *s, ecdec *dec,
             else if (n > 0 && s->prev_decode_only_middle)
                 cond = CODE_INDEPENDENTLY_NO_LTP_SCALING;
             else cond = CODE_CONDITIONALLY;
-            decode_frame(&cs[n], dec, cond, xq);
+            if (lost)
+                decode_frame_lost(&cs[n], xq);
+            else
+                decode_frame(&cs[n], dec, cond, xq);
             for (i = 0; i < frame_len; i++)
                 samples1[n][2 + i] = xq[i];
         }
@@ -1506,7 +2039,13 @@ static int64_t silk_decode_one(silk_state *s, ecdec *dec,
             for (i = 0; i < n_out; i++)
                 out[i * 2 + 1] = out[i * 2];
     }
-    s->prev_decode_only_middle = decode_only_middle;
+    if (lost)
+        /* dec_API.c:354: remove gain clamping so energy does not
+           bounce back after losses */
+        for (n = 0; n < n_channels_internal; n++)
+            cs[n].LastGainIndex = 10;
+    else
+        s->prev_decode_only_middle = decode_only_middle;
     return n_out;
 }
 
@@ -1528,12 +2067,79 @@ int64_t silk_decode(void *h, const uint8_t *buf, uint32_t storage,
         int chunk_ms = payload_ms >= 20 ? 20 : payload_ms;
         int64_t n = silk_decode_one(s, &dec, n_channels_internal,
                                     internal_rate, payload_ms, first,
-                                    out + total * s->nChannelsAPI);
+                                    out + total * s->nChannelsAPI, 0);
         if (n < 0) return -1;
         total += n;
         remaining_ms -= chunk_ms;
         first = 0;
     }
     ec_store(&dec, ec);
+    return total;
+}
+
+/* Debug/test: dump channel-0 decoder state (mirrors
+   tools/silk_plc_probe.c's reference-side dump; test tooling only). */
+int64_t silk_dump_state(void *h, int64_t *out, int64_t cap)
+{
+    silk_state *s = (silk_state *)h;
+    chan_state *c = &s->ch[0];
+    int64_t n = 0;
+    int i;
+    if (!s || cap < 160) return -1;
+    out[n++] = c->prev_gain_Q16;
+    out[n++] = c->LastGainIndex;
+    out[n++] = c->lagPrev;
+    out[n++] = c->lossCnt;
+    out[n++] = c->prevSignalType;
+    out[n++] = c->first_frame_after_reset;
+    for (i = 0; i < MAX_LPC_ORDER; i++) out[n++] = c->sLPC_Q14_buf[i];
+    for (i = 0; i < 16; i++)
+        out[n++] = c->outBuf[c->ltp_mem_length - 16 + i];
+    for (i = 0; i < 8; i++) out[n++] = c->exc_Q14_buf[i];
+    out[n++] = c->plc.pitchL_Q8;
+    out[n++] = c->plc.randScale_Q14;
+    out[n++] = c->plc.rand_seed;
+    out[n++] = c->plc.conc_energy;
+    out[n++] = c->plc.conc_energy_shift;
+    out[n++] = c->plc.prevLTP_scale_Q14;
+    out[n++] = c->plc.prevGain_Q16[0];
+    out[n++] = c->plc.prevGain_Q16[1];
+    out[n++] = c->plc.last_frame_lost;
+    for (i = 0; i < LTP_ORDER; i++) out[n++] = c->plc.LTPCoef_Q14[i];
+    for (i = 0; i < MAX_LPC_ORDER; i++)
+        out[n++] = c->plc.prevLPC_Q12[i];
+    out[n++] = c->cng.smth_Gain_Q16;
+    out[n++] = c->cng.rand_seed;
+    for (i = 0; i < 16; i++) out[n++] = c->outBuf[i];
+    for (i = 0; i < MAX_LPC_ORDER; i++) out[n++] = c->prevNLSF_Q15[i];
+    out[n++] = c->ec_prevSignalType;
+    out[n++] = c->ec_prevLagIndex;
+    out[n++] = c->ind.signalType;
+    out[n++] = c->ind.quantOffsetType;
+    out[n++] = c->ind.Seed;
+    return n;
+}
+
+/* Conceal one lost Opus SILK frame (reference opus_decoder_clean.c lost
+   path -> silk_Decode(FLAG_PACKET_LOST); PLC.c + CNG.c).  Caller passes
+   the LAST GOOD packet's configuration.  Returns total samples at
+   48 kHz per channel (out interleaved int16), or -1. */
+int64_t silk_decode_lost(void *h, int n_channels_internal,
+                         int internal_rate, int payload_ms, int16_t *out)
+{
+    silk_state *s = (silk_state *)h;
+    int remaining_ms = payload_ms, first = 1;
+    int64_t total = 0;
+    if (!tables_ready || !s) return -1;
+    while (remaining_ms > 0) {
+        int chunk_ms = payload_ms >= 20 ? 20 : payload_ms;
+        int64_t n = silk_decode_one(s, 0, n_channels_internal,
+                                    internal_rate, payload_ms, first,
+                                    out + total * s->nChannelsAPI, 1);
+        if (n < 0) return -1;
+        total += n;
+        remaining_ms -= chunk_ms;
+        first = 0;
+    }
     return total;
 }

@@ -333,6 +333,11 @@ def lib():
         L.silk_create.argtypes = [ctypes.c_int]
         L.silk_free.restype = None
         L.silk_free.argtypes = [ctypes.c_void_p]
+        L.silk_decode_lost.restype = ctypes.c_int64
+        L.silk_decode_lost.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i16p_,
+        ]
         L.silk_decode.restype = ctypes.c_int64
         L.silk_decode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32,

@@ -324,11 +324,12 @@ def test_silk_plc_golden_invariants():
     opus_decode_float(NULL) on the golden SILK cases — the fork's clean
     CELT decoder has PLC stripped, so only pure-SILK cases exist).
 
-    Our SILK concealment is a waveform fade, not a silk/PLC.c port, so
-    post-loss output legitimately diverges (measured 1-8 dB SNR vs the
-    reference PLC; a future PLC.c port should push this toward
-    bit-exact).  What must hold today: identical sample counts, exact
-    decode before the first loss, finite bounded output throughout."""
+    The native silk/PLC.c + CNG.c port (native/silk_dec.c silk_plc /
+    silk_cng, plus the post-loss bandwidth expansion of
+    decode_parameters.c:81 and the voiced-PLC transition patch of
+    decode_core.c:125) makes the whole lossy decode BIT-EXACT against
+    the reference decoder's own concealment, including recovery
+    frames."""
     import pathlib
     import struct
 
@@ -372,11 +373,19 @@ def test_silk_plc_golden_invariants():
                 for i in range(npk)]
         mine = np.concatenate(outs).reshape(-1).astype(np.float32)
         assert mine.size == total
-        assert np.isfinite(mine).all()
-        pre = int(np.argmax(lost)) * frame * ch
-        assert pre > 0
-        assert np.array_equal(mine[:pre], ref[:pre])
-        assert np.abs(mine).max() <= max(2.0 * np.abs(ref).max(), 0.1)
+        from libnyquist_tpu.formats.opus.silk import _native_silk
+
+        if _native_silk() is not None:
+            # native PLC port: bit-exact including every concealed and
+            # recovery frame
+            assert np.array_equal(mine, ref)
+        else:
+            # pure-Python fallback conceals with a waveform fade only
+            assert np.isfinite(mine).all()
+            pre = int(np.argmax(lost)) * frame * ch
+            assert pre > 0
+            assert np.array_equal(mine[:pre], ref[:pre])
+            assert np.abs(mine).max() <= max(2.0 * np.abs(ref).max(), 0.1)
 
 
 def test_dtx_packets_conceal():
