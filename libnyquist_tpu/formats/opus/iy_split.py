@@ -83,6 +83,7 @@ class CeltTrace:
 
 def celt_trace_stream_arrays(
     st: CeltDecoderState, payload, offs, lens, fsz, enda, cha,
+    with_heap: bool = True,
 ):
     """Whole-stream bits-only decode emitting the iy-split trace
     (native celt_decode_stream_trace).  Returns a CeltTrace, or None
@@ -117,7 +118,9 @@ def celt_trace_stream_arrays(
     i16p = ctypes.POINTER(ctypes.c_int16)
 
     lf_cap = 96 * n + 1024
-    iy_cap = 2 * 960 * n + 64          # exact upper bound (disjoint leaves)
+    # exact upper bound (disjoint leaves); 0 disables heap emission
+    # (the heap only feeds the float64 validation replayer)
+    iy_cap = 2 * 960 * n + 64 if with_heap else 0
     ac_cap = 8 * n + 1024
     while True:
         lf = {
@@ -133,7 +136,7 @@ def celt_trace_stream_arrays(
             "seed": np.empty(lf_cap, np.uint32),
             "iy_off": np.empty(lf_cap, np.int64),
         }
-        iy_heap = np.empty(iy_cap, np.int16)
+        iy_heap = np.empty(max(iy_cap, 1), np.int16)
         bd = {
             "mode": np.zeros((n, nb), np.uint8),
             "eff_lb": np.full((n, nb), -1, np.int32),
@@ -251,12 +254,15 @@ def celt_trace_stream_arrays(
 
 # --------------------- transform chain machinery ---------------------
 
-def _chain(N, B, tf_change):
+def _chain(N, B, tf_change, structural=False):
     """The lowband pre-transform and X resynthesis step lists of
     quant_band (celt_bands.c:quant_band; upstream bands.c:1026-1117) for
     one (band size N, frame B, tf_change).  Steps:
-      ('haar', n0, stride)      haar1 butterfly
-      ('perm', perm_array)      static gather X = X[perm]
+      ('haar', n0, stride)          haar1 butterfly
+      ('perm', perm_array)          static gather X = X[perm]
+    or with structural=True (for the device path, which lowers the
+    hadamard (de)interleave to reshapes/transposes instead of gathers):
+      ('deint'|'int', N0, stride, had)
     """
     longBlocks = B == 1
     N_B = N // B
@@ -277,14 +283,22 @@ def _chain(N, B, tf_change):
     B0 = B2
     N_B0 = N_B
     if B0 > 1:
-        pre.append(("perm",
-                    _deint_perm(N_B >> recombine, B0 << recombine,
-                                longBlocks)))
+        if structural:
+            pre.append(("deint", N_B >> recombine, B0 << recombine,
+                        longBlocks))
+        else:
+            pre.append(("perm",
+                        _deint_perm(N_B >> recombine, B0 << recombine,
+                                    longBlocks)))
     post = []
     if B0 > 1:
-        post.append(("perm",
-                     _int_perm(N_B >> recombine, B0 << recombine,
-                               longBlocks)))
+        if structural:
+            post.append(("int", N_B >> recombine, B0 << recombine,
+                         longBlocks))
+        else:
+            post.append(("perm",
+                         _int_perm(N_B >> recombine, B0 << recombine,
+                                   longBlocks)))
     N_B = N_B0
     for k in range(time_divide):
         B2 >>= 1

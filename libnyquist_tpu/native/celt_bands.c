@@ -269,6 +269,9 @@ typedef struct {
     const double *band_base;    /* leaf offsets = X - band_base */
 } bctx;
 
+static void exp_rotation(double *X, int len, int dir, int stride, int K,
+                         int spread);
+
 static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
                       int stride, double gain, uint32_t seed,
                       const int *iy) {
@@ -290,17 +293,35 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
         int64_t Ryy = 0;
         double g;
         float *xs;
-        if (T->iy_n + N > T->iy_cap) { T->err = 1; return; }
-        T->lf_iy_off[n] = T->iy_n;
-        for (j = 0; j < N; j++)
-            T->iy_heap[T->iy_n + j] = (int16_t)iy[j];
-        T->iy_n += N;
+        if (T->iy_heap) {
+            /* validation path: keep the raw integer vectors for the
+               float64 NumPy replayer (production only needs xs) */
+            if (T->iy_n + N > T->iy_cap) { T->err = 1; return; }
+            T->lf_iy_off[n] = T->iy_n;
+            for (j = 0; j < N; j++)
+                T->iy_heap[T->iy_n + j] = (int16_t)iy[j];
+            T->iy_n += N;
+        } else {
+            T->lf_iy_off[n] = -1;
+        }
         for (j = 0; j < N; j++) Ryy += (int64_t)iy[j] * iy[j];
         g = gain / sqrt((double)Ryy);
         xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
                       * (int64_t)T->xs_nmax)
             + T->cur_bandoff + (X - ctx->band_base);
-        for (j = 0; j < N; j++) xs[j] = (float)(g * iy[j]);
+        {
+            /* spreading rotation applied HERE, in the same double
+               precision as the full-float decode (vq.c alg_unquant
+               order: normalise then exp_rotation), so the device
+               replay consumes finished leaf values.  Measured: the
+               rotation as device gather+matmul+scatter buckets cost
+               1.59s/stream on TPU (scatter-bound); as host scalar
+               code it is ~190 Mcy (~0.07s) -- see DESIGN_iy_split.md. */
+            double seg[256];
+            for (j = 0; j < N; j++) seg[j] = g * iy[j];
+            exp_rotation(seg, N, -1, stride, K, ctx->spread);
+            for (j = 0; j < N; j++) xs[j] = (float)seg[j];
+        }
     } else {
         T->lf_iy_off[n] = -1;
         if (type == LF_N1)
@@ -2107,7 +2128,8 @@ int64_t celt_decode_stream_trace(
     T.lf_frame = lf_frame; T.lf_band = lf_band; T.lf_call = lf_call;
     T.lf_type = lf_type; T.lf_off = lf_off; T.lf_len = lf_len;
     T.lf_k = lf_k; T.lf_stride = lf_stride; T.lf_gain = lf_gain;
-    T.lf_seed = lf_seed; T.lf_iy_off = lf_iy_off; T.iy_heap = iy_heap;
+    T.lf_seed = lf_seed; T.lf_iy_off = lf_iy_off;
+    T.iy_heap = tcaps[1] > 0 ? iy_heap : 0;
     T.bd_mode = bd_mode; T.bd_eff_lb = bd_eff_lb; T.bd_tf = bd_tf;
     T.bd_imid = bd_imid; T.bd_iside = bd_iside; T.bd_itheta = bd_itheta;
     T.bd_inv = bd_inv; T.bd_sign = bd_sign; T.bd_cflag = bd_cflag;

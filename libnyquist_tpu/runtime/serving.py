@@ -591,3 +591,55 @@ def synthesize_vorbis_streams_mixed(specs_padded, plan, use_device=True):
     mc = xp.asarray((plan["idx_cur"] >= 0).astype(np.float32))
     out = flat[:, ip] * mp_ + flat[:, ic] * mc
     return out
+
+
+def make_opus_stream_program(replay_key, F, N, CC, n_steps, f_chunk,
+                             overlap, short_mdct):
+    """ONE jitted program per Opus stream for the iy-split serving path:
+    PVQ-plane replay (ops/celt_replay.py) + the full batched synthesis
+    (IMDCT matmuls + TDAC + comb + deemphasis) as a lax.scan over
+    F_CHUNK chunks, returning the final states and the per-row PCM sum
+    (the reference Main.cpp:146 checksum form).
+
+    Fusing both halves into a single executable matters on real
+    deployments and doubly so on this rig: alternating two large
+    programs per stream leaves the runtime reloading/defragmenting per
+    dispatch (measured: a ~2.7s fixed tax per replay call after the
+    step program runs; fused: sub-ms dispatch).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.celt_replay import _replay_builder
+
+    replay = _replay_builder(replay_key)
+    Fpad = n_steps * f_chunk
+
+    def fn(arrs, synth):
+        freq = replay(arrs)                       # [F, CCout, N]
+        spec = jnp.transpose(freq[:, :CC], (1, 0, 2))
+        spec = jnp.pad(spec, ((0, 0), (0, Fpad - F), (0, 0)))
+        spec = spec.reshape(CC, n_steps, f_chunk, N).transpose(1, 0, 2, 3)
+
+        def body(carry, xs):
+            tails, hist, mem, acc = carry
+            sp, msk, TA, gA, TB1, gB1 = xs
+            pcm, tails, hist, mem = unified_step_body(
+                sp, msk, TA, gA, TB1, gB1, synth["fade"],
+                synth["T1m"], synth["T1p"], synth["T8m"], synth["T8p"],
+                tails, hist, mem, overlap, short_mdct)
+            acc = acc + jnp.sum(pcm, axis=1)
+            return (tails, hist, mem, acc), jnp.float32(0)
+
+        from ..ops import comb as comb_ops
+
+        init = (jnp.zeros((CC, overlap), jnp.float32),
+                jnp.zeros((CC, comb_ops.HIST), jnp.float32),
+                jnp.zeros((CC,), jnp.float32),
+                jnp.zeros((CC,), jnp.float32))
+        xs = (spec, synth["msk"], synth["TA"], synth["gA"],
+              synth["TB1"], synth["gB1"])
+        (tails, hist, mem, acc), _ = jax.lax.scan(body, init, xs)
+        return acc
+
+    return jax.jit(fn)

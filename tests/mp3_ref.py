@@ -558,12 +558,19 @@ def synth_vec(xl, xl_off, pcm, pcm_off, nch, lins, lins_off):
 def granule_maps(nbands: int, nch: int):
     """Probe (A, BC, BDC) for synth_granule with this (nbands, nch).
 
-    Probing runs synth_granule ~2100 times, so the result is cached on
-    disk next to the native build artifacts and loaded on later runs."""
+    Probing runs synth_granule ~2100 times, so the result is cached in
+    a test-local cache dir (NOT the product package tree, which may be
+    installed read-only) and loaded on later runs."""
     import pathlib
 
-    cache = (pathlib.Path(__file__).resolve().parents[1] / "native"
-             / f"mp3maps_{nbands}_{nch}.npz")
+    cdir = pathlib.Path(__file__).resolve().parent / ".cache"
+    try:
+        cdir.mkdir(exist_ok=True)
+    except Exception:
+        import tempfile
+
+        cdir = pathlib.Path(tempfile.gettempdir())
+    cache = cdir / f"mp3maps_{nbands}_{nch}.npz"
     if cache.exists():
         try:
             z = np.load(cache)
