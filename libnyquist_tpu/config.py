@@ -19,6 +19,9 @@ flags, all read at first use and centralized here.
 |                             | host synthesis (oracle path) |
 | LIBNYQUIST_FLAC_MD5         | verify the STREAMINFO MD5 of decoded
 |                             | FLAC audio (libFLAC md5_checking) |
+| LIBNYQUIST_ROT_PALLAS       | single-kernel Pallas CELT rotation
+|                             | (ops/rot_pallas.py) instead of the
+|                             | XLA scan formulation |
 
 The NO_NATIVE_* flags are the analog of building the reference without
 its optimized translation units: every native plane keeps a pure-Python
@@ -41,6 +44,7 @@ class Config:
     opus_device_pipeline: bool
     opus_frame_synth: bool
     flac_md5: bool
+    rot_pallas: bool
 
 
 def current() -> Config:
@@ -56,4 +60,5 @@ def current() -> Config:
         opus_device_pipeline=bool(e("LIBNYQUIST_OPUS_PIPELINE")),
         opus_frame_synth=bool(e("LIBNYQUIST_OPUS_FRAME_SYNTH")),
         flac_md5=bool(e("LIBNYQUIST_FLAC_MD5")),
+        rot_pallas=bool(e("LIBNYQUIST_ROT_PALLAS")),
     )

@@ -75,19 +75,36 @@ class CeltTrace:
     pfp: np.ndarray
     pfg: np.ndarray
     pft: np.ndarray
-    xs: np.ndarray           # [F, 2, nmax] f32 dense scaled-unrotated plane
+    xs: np.ndarray           # [F, 2, nmax] f32 dense leaf plane: finished
+    #                          values (raw_iy=False) or raw iy integers
     CC: int
     CCout: int
     start: int
+    raw_iy: bool = False     # xs holds raw iy; lf_gain holds final g;
+    #                          rotation+scale replayed on device
+    # native-emitted rotation sub-segment markers (raw_iy traces;
+    # None -> assemble with celt_replay._rotation_markers, the Python
+    # spec of the same plane)
+    rot_rows: np.ndarray | None = None
+    rot_cols: np.ndarray | None = None
+    rot_pk: np.ndarray | None = None
+    rot_th: np.ndarray | None = None
+    rot_g: np.ndarray | None = None
+    rot_sigmas: tuple = ()
 
 
 def celt_trace_stream_arrays(
     st: CeltDecoderState, payload, offs, lens, fsz, enda, cha,
-    with_heap: bool = True,
+    with_heap: bool = True, raw_iy: bool = False,
 ):
     """Whole-stream bits-only decode emitting the iy-split trace
     (native celt_decode_stream_trace).  Returns a CeltTrace, or None
-    when the native library is unavailable."""
+    when the native library is unavailable.
+
+    raw_iy=True: the xs plane holds raw iy integers (as f32) and
+    lf_gain holds the final per-leaf gain g = gain/sqrt(Ryy); the
+    spreading rotation + scale run on device (celt_replay.rotate_plane)
+    instead of in the host emitter — the last host float-plane work."""
     import ctypes
 
     from .celt import _ec_ptrs, _mode_ptrs, _native_celt
@@ -118,6 +135,7 @@ def celt_trace_stream_arrays(
     i16p = ctypes.POINTER(ctypes.c_int16)
 
     lf_cap = 96 * n + 1024
+    rot_cap = 128 * n + 1024 if raw_iy else 0
     # exact upper bound (disjoint leaves); 0 disables heap emission
     # (the heap only feeds the float64 validation replayer)
     iy_cap = 2 * 960 * n + 64 if with_heap else 0
@@ -171,7 +189,17 @@ def celt_trace_stream_arrays(
         ole2 = np.ascontiguousarray(st.oldLogE2, np.float64).copy()
         bg = np.ascontiguousarray(st.backgroundLogE, np.float64).copy()
         rng = np.array([st.rng], np.int64)
-        tcaps = np.array([lf_cap, iy_cap, ac_cap, 0, 0, 0], np.int64)
+        rot = {
+            "rows": np.empty(max(rot_cap, 1), np.int32),
+            "cols": np.empty(max(rot_cap, 1), np.int32),
+            "pk": np.empty(max(rot_cap, 1), np.int32),
+            "th": np.empty(max(rot_cap, 1), np.float32),
+            "g": np.empty(max(rot_cap, 1), np.float32),
+        }
+        tcaps = np.array(
+            [lf_cap, iy_cap, ac_cap, 0, 0, 0, 1 if raw_iy else 0,
+             rot_cap, 0, 0],
+            np.int64)
 
         rc = L.celt_decode_stream_trace(
             payload, offs.ctypes.data_as(i64p), lens.ctypes.data_as(i64p),
@@ -212,10 +240,17 @@ def celt_trace_stream_arrays(
             ac["r"].ctypes.data_as(f32p),
             fr_misc.ctypes.data_as(i32p), fr_gains.ctypes.data_as(f32p),
             xs.ctypes.data_as(f32p), nmax,
+            rot["rows"].ctypes.data_as(i32p),
+            rot["cols"].ctypes.data_as(i32p),
+            rot["pk"].ctypes.data_as(i32p),
+            rot["th"].ctypes.data_as(f32p),
+            rot["g"].ctypes.data_as(f32p),
         )
         if rc == -2:
             lf_cap *= 4
             ac_cap *= 4
+            if raw_iy:
+                rot_cap *= 4
             continue
         if rc != 0:
             raise ValueError(
@@ -232,6 +267,17 @@ def celt_trace_stream_arrays(
     nl = int(tcaps[3])
     niy = int(tcaps[4])
     nac = int(tcaps[5])
+    nrot = int(tcaps[7]) if raw_iy else 0
+    smask = int(tcaps[8]) if raw_iy else 0
+    rot_kw = {}
+    if raw_iy:
+        rot_kw = dict(
+            rot_rows=rot["rows"][:nrot], rot_cols=rot["cols"][:nrot],
+            rot_pk=rot["pk"][:nrot], rot_th=rot["th"][:nrot],
+            rot_g=rot["g"][:nrot],
+            rot_sigmas=tuple(s for s in range(1, 16)
+                             if smask & (1 << s)),
+        )
     return CeltTrace(
         lf_frame=lf["frame"][:nl], lf_band=lf["band"][:nl],
         lf_call=lf["call"][:nl], lf_type=lf["type"][:nl],
@@ -248,7 +294,8 @@ def celt_trace_stream_arrays(
         fr_misc=fr_misc, fr_gains=fr_gains,
         fsz=fsz, ends=enda, chs=cha, sb=sb, sil=sil,
         pfp=pfp, pfg=pfg, pft=pft, xs=xs,
-        CC=CC, CCout=CCout, start=int(st.start),
+        CC=CC, CCout=CCout, start=int(st.start), raw_iy=bool(raw_iy),
+        **rot_kw,
     )
 
 
@@ -513,7 +560,9 @@ def replay_numpy(tr: CeltTrace) -> np.ndarray:
             src = tr.lf_iy_off[sel][:, None] + np.arange(ln)[None, :]
             iy = tr.iy_heap[src].astype(np.float64)
             Ryy = (iy * iy).sum(axis=1)
-            gains = tr.lf_gain[sel] / np.sqrt(Ryy)
+            # raw-iy traces carry the final g = gain/sqrt(Ryy) directly
+            gains = (tr.lf_gain[sel] if tr.raw_iy
+                     else tr.lf_gain[sel] / np.sqrt(Ryy))
             X = gains[:, None] * iy
             exp_rotation_batched(X, ln, int(strd), int(K), int(spr))
             val_heap.reshape(-1)[src.reshape(-1)] = X.reshape(-1)

@@ -16,6 +16,28 @@
 
 #include "ecdec.h"
 
+/* Optional rdtsc stage profiling (build with -DCELT_PROF; profiling
+ * builds only — the shipped .so is compiled without it, so the hot
+ * loops carry no counters).  Slots: 0 hdr+energy, 1 bands total,
+ * 2 cwrsi+dec_uint, 3 emit_leaf, 4 post-bands, 5 emit rotation. */
+#ifdef CELT_PROF
+static uint64_t celt_prof_c[8];
+static inline uint64_t prof_now(void) {
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+}
+#define PROF_T(v) uint64_t v = prof_now()
+#define PROF_ADD(i, v) (celt_prof_c[i] += prof_now() - (v))
+void celt_prof_get(uint64_t *out) {
+    int i;
+    for (i = 0; i < 8; i++) { out[i] = celt_prof_c[i]; celt_prof_c[i] = 0; }
+}
+#else
+#define PROF_T(v)
+#define PROF_ADD(i, v)
+#endif
+
 /* ----------------------------- CWRS ------------------------------ */
 
 #define UMAX_N 242
@@ -243,6 +265,20 @@ typedef struct {
        replaces is what the iy-split moves off-host. */
     float *xs;
     int32_t xs_nmax;
+    int32_t raw_iy;         /* 1: store raw iy ints in xs (no host
+                               rotation/scale) and the final per-leaf
+                               gain g = gain/sqrt(Ryy) in lf_gain; the
+                               device rotation pre-pass consumes the
+                               trace's (len,k,stride,spread) markers */
+    /* rotation sub-segment markers (raw_iy traces): emitted here so
+       the Python assembly (celt_replay._rotation_markers, the spec
+       and fallback for this plane) is off the serving hot path.
+       One marker per exp_rotation sub-segment, plus one identity
+       marker per non-rotating leaf; rot_pk = col<<13|len<<4|lag. */
+    int32_t *rot_row, *rot_col, *rot_pk;
+    float *rot_th, *rot_g;
+    int64_t rot_cap, rot_n;
+    uint32_t rot_sigmas;    /* bitmask of emitted sigma2 values */
     int32_t cur_bandoff;    /* M * eBands[current band] */
     int err;                /* set on capacity overflow */
 } tracectx;
@@ -272,10 +308,69 @@ typedef struct {
 static void exp_rotation(double *X, int len, int dir, int stride, int K,
                          int spread);
 
+static void emit_rot_plain(tracectx *T, int rowi, int col, int N,
+                           float g) {
+    int64_t rn = T->rot_n;
+    int ln = N > 0 ? N : 1;
+    if (rn >= T->rot_cap) { T->err = 1; return; }
+    T->rot_row[rn] = rowi;
+    T->rot_col[rn] = col;
+    T->rot_pk[rn] = (col << 13) | (ln << 4) | 1;
+    T->rot_th[rn] = 0.f;
+    T->rot_g[rn] = g;
+    T->rot_n = rn + 1;
+}
+
+/* Rotation markers for one leaf (bit-identical to the Python spec
+   celt_replay._rotation_markers, which remains the fallback/oracle):
+   non-rotating leaves get one identity marker; rotating PVQ leaves get
+   one marker per exp_rotation sub-segment (vq.c:78 splits the leaf
+   into `stride` sub-segments of len/stride, remainder untouched). */
+static void emit_rot_markers(bctx *ctx, tracectx *T, int type,
+                             const double *X, int N, int K, int stride,
+                             double g) {
+    int rowi = (int)(ctx->cur_frame * 2 + ctx->cur_call);
+    int col = T->cur_bandoff + (int)(X - ctx->band_base);
+    if (type == LF_PVQ && 2 * K < N && ctx->spread != SPREAD_NONE
+        && N >= (stride > 1 ? stride : 1)) {
+        int s2 = 0, Lsub, rem, nsub, jj;
+        double gr = (double)N
+            / (double)(N + SPREAD_FACTOR[ctx->spread - 1] * K);
+        float th = (float)(0.5 * gr * gr);
+        if (N >= 8 * stride) {
+            s2 = 1;
+            while ((s2 * s2 + s2) * stride + (stride >> 2) < N) s2++;
+        }
+        Lsub = N / stride;
+        rem = N % stride;
+        nsub = stride + (rem > 0);
+        if (T->rot_n + nsub > T->rot_cap) { T->err = 1; return; }
+        for (jj = 0; jj < nsub; jj++) {
+            int tail = jj >= stride;
+            int scol = col + jj * Lsub;
+            int slen = tail ? rem : Lsub;
+            int lagv = tail ? 1 : 1 + s2;
+            int64_t rn = T->rot_n;
+            if (slen < 1) slen = 1;
+            T->rot_row[rn] = rowi;
+            T->rot_col[rn] = scol;
+            T->rot_pk[rn] = (scol << 13) | (slen << 4) | lagv;
+            T->rot_th[rn] = tail ? 0.f : th;
+            T->rot_g[rn] = (float)g;
+            T->rot_n = rn + 1;
+        }
+        if (s2 > 0) T->rot_sigmas |= 1u << s2;
+    } else {
+        emit_rot_plain(T, rowi, col, N,
+                       type == LF_PVQ ? (float)g : 1.f);
+    }
+}
+
 static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
                       int stride, double gain, uint32_t seed,
                       const int *iy) {
     tracectx *T = ctx->tr;
+    PROF_T(pe0);
     int64_t n = T->lf_n;
     if (n >= T->lf_cap) { T->err = 1; return; }
     T->lf_frame[n] = (int32_t)ctx->cur_frame;
@@ -309,7 +404,15 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
         xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
                       * (int64_t)T->xs_nmax)
             + T->cur_bandoff + (X - ctx->band_base);
-        {
+        if (T->raw_iy) {
+            /* iy-split v2: raw integer plane; the device applies
+               g and the spreading rotation (segmented affine scans,
+               ops/celt_replay.py rotate_plane). */
+            T->lf_gain[n] = g;
+            for (j = 0; j < N; j++) xs[j] = (float)iy[j];
+            if (T->rot_row)
+                emit_rot_markers(ctx, T, type, X, N, K, stride, g);
+        } else {
             /* spreading rotation applied HERE, in the same double
                precision as the full-float decode (vq.c alg_unquant
                order: normalise then exp_rotation), so the device
@@ -318,17 +421,22 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
                1.59s/stream on TPU (scatter-bound); as host scalar
                code it is ~190 Mcy (~0.07s) -- see DESIGN_iy_split.md. */
             double seg[256];
+            PROF_T(pr0);
             for (j = 0; j < N; j++) seg[j] = g * iy[j];
             exp_rotation(seg, N, -1, stride, K, ctx->spread);
             for (j = 0; j < N; j++) xs[j] = (float)seg[j];
+            PROF_ADD(5, pr0);
         }
     } else {
         T->lf_iy_off[n] = -1;
         if (type == LF_N1)
             T->xs[(ctx->cur_frame * 2 + ctx->cur_call)
                   * (int64_t)T->xs_nmax + T->cur_bandoff] = (float)K;
+        if (T->rot_row)
+            emit_rot_markers(ctx, T, type, X, N, K, stride, 1.0);
     }
     T->lf_n = n + 1;
+    PROF_ADD(3, pe0);
 }
 
 static void exp_rotation1(double *X, int len, int stride, double c, double s) {
@@ -391,7 +499,9 @@ static int alg_unquant_tr(bctx *ctx, double *X, int N, int K, int spread,
     int iy[256];
     double Ryy = 0, g;
     int j;
+    PROF_T(pc0);
     cwrsi(N, K, ec_dec_uint(dec, (uint32_t)pvq_v(N, K)), iy);
+    PROF_ADD(2, pc0);
     if (ctx && ctx->tr) {
         emit_leaf(ctx, LF_PVQ, X, N, K, B, gain, 0, iy);
         return extract_collapse_mask(iy, N, B);
@@ -1837,6 +1947,7 @@ static int64_t celt_decode_stream_i(
         uint8_t collapse_masks[64];
         float *fout = T ? 0 : freq_out + f * (int64_t)CCout * nmax;
         int anti_collapse_on = 0;
+        PROF_T(tf0);
 
         if (C > CCout) return 1 + f;  /* caller must size CCout >= C */
 
@@ -1938,6 +2049,8 @@ static int64_t celt_decode_stream_i(
         int32_t avg_band = -1;
         if (!T) memset(X, 0, sizeof(double) * (size_t)(C * N));
         memset(collapse_masks, 0, sizeof(collapse_masks));
+        PROF_ADD(0, tf0);
+        PROF_T(tb0);
         rng = celt_bands_decode_i(
             data, length, ecst, eBands, nbEBands, logN, cache_index,
             cache_bits, start, end, shortBlocks, spread_decision,
@@ -1945,6 +2058,8 @@ static int64_t celt_decode_stream_i(
             (int64_t)length * (8 << BITRES) - anti_collapse_rsv,
             balance, pulses, LM, codedBands, rng, C, X, collapse_masks,
             T, f, &avg_band);
+        PROF_ADD(1, tb0);
+        PROF_T(tq0);
         if (T && T->err) return -2;
         /* celt_bands_decode packs channel 1 at stride
            N_full = M*eBands[nbEBands] (< N); the rest of this frame
@@ -2057,6 +2172,7 @@ static int64_t celt_decode_stream_i(
         out_pf_gain[f] = postfilter_gain;
         out_pf_tapset[f] = postfilter_tapset;
         out_silence[f] = silence;
+        PROF_ADD(4, tq0);
     }
     *rng_io = rng;
     return 0;
@@ -2117,7 +2233,9 @@ int64_t celt_decode_stream_trace(
     int32_t *ac_frame, int8_t *ac_band, int8_t *ac_c, int8_t *ac_k,
     uint32_t *ac_seed, float *ac_r,
     int32_t *fr_misc, float *fr_gains,
-    float *xs_dense, int32_t xs_nmax)
+    float *xs_dense, int32_t xs_nmax,
+    int32_t *rot_row, int32_t *rot_col, int32_t *rot_pk,
+    float *rot_th, float *rot_g)
 {
     tracectx T;
     int64_t rc;
@@ -2136,6 +2254,17 @@ int64_t celt_decode_stream_trace(
     T.ac_frame = ac_frame; T.ac_band = ac_band; T.ac_c = ac_c;
     T.ac_k = ac_k; T.ac_seed = ac_seed; T.ac_r = ac_r;
     T.xs = xs_dense; T.xs_nmax = xs_nmax;
+    /* tcaps[6] (if provided: caller passes >= 8 slots) = mode flags;
+       bit 0 selects the raw-iy plane (device-side rotation).  When
+       rot_row != NULL the caller passes >= 10 slots: tcaps[7] =
+       rotation-marker capacity in / count out, tcaps[8] = sigma2
+       bitmask out. */
+    T.raw_iy = (int32_t)(tcaps[6] & 1);
+    if (T.raw_iy && rot_row) {
+        T.rot_row = rot_row; T.rot_col = rot_col; T.rot_pk = rot_pk;
+        T.rot_th = rot_th; T.rot_g = rot_g;
+        T.rot_cap = tcaps[7];
+    }
     rc = celt_decode_stream_i(
         payload, offs, lens, frame_sizes, ends, stream_chs, n_frames,
         eBands, nbEBands, logN, cache_index, cache_bits, cache_caps,
@@ -2147,6 +2276,10 @@ int64_t celt_decode_stream_trace(
     tcaps[3] = T.lf_n;
     tcaps[4] = T.iy_n;
     tcaps[5] = T.ac_n;
+    if (T.rot_row) {
+        tcaps[7] = T.rot_n;
+        tcaps[8] = (int64_t)T.rot_sigmas;
+    }
     if (T.err) return -2;
     return rc;
 }

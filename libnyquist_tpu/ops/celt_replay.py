@@ -34,10 +34,116 @@ import numpy as np
 from ..formats.opus.celt import ORDERY_TABLE
 from ..formats.opus.celt_tables import mode48000
 from ..formats.opus.iy_split import (
-    EPSILON, LF_FOLD, LF_NOISE, CeltTrace, _chain, _lcg_tables,
+    EPSILON, LF_FOLD, LF_NOISE, LF_PVQ, SPREAD_NONE, CeltTrace, _chain,
+    _lcg_tables,
 )
 
 _LCG_CACHE: dict = {}
+_SIGMA2_CACHE: dict = {}
+SPREAD_FACTORS = np.asarray([0, 15, 10, 5], np.int64)
+
+
+def _sigma2_of(length, stride):
+    """exp_rotation's stride2 (vq.c:66): smallest s2 with
+    (s2*s2+s2)*stride + (stride>>2) >= length, 0 when length < 8*stride."""
+    key = (int(length), int(stride))
+    v = _SIGMA2_CACHE.get(key)
+    if v is None:
+        if length < 8 * stride:
+            v = 0
+        else:
+            v = 1
+            while (v * v + v) * stride + (stride >> 2) < length:
+                v += 1
+        _SIGMA2_CACHE[key] = v
+    return v
+
+
+def _rotation_markers(tr: CeltTrace, band_off, nb):
+    """Host assembly of the device rotation pre-pass inputs (raw-iy
+    traces): compact COO marker lists, one marker per rotation
+    sub-segment start (vq.c exp_rotation splits each PVQ leaf into
+    `stride` sub-segments) plus one identity marker at every other leaf
+    start (terminating the previous segment).  The device scatters
+    these into dense [F*2, WB] planes, fill-forwards them with one
+    segmented scan, and replays every rot1 sweep as masked affine scans
+    (DESIGN_iy_split.md device rotation; validated vs exp_rotation).
+
+    Returns (rows, cols, poslag, theta, g, sigmas):
+      poslag = col << 13 | sub_seg_len << 4 | lag
+               (lag = 1 + sigma2 if rotating else 1; the length bounds
+               the fill-forward so positions past a leaf's extent —
+               theta-split collapsed sides have NO leaf — fall out of
+               every segment instead of extending the previous one)
+      theta  = f32 rotation angle parameter (0 = no rotation)
+      g      = per-leaf final gain (1 for non-PVQ markers)
+    """
+    fr = tr.lf_frame.astype(np.int64)
+    call = tr.lf_call.astype(np.int64)
+    band = tr.lf_band.astype(np.int64)
+    off = tr.lf_off.astype(np.int64)
+    gcol = band_off[band] + off
+    rows_all = fr * 2 + call
+    is_pvq = tr.lf_type == LF_PVQ
+
+    # non-PVQ leaves and non-rotating PVQ leaves: one identity marker
+    ln = tr.lf_len.astype(np.int64)
+    k = tr.lf_k.astype(np.int64)
+    B = tr.lf_stride.astype(np.int64)
+    spread = tr.fr_misc[:, 0].astype(np.int64)[fr]
+    # ln < B (sub-segments of length 0): exp_rotation's len/=stride
+    # loop body never runs -> treat as plain (also avoids B markers
+    # colliding at the leaf start)
+    rot = (is_pvq & (2 * k < ln) & (spread != SPREAD_NONE)
+           & (ln >= np.maximum(B, 1)))
+    plain = ~rot
+    g_leaf = np.where(is_pvq, tr.lf_gain, 1.0).astype(np.float32)
+
+    ln_plain = np.maximum(ln[plain], 1)
+    rows = [rows_all[plain]]
+    cols = [gcol[plain]]
+    poslag = [(gcol[plain] << 13) | (ln_plain << 4) | 1]
+    theta = [np.zeros(int(plain.sum()), np.float32)]
+    g = [g_leaf[plain]]
+
+    ri = np.nonzero(rot)[0]
+    sigmas = set()
+    if len(ri):
+        factor = SPREAD_FACTORS[spread[ri]]
+        gr = ln[ri].astype(np.float64) / (ln[ri] + factor * k[ri])
+        th_r = (0.5 * gr * gr).astype(np.float32)
+        # sigma2 per unique (len, stride)
+        pairs = ln[ri] * 16 + B[ri]
+        up, inv = np.unique(pairs, return_inverse=True)
+        s2u = np.asarray(
+            [_sigma2_of(p >> 4, p & 15) for p in up], np.int64)
+        s2 = s2u[inv]
+        sigmas.update(int(v) for v in np.unique(s2) if v > 0)
+        Bi = B[ri]
+        Lsub = ln[ri] // Bi
+        nsub = Bi + (ln[ri] % Bi > 0).astype(np.int64)
+        seg_leaf = np.repeat(np.arange(len(ri)), nsub)
+        # sub-segment index within its leaf
+        starts = np.cumsum(nsub) - nsub
+        sub_j = np.arange(int(nsub.sum())) - np.repeat(starts, nsub)
+        is_tail = sub_j >= Bi[seg_leaf]
+        scol = gcol[ri][seg_leaf] + sub_j * Lsub[seg_leaf]
+        lag = np.where(is_tail, 1, 1 + s2[seg_leaf])
+        slen = np.maximum(
+            np.where(is_tail, (ln[ri] % Bi)[seg_leaf], Lsub[seg_leaf]), 1)
+        rows.append(rows_all[ri][seg_leaf])
+        cols.append(scol)
+        poslag.append((scol << 13) | (slen << 4) | lag)
+        theta.append(np.where(is_tail, np.float32(0),
+                              th_r[seg_leaf]).astype(np.float32))
+        g.append(tr.lf_gain[ri][seg_leaf].astype(np.float32))
+
+    return (np.concatenate(rows).astype(np.int32),
+            np.concatenate(cols).astype(np.int32),
+            np.concatenate(poslag).astype(np.int32),
+            np.concatenate(theta),
+            np.concatenate(g),
+            tuple(sorted(sigmas)))
 
 
 def _bucket(n, lo=8):
@@ -159,8 +265,40 @@ def build_replay_arrays(tr: CeltTrace):
     else:
         nren_pad = 0
 
+    # ---- device rotation pre-pass markers (raw-iy traces) ----
+    rot_spec = None
+    if tr.raw_iy:
+        if tr.rot_rows is not None:
+            # native-emitted markers (celt_bands.c emit_rot_markers,
+            # bit-identical to _rotation_markers below — asserted in
+            # tests/test_iy_split.py)
+            rows, cols, poslag = tr.rot_rows, tr.rot_cols, tr.rot_pk
+            theta, g, sigmas = tr.rot_th, tr.rot_g, tr.rot_sigmas
+        else:
+            rows, cols, poslag, theta, g, sigmas = _rotation_markers(
+                tr, band_off, nb)
+        WB = int(band_off[nb])
+        nm = len(rows)
+        nm_pad = _bucket(nm, 1024)
+        rpad = np.full(nm_pad, F * 2, np.int32)       # pad -> dropped
+        rpad[:nm] = rows
+        cpad = np.zeros(nm_pad, np.int32)
+        cpad[:nm] = cols
+        pk = np.full(nm_pad, -1, np.int32)
+        pk[:nm] = poslag
+        th = np.zeros(nm_pad, np.float32)
+        th[:nm] = theta
+        gg = np.zeros(nm_pad, np.float32)
+        gg[:nm] = g
+        arrs["rot_rows"] = rpad
+        arrs["rot_cols"] = cpad
+        arrs["rot_pk"] = pk
+        arrs["rot_th"] = th
+        arrs["rot_g"] = gg
+        rot_spec = (WB, nm_pad, sigmas)
+
     static_key = (F, nmax, LM, start, tr.CC, tr.CCout,
-                  tuple(band_spec), nac_pad, nren_pad)
+                  tuple(band_spec), nac_pad, nren_pad, rot_spec)
     return arrs, None, static_key
 
 
@@ -218,6 +356,152 @@ def _deint_rows(ord_table, stride):
     return inv.astype(np.int32)
 
 
+_PAD_KEY = -(1 << 30)
+
+
+def _make_lag_pass(jnp, lax):
+    """Device rot1 (vq.c exp_rotation1, both sweeps) over segmented
+    rows: x [F2, W] with per-position Givens coefs (cc, ss) and segment
+    keys; lag-sigma chains become per-column affine recurrences after a
+    [R, sigma] reshape, solved with two associative scans (forward and
+    reverse) — no gathers, no scatters, exact op-order-equivalent
+    (validated to f32 eps vs the scalar reference)."""
+
+    def affine(A, B, reverse=False):
+        def comb(a, b):
+            return (b[0] * a[0], b[0] * a[1] + b[1])
+        return lax.associative_scan(
+            comb, (A, B), axis=1, reverse=reverse)[1]
+
+    def lag_pass(x, key, cc, ss, sigma):
+        F2, W = x.shape
+        Wp = -(-W // sigma) * sigma
+        pad = Wp - W
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)))
+            key = jnp.pad(key, ((0, 0), (0, pad)),
+                          constant_values=_PAD_KEY)
+            cc = jnp.pad(cc, ((0, 0), (0, pad)), constant_values=1.0)
+            ss = jnp.pad(ss, ((0, 0), (0, pad)))
+        R = Wp // sigma
+        u_ = x.reshape(F2, R, sigma)
+        k_ = key.reshape(F2, R, sigma)
+        c_ = cc.reshape(F2, R, sigma)
+        s_ = ss.reshape(F2, R, sigma)
+        m1 = jnp.full((F2, 1, sigma), _PAD_KEY, k_.dtype)
+        same_prev = jnp.concatenate([m1, k_[:, :-1]], axis=1) == k_
+        same_next = jnp.concatenate([k_[:, 1:], m1], axis=1) == k_
+        opv = jnp.concatenate([k_[:, 2:], m1, m1], axis=1) == k_
+        # forward sweep: a_p = c*u_p + s*a_{p-1} within a chain
+        a = affine(jnp.where(same_prev, s_, 0.0),
+                   jnp.where(same_prev, c_ * u_, u_))
+        un = jnp.concatenate(
+            [u_[:, 1:], jnp.zeros((F2, 1, sigma), u_.dtype)], axis=1)
+        v_ = jnp.where(same_next, c_ * a - s_ * un, a)
+        # backward sweep: t_p = c*v_p - s*t_{p+1} where the op exists
+        b = affine(jnp.where(opv, -s_, 0.0),
+                   jnp.where(opv, c_ * v_, v_), reverse=True)
+        opv_p = jnp.concatenate(
+            [jnp.zeros((F2, 1, sigma), bool), opv[:, :-1]], axis=1)
+        v_p = jnp.concatenate(
+            [jnp.zeros((F2, 1, sigma), u_.dtype), v_[:, :-1]], axis=1)
+        out = jnp.where(opv_p, c_ * b + s_ * v_p,
+                        jnp.where(~same_prev & opv, b, v_))
+        return out.reshape(F2, Wp)[:, :W]
+
+    return lag_pass
+
+
+def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
+    """The device rotation + scale pre-pass for raw-iy planes: scatter
+    the compact markers into dense [F*2, WB] planes, fill-forward them
+    with one segmented scan, then replay exp_rotation's sigma2 and
+    lag-1 sweeps as masked lag passes and apply the per-leaf gains."""
+    WB, nm_pad, sigmas = rot_spec
+    F2 = F * 2
+    lag_pass = _make_lag_pass(jnp, lax)
+    mode = mode48000()
+    nb_ = mode.nbEBands
+    band_off_t = tuple(int(v) for v in band_off[: nb_ + 1])
+
+    import jax as _jax
+
+    # The single-kernel Pallas path is opt-in: its sweeps advance one
+    # sublane per step (measured ~0.43 s/stream on v5e vs ~0.14 s for
+    # the XLA scan formulation, which keeps all 8 sublanes busy via the
+    # [R, sigma] reshape).  Revisit if the kernel is made
+    # sublane-parallel; either way the pipeline is host-bound.
+    import os
+
+    use_pallas = (os.environ.get("LIBNYQUIST_ROT_PALLAS")
+                  and _jax.default_backend() not in ("cpu", "interpreter"))
+
+    def rotate_pallas(X_all, arrs):
+        """Single-kernel path (TPU): fill + sweeps + scale in VMEM
+        (ops/rot_pallas.py); the marker scatters build the planes
+        directly in the kernel's [W, R] position-major layout."""
+        from .rot_pallas import rotate_plane_pallas
+
+        x = X_all.reshape(F2, nmax)
+        xh = jnp.transpose(x[:, :WB])                  # [WB, F2]
+        idx = (arrs["rot_cols"].astype(jnp.int32) * F2
+               + arrs["rot_rows"].astype(jnp.int32))
+        idx = jnp.where(arrs["rot_rows"] >= F2, F2 * WB, idx)
+        flat = lambda init, vals: init.at[idx].set(
+            vals, mode="drop", unique_indices=True).reshape(WB, F2)
+        pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
+        th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
+        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_g"])
+        out = rotate_plane_pallas(xh, pk0, th0, g0, sigmas, band_off_t)
+        out = jnp.transpose(out)                       # [F2, WB]
+        return jnp.concatenate([out, x[:, WB:]], axis=1).reshape(
+            F, 2, nmax)
+
+    def rotate(X_all, arrs):
+        if use_pallas:
+            return rotate_pallas(X_all, arrs)
+        x = X_all.reshape(F2, nmax)
+        xh = x[:, :WB]
+        idx = (arrs["rot_rows"].astype(jnp.int32) * WB
+               + arrs["rot_cols"].astype(jnp.int32))
+        idx = jnp.where(arrs["rot_rows"] >= F2, F2 * WB, idx)
+        flat = lambda init, vals: init.at[idx].set(
+            vals, mode="drop", unique_indices=True).reshape(F2, WB)
+        pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
+        th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
+        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_g"])
+
+        def comb(a, b):
+            m = b[0] >= 0
+            return tuple(jnp.where(m, y, z) for z, y in zip(a, b))
+        pk, th, gf = lax.associative_scan(
+            comb, (pk0, th0, g0), axis=1)
+
+        # validity: a position belongs to its filled marker's segment
+        # only within that sub-segment's length — positions in leaf-free
+        # gaps (theta-split collapsed sides) are identity singletons
+        w = jnp.arange(WB, dtype=jnp.int32)[None, :]
+        j = w - (pk >> 13)
+        valid = (pk >= 0) & (j < ((pk >> 4) & 0x1FF))
+        key = jnp.where(valid, pk, -1 - w)
+        lag = jnp.where(valid, pk & 15, 0)
+        rot_on = valid & (th > 0)
+        hp = jnp.float32(np.pi * 0.5)
+        c = jnp.where(rot_on, jnp.cos(hp * th), 1.0)
+        s = jnp.where(rot_on, jnp.sin(hp * th), 0.0)
+        for sg in sigmas:
+            m = lag == (1 + sg)
+            # the sigma2 sweep runs with swapped coefs (vq.c:100)
+            xh = lag_pass(xh, key, jnp.where(m, s, 1.0),
+                          jnp.where(m, c, 0.0), sg)
+        xh = lag_pass(xh, key, c, s, 1)
+        xh = xh * jnp.where(valid, gf, 1.0)
+        return jnp.concatenate([xh, x[:, WB:]], axis=1).reshape(
+            F, 2, nmax)
+
+    return rotate
+
+
 @functools.lru_cache(maxsize=64)
 def _replay_builder(static_key):
     """Build the (unjitted) replay function for one trace structure —
@@ -228,13 +512,16 @@ def _replay_builder(static_key):
     from jax import lax
 
     (F, nmax, LM, start, CC, CCout, band_spec, nac_pad,
-     nren_pad) = static_key
+     nren_pad, rot_spec) = static_key
     mode = mode48000()
     nb = mode.nbEBands
     eB = np.asarray(mode.eBands, np.int64)[: nb + 1]
     band_off = ((1 << LM) * eB).astype(np.int64)
     norm_offset = int(band_off[start])
     norm_len = max(int(band_off[nb - 1]) - norm_offset, 1)
+    rotate = (_build_rotation_pass(jnp, lax, rot_spec, band_off, nb,
+                                   F, nmax)
+              if rot_spec is not None else None)
 
     # static chain step lists per band per class
     chain_sets = {}
@@ -247,6 +534,8 @@ def _replay_builder(static_key):
         A = arrs["lcg_a"]
         Bc = arrs["lcg_b"]
         X_all = arrs["xs"].reshape(F, 2, nmax)
+        if rotate is not None:
+            X_all = rotate(X_all, arrs)
 
         norm = jnp.zeros((F, 2, norm_len), jnp.float32)
         spec_parts = []

@@ -164,6 +164,9 @@ def lib():
             ctypes.POINTER(ctypes.c_float),         # ac_r
             i32p_, ctypes.POINTER(ctypes.c_float),  # fr_misc, fr_gains
             ctypes.POINTER(ctypes.c_float), ctypes.c_int32,  # xs, nmax
+            i32p_, i32p_, i32p_,                    # rot row/col/pk
+            ctypes.POINTER(ctypes.c_float),         # rot_th
+            ctypes.POINTER(ctypes.c_float),         # rot_g
         ]
         L.celt_compute_allocation.restype = None
         L.celt_compute_allocation.argtypes = [

@@ -64,13 +64,14 @@ def _frames_from_golden(path):
     return ch, frames, sizes, ends, chs
 
 
-def _trace(st, frames, sizes, ends, chs):
+def _trace(st, frames, sizes, ends, chs, raw_iy=False):
     payload = b"".join(frames)
     lens = np.fromiter((len(f) for f in frames), np.int64, len(frames))
     offs = np.concatenate(([0], np.cumsum(lens[:-1])))
     return iy_split.celt_trace_stream_arrays(
         st, payload, offs, lens, np.asarray(sizes, np.int32),
-        np.asarray(ends, np.int32), np.asarray(chs, np.int32))
+        np.asarray(ends, np.int32), np.asarray(chs, np.int32),
+        raw_iy=raw_iy)
 
 
 def _check_replay(ch, frames, sizes, ends, chs):
@@ -161,6 +162,97 @@ def test_replay_device_golden_corpus(golden_dir):
     # isolated positions hit f32 cancellation in the stereo merge
     assert rel.max() < 1e-3, f"device replay relative error {rel.max()}"
     assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_replay_device_raw_iy_golden(golden_dir):
+    """Raw-iy traces (device-side spreading rotation + per-leaf gain,
+    celt_replay rotate_plane pre-pass) vs the full native decode.  This
+    is the production serving configuration (bench.py): the host emits
+    only integer PVQ vectors and compact sub-segment markers; vq.c
+    exp_rotation replays as masked segmented affine scans on device."""
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st1 = CeltDecoderState(channels=ch)
+    freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends, chs)[0]
+    st2 = CeltDecoderState(channels=ch)
+    tr = _trace(st2, frames, sizes, ends, chs, raw_iy=True)
+    assert tr.raw_iy
+    # float64 validation replayer understands raw traces too
+    freq_np = iy_split.replay_numpy(tr)
+    d = np.abs(freq_np.astype(np.float64) - freq_ref.astype(np.float64))
+    assert (d / (1.0 + np.abs(freq_ref))).max() < 1e-6
+    freq_dev = np.asarray(celt_replay.replay_device(tr))
+    d = np.abs(freq_dev.astype(np.float64) - freq_ref.astype(np.float64))
+    rel = d / (1.0 + np.abs(freq_ref))
+    assert rel.max() < 1e-3, f"raw-iy device replay error {rel.max()}"
+    assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_native_rotation_markers_match_python(golden_dir):
+    """Native marker emission (celt_bands.c emit_rot_markers) must be
+    bit-identical to the Python spec (celt_replay._rotation_markers)
+    up to ordering (the device scatter is order-insensitive: marker
+    positions are unique)."""
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st = CeltDecoderState(channels=ch)
+    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True)
+    assert tr.rot_rows is not None and len(tr.rot_rows)
+
+    mode = mode48000()
+    nb = mode.nbEBands
+    eB = np.asarray(mode.eBands, np.int64)[: nb + 1]
+    LM = int(np.log2(int(tr.fsz[0]) // mode.shortMdctSize))
+    band_off = ((1 << LM) * eB).astype(np.int64)
+    rows, cols, pk, th, g, sigmas = celt_replay._rotation_markers(
+        tr, band_off, nb)
+    assert tuple(sigmas) == tuple(tr.rot_sigmas)
+    assert len(rows) == len(tr.rot_rows)
+
+    def order(r, c, p, t, gg):
+        key = np.lexsort((p, c, r))
+        return (r[key], c[key], p[key], t[key], gg[key])
+
+    a = order(rows, cols, pk, th, g)
+    b = order(tr.rot_rows, tr.rot_cols, tr.rot_pk, tr.rot_th, tr.rot_g)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_replay_device_raw_iy_transients():
+    """Raw-iy device replay across LM 0-2 with transients (multi-block
+    exp_rotation sub-segments + theta-split coverage gaps)."""
+    from libnyquist_tpu.formats.opus.celt_encoder import encode_ogg_opus
+    from libnyquist_tpu.ops import celt_replay
+
+    rng = np.random.default_rng(11)
+    sr = 48000
+    t = np.arange(sr // 2) / sr
+    burst = (rng.standard_normal(len(t)) *
+             (1 + 5 * (np.sin(2 * np.pi * 7 * t) > 0.9)))
+    pcm = np.stack([
+        0.4 * np.sin(2 * np.pi * 500 * t) + 0.15 * burst,
+        0.4 * np.sin(2 * np.pi * 750 * t) + 0.15 * burst,
+    ], axis=1).reshape(-1).astype(np.float32)
+    for frame_ms in (5, 10, 20):
+        data = encode_ogg_opus(pcm, 2, sr, bitrate_kbps=128,
+                               frame_ms=frame_ms)
+        frames, sizes, ends, chs = _frames_from_ogg(data)
+        st1 = CeltDecoderState(channels=2)
+        freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends,
+                                          chs)[0]
+        st2 = CeltDecoderState(channels=2)
+        tr = _trace(st2, frames, sizes, ends, chs, raw_iy=True)
+        freq_dev = np.asarray(celt_replay.replay_device(tr))
+        d = np.abs(freq_dev.astype(np.float64)
+                   - freq_ref.astype(np.float64))
+        rel = d / (1.0 + np.abs(freq_ref))
+        assert rel.max() < 1e-3, (frame_ms, rel.max())
 
 
 def test_replay_device_small_frames():
