@@ -161,7 +161,8 @@ def _host_decode_opus_iy(data):
     pay_p = payload.ctypes.data_as(ctypes.c_char_p)
     cs = CeltDecoderState(channels=int(info[0]))
     tr = celt_trace_stream_arrays(cs, pay_p, offs, lens, fsz, ends, chs,
-                                  with_heap=False, raw_iy=True)
+                                  with_heap=False, raw_iy=True,
+                                  xs_heap=True)
     del pay_p
     if tr is None:
         return None

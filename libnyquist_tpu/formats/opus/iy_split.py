@@ -82,6 +82,9 @@ class CeltTrace:
     start: int
     raw_iy: bool = False     # xs holds raw iy; lf_gain holds final g;
     #                          rotation+scale replayed on device
+    xs_heap: bool = False    # xs is a dummy: values live in iy_heap
+    #                          (decode order); the device scatter
+    #                          pre-pass rebuilds the dense plane
     # native-emitted rotation sub-segment markers (raw_iy traces;
     # None -> assemble with celt_replay._rotation_markers, the Python
     # spec of the same plane)
@@ -95,7 +98,7 @@ class CeltTrace:
 
 def celt_trace_stream_arrays(
     st: CeltDecoderState, payload, offs, lens, fsz, enda, cha,
-    with_heap: bool = True, raw_iy: bool = False,
+    with_heap: bool = True, raw_iy: bool = False, xs_heap: bool = False,
 ):
     """Whole-stream bits-only decode emitting the iy-split trace
     (native celt_decode_stream_trace).  Returns a CeltTrace, or None
@@ -104,7 +107,13 @@ def celt_trace_stream_arrays(
     raw_iy=True: the xs plane holds raw iy integers (as f32) and
     lf_gain holds the final per-leaf gain g = gain/sqrt(Ryy); the
     spreading rotation + scale run on device (celt_replay.rotate_plane)
-    instead of in the host emitter — the last host float-plane work."""
+    instead of in the host emitter — the last host float-plane work.
+
+    xs_heap=True (implies raw_iy): skip the dense xs plane entirely —
+    values (iy ints + N1 signs) land in the compact int16 heap in
+    decode order and the device scatter pre-pass rebuilds the dense
+    plane (celt_replay heap_spec).  Removes the host's last O(F*nmax)
+    memory plane: emission becomes sequential heap writes."""
     import ctypes
 
     from .celt import _ec_ptrs, _mode_ptrs, _native_celt
@@ -134,11 +143,14 @@ def celt_trace_stream_arrays(
     u32p = ctypes.POINTER(ctypes.c_uint32)
     i16p = ctypes.POINTER(ctypes.c_int16)
 
+    if xs_heap and not raw_iy:
+        raise ValueError("xs_heap requires raw_iy")
     lf_cap = 96 * n + 1024
     rot_cap = 128 * n + 1024 if raw_iy else 0
     # exact upper bound (disjoint leaves); 0 disables heap emission
-    # (the heap only feeds the float64 validation replayer)
-    iy_cap = 2 * 960 * n + 64 if with_heap else 0
+    # (the heap feeds the float64 validation replayer, and in xs_heap
+    # mode is the production value plane itself)
+    iy_cap = 2 * 960 * n + 64 if (with_heap or xs_heap) else 0
     ac_cap = 8 * n + 1024
     while True:
         lf = {
@@ -177,7 +189,9 @@ def celt_trace_stream_arrays(
         fr_misc = np.zeros((n, 6), np.int32)
         fr_gains = np.zeros((n, 2, nb), np.float32)
         nmax = int(fsz.max())
-        xs = np.zeros((n, 2, nmax), np.float32)
+        # xs_heap mode: no dense plane is written (or allocated)
+        xs = (np.zeros((1, 2, 1), np.float32) if xs_heap
+              else np.zeros((n, 2, nmax), np.float32))
         sb = np.zeros(n, np.int32)
         pfp = np.zeros(n, np.int32)
         pfg = np.zeros(n, np.float64)
@@ -197,7 +211,8 @@ def celt_trace_stream_arrays(
             "g": np.empty(max(rot_cap, 1), np.float32),
         }
         tcaps = np.array(
-            [lf_cap, iy_cap, ac_cap, 0, 0, 0, 1 if raw_iy else 0,
+            [lf_cap, iy_cap, ac_cap, 0, 0, 0,
+             (1 if raw_iy else 0) | (2 if xs_heap else 0),
              rot_cap, 0, 0],
             np.int64)
 
@@ -295,6 +310,7 @@ def celt_trace_stream_arrays(
         fsz=fsz, ends=enda, chs=cha, sb=sb, sil=sil,
         pfp=pfp, pfg=pfg, pft=pft, xs=xs,
         CC=CC, CCout=CCout, start=int(st.start), raw_iy=bool(raw_iy),
+        xs_heap=bool(xs_heap),
         **rot_kw,
     )
 

@@ -270,6 +270,14 @@ typedef struct {
                                gain g = gain/sqrt(Ryy) in lf_gain; the
                                device rotation pre-pass consumes the
                                trace's (len,k,stride,spread) markers */
+    int32_t xs_heap;        /* 1 (raw_iy only): skip the dense xs plane
+                               entirely — iy ints (and N1 signs) go to
+                               the compact int16 heap in emission order
+                               and the device scatters the plane
+                               (celt_replay heap pre-pass).  Removes
+                               the host's largest remaining memory
+                               plane (write-allocate misses on an
+                               [F,2,nmax] f32 dense buffer). */
     /* rotation sub-segment markers (raw_iy traces): emitted here so
        the Python assembly (celt_replay._rotation_markers, the spec
        and fallback for this plane) is off the serving hot path.
@@ -389,8 +397,10 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
         double g;
         float *xs;
         if (T->iy_heap) {
-            /* validation path: keep the raw integer vectors for the
-               float64 NumPy replayer (production only needs xs) */
+            /* heap emission: the raw integer vectors, in decode order
+               (validation replayer input; in xs_heap mode also the
+               production value plane — device scatter rebuilds the
+               dense layout from lf_iy_off deltas) */
             if (T->iy_n + N > T->iy_cap) { T->err = 1; return; }
             T->lf_iy_off[n] = T->iy_n;
             for (j = 0; j < N; j++)
@@ -401,18 +411,23 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
         }
         for (j = 0; j < N; j++) Ryy += (int64_t)iy[j] * iy[j];
         g = gain / sqrt((double)Ryy);
-        xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
-                      * (int64_t)T->xs_nmax)
-            + T->cur_bandoff + (X - ctx->band_base);
         if (T->raw_iy) {
             /* iy-split v2: raw integer plane; the device applies
                g and the spreading rotation (segmented affine scans,
                ops/celt_replay.py rotate_plane). */
             T->lf_gain[n] = g;
-            for (j = 0; j < N; j++) xs[j] = (float)iy[j];
+            if (!T->xs_heap) {
+                xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
+                              * (int64_t)T->xs_nmax)
+                    + T->cur_bandoff + (X - ctx->band_base);
+                for (j = 0; j < N; j++) xs[j] = (float)iy[j];
+            }
             if (T->rot_row)
                 emit_rot_markers(ctx, T, type, X, N, K, stride, g);
         } else {
+            xs = T->xs + ((ctx->cur_frame * 2 + ctx->cur_call)
+                          * (int64_t)T->xs_nmax)
+                + T->cur_bandoff + (X - ctx->band_base);
             /* spreading rotation applied HERE, in the same double
                precision as the full-float decode (vq.c alg_unquant
                order: normalise then exp_rotation), so the device
@@ -429,9 +444,17 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
         }
     } else {
         T->lf_iy_off[n] = -1;
-        if (type == LF_N1)
-            T->xs[(ctx->cur_frame * 2 + ctx->cur_call)
-                  * (int64_t)T->xs_nmax + T->cur_bandoff] = (float)K;
+        if (type == LF_N1) {
+            if (T->xs_heap) {
+                /* single-sign leaves ride the heap too (len-1 entry) */
+                if (T->iy_n + 1 > T->iy_cap) { T->err = 1; return; }
+                T->lf_iy_off[n] = T->iy_n;
+                T->iy_heap[T->iy_n++] = (int16_t)K;
+            } else {
+                T->xs[(ctx->cur_frame * 2 + ctx->cur_call)
+                      * (int64_t)T->xs_nmax + T->cur_bandoff] = (float)K;
+            }
+        }
         if (T->rot_row)
             emit_rot_markers(ctx, T, type, X, N, K, stride, 1.0);
     }
@@ -2260,6 +2283,10 @@ int64_t celt_decode_stream_trace(
        rotation-marker capacity in / count out, tcaps[8] = sigma2
        bitmask out. */
     T.raw_iy = (int32_t)(tcaps[6] & 1);
+    /* bit 1: heap-only value emission (no dense xs plane writes);
+       requires raw_iy and a heap (iy_cap > 0). */
+    T.xs_heap = (int32_t)((tcaps[6] >> 1) & 1) && T.raw_iy
+                && T.iy_heap != 0;
     if (T.raw_iy && rot_row) {
         T.rot_row = rot_row; T.rot_col = rot_col; T.rot_pk = rot_pk;
         T.rot_th = rot_th; T.rot_g = rot_g;

@@ -153,6 +153,19 @@ def _bucket(n, lo=8):
     return b
 
 
+def _bucket_fine(n, lo=8):
+    """Quarter-step geometric buckets (1, 1.25, 1.5, 1.75 x pow2):
+    <= 14% padding where plain pow2 wastes up to 2x — used for the
+    large value-heap axis where padding is real staged bytes and real
+    scatter work, at ~4x the compile-cache key count."""
+    b = _bucket(n, lo)
+    for mult in (5, 6, 7):
+        c = (b // 8) * mult
+        if c >= n:
+            return c
+    return b
+
+
 def build_replay_arrays(tr: CeltTrace):
     """Host assembly: trace -> device-ready arrays + a static structure
     spec (hashable) that keys the compiled replay program.  All work
@@ -168,7 +181,37 @@ def build_replay_arrays(tr: CeltTrace):
     start = tr.start
     band_off = ((1 << LM) * eB).astype(np.int64)
 
-    arrs = {"xs": tr.xs.reshape(-1)}
+    heap_spec = None
+    if tr.xs_heap:
+        # Compact value heap (int16, decode order) instead of the dense
+        # xs plane: the device rebuilds [F*2*nmax] by position+delta —
+        # within a leaf heap positions and plane columns advance
+        # together, so tgt = heap_pos + (tgtbase - heap_start), with
+        # the per-leaf delta filled forward along the heap axis.
+        iyn = len(tr.iy_heap)
+        Tpad = _bucket_fine(max(iyn, 1), 1 << 14)
+        heap = np.zeros(Tpad, np.int16)
+        heap[:iyn] = tr.iy_heap
+        li = np.nonzero(tr.lf_iy_off >= 0)[0]
+        starts = tr.lf_iy_off[li].astype(np.int64)
+        rows = tr.lf_frame[li].astype(np.int64) * 2 + tr.lf_call[li]
+        tgtbase = (rows * nmax + band_off[tr.lf_band[li].astype(np.int64)]
+                   + tr.lf_off[li])
+        Lh = len(li)
+        Lpad = _bucket(Lh + 1, 1024)
+        st_a = np.full(Lpad, Tpad, np.int32)      # pad -> dropped
+        st_a[:Lh] = starts
+        dl_a = np.zeros(Lpad, np.int32)
+        dl_a[:Lh] = (tgtbase - starts).astype(np.int32)
+        # terminator: positions past the last real value must not
+        # inherit the last leaf's delta (they would scatter zeros onto
+        # live plane cells) — give them an out-of-range one
+        st_a[Lh] = iyn
+        dl_a[Lh] = 1 << 30
+        arrs = {"iyh": heap, "iyh_st": st_a, "iyh_dl": dl_a}
+        heap_spec = (Tpad, Lpad)
+    else:
+        arrs = {"xs": tr.xs.reshape(-1)}
 
     # ---- per-band chain classes + fills ----
     B_f = np.where(tr.sb > 0, tr.sb, 1).astype(np.int64)
@@ -298,7 +341,8 @@ def build_replay_arrays(tr: CeltTrace):
         rot_spec = (WB, nm_pad, sigmas)
 
     static_key = (F, nmax, LM, start, tr.CC, tr.CCout,
-                  tuple(band_spec), nac_pad, nren_pad, rot_spec)
+                  tuple(band_spec), nac_pad, nren_pad, rot_spec,
+                  heap_spec)
     return arrs, None, static_key
 
 
@@ -512,7 +556,7 @@ def _replay_builder(static_key):
     from jax import lax
 
     (F, nmax, LM, start, CC, CCout, band_spec, nac_pad,
-     nren_pad, rot_spec) = static_key
+     nren_pad, rot_spec, heap_spec) = static_key
     mode = mode48000()
     nb = mode.nbEBands
     eB = np.asarray(mode.eBands, np.int64)[: nb + 1]
@@ -533,7 +577,24 @@ def _replay_builder(static_key):
     def replay(arrs):
         A = arrs["lcg_a"]
         Bc = arrs["lcg_b"]
-        X_all = arrs["xs"].reshape(F, 2, nmax)
+        if heap_spec is not None:
+            # dense plane from the compact heap: fill the per-leaf
+            # (tgtbase - heap_start) delta forward along the heap axis,
+            # then scatter value[pos] -> pos + delta.  Padding leaves
+            # carry start=Tpad (dropped) and unfilled positions keep
+            # the BIG sentinel, pushing their targets out of range.
+            Tpad, _Lpad = heap_spec
+            BIG = F * 2 * nmax
+            dlt0 = jnp.full((Tpad,), BIG, jnp.int32).at[
+                arrs["iyh_st"]].set(arrs["iyh_dl"], mode="drop")
+            dlt = lax.associative_scan(
+                lambda a, b: jnp.where(b == BIG, a, b), dlt0)
+            tgt = jnp.arange(Tpad, dtype=jnp.int32) + dlt
+            X_all = jnp.zeros((BIG,), jnp.float32).at[tgt].set(
+                arrs["iyh"].astype(jnp.float32), mode="drop",
+                unique_indices=True).reshape(F, 2, nmax)
+        else:
+            X_all = arrs["xs"].reshape(F, 2, nmax)
         if rotate is not None:
             X_all = rotate(X_all, arrs)
 

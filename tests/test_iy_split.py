@@ -64,14 +64,14 @@ def _frames_from_golden(path):
     return ch, frames, sizes, ends, chs
 
 
-def _trace(st, frames, sizes, ends, chs, raw_iy=False):
+def _trace(st, frames, sizes, ends, chs, raw_iy=False, xs_heap=False):
     payload = b"".join(frames)
     lens = np.fromiter((len(f) for f in frames), np.int64, len(frames))
     offs = np.concatenate(([0], np.cumsum(lens[:-1])))
     return iy_split.celt_trace_stream_arrays(
         st, payload, offs, lens, np.asarray(sizes, np.int32),
         np.asarray(ends, np.int32), np.asarray(chs, np.int32),
-        raw_iy=raw_iy)
+        raw_iy=raw_iy, xs_heap=xs_heap)
 
 
 def _check_replay(ch, frames, sizes, ends, chs):
@@ -188,6 +188,98 @@ def test_replay_device_raw_iy_golden(golden_dir):
     rel = d / (1.0 + np.abs(freq_ref))
     assert rel.max() < 1e-3, f"raw-iy device replay error {rel.max()}"
     assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_replay_device_xs_heap_golden(golden_dir):
+    """Heap-mode traces (xs_heap=True, the bench/serving production
+    config): the host emits ONLY the compact int16 value heap — no
+    dense plane — and the device scatter pre-pass (celt_replay
+    heap_spec: per-leaf delta fill-forward along the heap axis)
+    rebuilds [F, 2, nmax] before the rotation."""
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st1 = CeltDecoderState(channels=ch)
+    freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends, chs)[0]
+    st2 = CeltDecoderState(channels=ch)
+    tr = _trace(st2, frames, sizes, ends, chs, raw_iy=True,
+                xs_heap=True)
+    assert tr.xs_heap and len(tr.iy_heap)
+    # f64 validation replayer reads the heap directly
+    freq_np = iy_split.replay_numpy(tr)
+    d = np.abs(freq_np.astype(np.float64) - freq_ref.astype(np.float64))
+    assert (d / (1.0 + np.abs(freq_ref))).max() < 1e-6
+    freq_dev = np.asarray(celt_replay.replay_device(tr))
+    d = np.abs(freq_dev.astype(np.float64) - freq_ref.astype(np.float64))
+    rel = d / (1.0 + np.abs(freq_ref))
+    assert rel.max() < 1e-3, f"heap-mode device replay error {rel.max()}"
+    assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_batched_stream_program_matches_single(golden_dir):
+    """serving.make_opus_stream_program_batched (K streams, one fused
+    executable) must reproduce the single-stream program's per-row PCM
+    sums for every row."""
+    import jax
+
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+    from libnyquist_tpu.ops import imdct as imdct_ops
+    from libnyquist_tpu.ops.celt_replay import build_replay_arrays
+    from libnyquist_tpu.runtime import serving
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st = CeltDecoderState(channels=ch)
+    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True, xs_heap=True)
+    arrs, _static, key = build_replay_arrays(tr)
+    mode = mode48000()
+    F = len(tr.fsz)
+    N = int(tr.fsz[0])
+    CC = tr.CC
+    FC = 64
+    n_steps = (F + FC - 1) // FC
+    Fpad = n_steps * FC
+    TA, gA, TB1, gB1 = serving.postfilter_params_arrays(
+        tr.sb, tr.pfp, tr.pfg, tr.pft)
+
+    def chunked(vals, fill, tail=()):
+        out = np.full((Fpad,) + tail, fill, np.asarray(vals).dtype)
+        out[:F] = vals
+        return out.reshape((n_steps, FC) + tail)
+
+    msk = np.zeros(Fpad, np.float32)
+    msk[:F] = np.asarray(tr.sb) != 0
+    B_short = int(tr.sb.max()) if len(tr.sb) else 1
+    T1m, T1p, _ = imdct_ops.celt_synthesis_matrices_paired(
+        2 * N, mode.overlap, 1)
+    T8m, T8p, _ = imdct_ops.celt_synthesis_matrices_paired(
+        2 * mode.shortMdctSize, mode.overlap, max(B_short, 1))
+    synth1 = {
+        "msk": msk.reshape(n_steps, FC),
+        "TA": chunked(TA, 15), "gA": chunked(gA, 0.0, (3,)),
+        "TB1": chunked(TB1, 15), "gB1": chunked(gB1, 0.0, (3,)),
+        "fade": serving._fade_pattern(N, mode.overlap,
+                                      mode.shortMdctSize),
+        "T1m": T1m, "T1p": T1p, "T8m": T8m, "T8p": T8p,
+    }
+    single = serving.make_opus_stream_program(
+        key, F, N, CC, n_steps, FC, mode.overlap, mode.shortMdctSize)
+    acc1 = np.asarray(single(arrs, synth1))
+
+    K = 3
+    arrsK = {k: np.broadcast_to(v[None], (K,) + v.shape).copy()
+             for k, v in arrs.items()}
+    synthK = dict(synth1)
+    for k in ("msk", "TA", "gA", "TB1", "gB1"):
+        synthK[k] = np.broadcast_to(
+            synth1[k][None], (K,) + synth1[k].shape).copy()
+    batched = serving.make_opus_stream_program_batched(
+        key, K, F, N, CC, n_steps, FC, mode.overlap, mode.shortMdctSize)
+    accK = np.asarray(batched(arrsK, synthK))
+    assert accK.shape == (K, CC)
+    for k in range(K):
+        np.testing.assert_allclose(accK[k], acc1, rtol=0, atol=1e-3)
 
 
 def test_native_rotation_markers_match_python(golden_dir):
