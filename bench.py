@@ -162,7 +162,7 @@ def _host_decode_opus_iy(data):
     cs = CeltDecoderState(channels=int(info[0]))
     tr = celt_trace_stream_arrays(cs, pay_p, offs, lens, fsz, ends, chs,
                                   with_heap=False, raw_iy=True,
-                                  xs_heap=True)
+                                  xs_heap=True, idx_mode=True)
     del pay_p
     if tr is None:
         return None

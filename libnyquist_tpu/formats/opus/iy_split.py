@@ -23,7 +23,7 @@ from .celt import ORDERY_TABLE, CeltDecoderState
 from .celt_tables import mode48000
 
 EPSILON = 1e-15
-LF_PVQ, LF_FOLD, LF_NOISE, LF_N1 = 0, 1, 2, 4
+LF_PVQ, LF_FOLD, LF_NOISE, LF_N1, LF_PVQ_IDX = 0, 1, 2, 4, 5
 SPREAD_NONE = 0
 SPREAD_FACTOR = (15, 10, 5)
 LCG_A = np.uint32(1664525)
@@ -85,6 +85,11 @@ class CeltTrace:
     xs_heap: bool = False    # xs is a dummy: values live in iy_heap
     #                          (decode order); the device scatter
     #                          pre-pass rebuilds the dense plane
+    idx_mode: bool = False   # B<=1 PVQ leaves are LF_PVQ_IDX: lf_seed
+    #                          = codeword index, lf_gain = PRE gain;
+    #                          device cwrsi expands them
+    rot_leaf: np.ndarray | None = None  # marker -> leaf id for PRE-
+    #                          gain markers (-1 = rot_g already final)
     # native-emitted rotation sub-segment markers (raw_iy traces;
     # None -> assemble with celt_replay._rotation_markers, the Python
     # spec of the same plane)
@@ -99,6 +104,7 @@ class CeltTrace:
 def celt_trace_stream_arrays(
     st: CeltDecoderState, payload, offs, lens, fsz, enda, cha,
     with_heap: bool = True, raw_iy: bool = False, xs_heap: bool = False,
+    idx_mode: bool = False,
 ):
     """Whole-stream bits-only decode emitting the iy-split trace
     (native celt_decode_stream_trace).  Returns a CeltTrace, or None
@@ -113,7 +119,15 @@ def celt_trace_stream_arrays(
     values (iy ints + N1 signs) land in the compact int16 heap in
     decode order and the device scatter pre-pass rebuilds the dense
     plane (celt_replay heap_spec).  Removes the host's last O(F*nmax)
-    memory plane: emission becomes sequential heap writes."""
+    memory plane: emission becomes sequential heap writes.
+
+    idx_mode=True (implies xs_heap): B<=1 PVQ leaves (every leaf of
+    long frames — their collapse mask is identically 1, so values
+    cannot steer decode control flow) skip host cwrsi entirely: the
+    leaf carries the codeword index (lf_seed) + pre gain (lf_gain) and
+    the device cwrsi kernel expands index -> iy and computes
+    g = gain*rsqrt(Ryy).  The host value walk drops to the transient
+    frames (~3% of a typical music stream)."""
     import ctypes
 
     from .celt import _ec_ptrs, _mode_ptrs, _native_celt
@@ -145,6 +159,8 @@ def celt_trace_stream_arrays(
 
     if xs_heap and not raw_iy:
         raise ValueError("xs_heap requires raw_iy")
+    if idx_mode and not xs_heap:
+        raise ValueError("idx_mode requires xs_heap")
     lf_cap = 96 * n + 1024
     rot_cap = 128 * n + 1024 if raw_iy else 0
     # exact upper bound (disjoint leaves); 0 disables heap emission
@@ -209,10 +225,13 @@ def celt_trace_stream_arrays(
             "pk": np.empty(max(rot_cap, 1), np.int32),
             "th": np.empty(max(rot_cap, 1), np.float32),
             "g": np.empty(max(rot_cap, 1), np.float32),
+            "leaf": np.empty(max(rot_cap if idx_mode else 0, 1),
+                             np.int32),
         }
         tcaps = np.array(
             [lf_cap, iy_cap, ac_cap, 0, 0, 0,
-             (1 if raw_iy else 0) | (2 if xs_heap else 0),
+             (1 if raw_iy else 0) | (2 if xs_heap else 0)
+             | (4 if idx_mode else 0),
              rot_cap, 0, 0],
             np.int64)
 
@@ -260,6 +279,7 @@ def celt_trace_stream_arrays(
             rot["pk"].ctypes.data_as(i32p),
             rot["th"].ctypes.data_as(f32p),
             rot["g"].ctypes.data_as(f32p),
+            rot["leaf"].ctypes.data_as(i32p),
         )
         if rc == -2:
             lf_cap *= 4
@@ -290,6 +310,7 @@ def celt_trace_stream_arrays(
             rot_rows=rot["rows"][:nrot], rot_cols=rot["cols"][:nrot],
             rot_pk=rot["pk"][:nrot], rot_th=rot["th"][:nrot],
             rot_g=rot["g"][:nrot],
+            rot_leaf=rot["leaf"][:nrot] if idx_mode else None,
             rot_sigmas=tuple(s for s in range(1, 16)
                              if smask & (1 << s)),
         )
@@ -310,7 +331,7 @@ def celt_trace_stream_arrays(
         fsz=fsz, ends=enda, chs=cha, sb=sb, sil=sil,
         pfp=pfp, pfg=pfg, pft=pft, xs=xs,
         CC=CC, CCout=CCout, start=int(st.start), raw_iy=bool(raw_iy),
-        xs_heap=bool(xs_heap),
+        xs_heap=bool(xs_heap), idx_mode=bool(idx_mode),
         **rot_kw,
     )
 
@@ -521,6 +542,38 @@ def slice_trace(tr: CeltTrace, idx: np.ndarray) -> CeltTrace:
     return CeltTrace(**kw)
 
 
+def _materialize_idx_leaves(tr: CeltTrace) -> CeltTrace:
+    """Validation helper: expand LF_PVQ_IDX leaves (device-cwrsi mode)
+    into ordinary heap-backed LF_PVQ leaves via the Python cwrsi spec,
+    so replay_numpy can treat idx traces uniformly.  O(values) Python
+    loop — validation corpora only."""
+    import dataclasses
+
+    from .celt import cwrsi as cwrsi_spec
+
+    ii = np.nonzero(tr.lf_type == LF_PVQ_IDX)[0]
+    if not len(ii):
+        return tr
+    heaps = [tr.iy_heap]
+    off = len(tr.iy_heap)
+    lf_iy_off = tr.lf_iy_off.copy()
+    lf_type = tr.lf_type.copy()
+    lf_gain = tr.lf_gain.copy()
+    for j in ii:
+        iy = np.asarray(
+            cwrsi_spec(int(tr.lf_len[j]), int(tr.lf_k[j]),
+                       int(tr.lf_seed[j])), np.int16)
+        heaps.append(iy)
+        lf_iy_off[j] = off
+        off += len(iy)
+        lf_type[j] = LF_PVQ
+        ryy = float((iy.astype(np.int64) ** 2).sum())
+        lf_gain[j] = tr.lf_gain[j] / np.sqrt(ryy)
+    return dataclasses.replace(
+        tr, iy_heap=np.concatenate(heaps), lf_iy_off=lf_iy_off,
+        lf_type=lf_type, lf_gain=lf_gain, idx_mode=False)
+
+
 def replay_numpy(tr: CeltTrace) -> np.ndarray:
     """Float64 reference replay of the trace: returns freq
     [F, CCout, nmax] float32, matching celt_decode_stream's freq_out to
@@ -528,6 +581,8 @@ def replay_numpy(tr: CeltTrace) -> np.ndarray:
     and against the full native decode).  Mixed frame sizes are split
     into homogeneous LM buckets (frames are independent in the float
     plane)."""
+    if tr.idx_mode:
+        tr = _materialize_idx_leaves(tr)
     if len(np.unique(tr.fsz)) > 1:
         F = len(tr.fsz)
         nmax = int(tr.fsz.max())

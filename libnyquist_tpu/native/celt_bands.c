@@ -229,6 +229,12 @@ static uint32_t lcg_rand(uint32_t seed) {
 #define LF_FOLD 1
 #define LF_NOISE 2
 #define LF_N1 4
+#define LF_PVQ_IDX 5    /* idx_mode long-frame PVQ: lf_seed holds the
+                           PVQ codeword index; cwrsi runs on DEVICE
+                           (ops/celt_replay.py pvq kernel).  Valid only
+                           where the collapse mask cannot influence
+                           decode control flow (B <= 1: bands.c
+                           extract_collapse_mask returns 1). */
 
 typedef struct {
     /* leaf stream (parallel arrays, cursor lf_n) */
@@ -278,6 +284,21 @@ typedef struct {
                                the host's largest remaining memory
                                plane (write-allocate misses on an
                                [F,2,nmax] f32 dense buffer). */
+    int32_t idx_mode;       /* 1 (xs_heap only): long frames (B==1)
+                               skip host cwrsi entirely — PVQ leaves
+                               are emitted as LF_PVQ_IDX carrying the
+                               codeword index in lf_seed and the
+                               pre-normalisation gain in lf_gain; the
+                               device expands index -> iy and computes
+                               g = gain/sqrt(Ryy).  Transient frames
+                               keep the host path (their collapse
+                               masks feed fill/anti-collapse control
+                               flow and the rng advance). */
+    int32_t *rot_leaf;      /* marker -> emitting leaf index (lf_n at
+                               emission) when that leaf is LF_PVQ_IDX
+                               (rot_g then holds the PRE gain and the
+                               device multiplies by rsqrt(Ryy)); -1
+                               for markers whose rot_g is final. */
     /* rotation sub-segment markers (raw_iy traces): emitted here so
        the Python assembly (celt_replay._rotation_markers, the spec
        and fallback for this plane) is off the serving hot path.
@@ -317,7 +338,7 @@ static void exp_rotation(double *X, int len, int dir, int stride, int K,
                          int spread);
 
 static void emit_rot_plain(tracectx *T, int rowi, int col, int N,
-                           float g) {
+                           float g, int32_t leaf) {
     int64_t rn = T->rot_n;
     int ln = N > 0 ? N : 1;
     if (rn >= T->rot_cap) { T->err = 1; return; }
@@ -326,6 +347,7 @@ static void emit_rot_plain(tracectx *T, int rowi, int col, int N,
     T->rot_pk[rn] = (col << 13) | (ln << 4) | 1;
     T->rot_th[rn] = 0.f;
     T->rot_g[rn] = g;
+    if (T->rot_leaf) T->rot_leaf[rn] = leaf;
     T->rot_n = rn + 1;
 }
 
@@ -339,7 +361,11 @@ static void emit_rot_markers(bctx *ctx, tracectx *T, int type,
                              double g) {
     int rowi = (int)(ctx->cur_frame * 2 + ctx->cur_call);
     int col = T->cur_bandoff + (int)(X - ctx->band_base);
-    if (type == LF_PVQ && 2 * K < N && ctx->spread != SPREAD_NONE
+    /* LF_PVQ_IDX markers carry the PRE gain; the device multiplies by
+       rsqrt(Ryy) of this leaf after its cwrsi pass */
+    int32_t leaf = type == LF_PVQ_IDX ? (int32_t)T->lf_n : -1;
+    if ((type == LF_PVQ || type == LF_PVQ_IDX)
+        && 2 * K < N && ctx->spread != SPREAD_NONE
         && N >= (stride > 1 ? stride : 1)) {
         int s2 = 0, Lsub, rem, nsub, jj;
         double gr = (double)N
@@ -365,12 +391,15 @@ static void emit_rot_markers(bctx *ctx, tracectx *T, int type,
             T->rot_pk[rn] = (scol << 13) | (slen << 4) | lagv;
             T->rot_th[rn] = tail ? 0.f : th;
             T->rot_g[rn] = (float)g;
+            if (T->rot_leaf) T->rot_leaf[rn] = leaf;
             T->rot_n = rn + 1;
         }
         if (s2 > 0) T->rot_sigmas |= 1u << s2;
     } else {
         emit_rot_plain(T, rowi, col, N,
-                       type == LF_PVQ ? (float)g : 1.f);
+                       (type == LF_PVQ || type == LF_PVQ_IDX)
+                           ? (float)g : 1.f,
+                       leaf);
     }
 }
 
@@ -391,7 +420,14 @@ static void emit_leaf(bctx *ctx, int type, const double *X, int N, int K,
     T->lf_stride[n] = (int16_t)stride;
     T->lf_gain[n] = gain;
     T->lf_seed[n] = seed;
-    if (type == LF_PVQ) {
+    if (type == LF_PVQ_IDX) {
+        /* device-cwrsi leaf: lf_seed already holds the codeword index
+           (seed arg), lf_gain the PRE gain; values never touch the
+           host.  Markers carry the pre gain + this leaf's id. */
+        T->lf_iy_off[n] = -1;
+        if (T->rot_row)
+            emit_rot_markers(ctx, T, type, X, N, K, stride, gain);
+    } else if (type == LF_PVQ) {
         int j;
         int64_t Ryy = 0;
         double g;
@@ -521,9 +557,19 @@ static int alg_unquant_tr(bctx *ctx, double *X, int N, int K, int spread,
                           int B, ecdec *dec, double gain) {
     int iy[256];
     double Ryy = 0, g;
+    uint32_t idx;
     int j;
     PROF_T(pc0);
-    cwrsi(N, K, ec_dec_uint(dec, (uint32_t)pvq_v(N, K)), iy);
+    idx = ec_dec_uint(dec, (uint32_t)pvq_v(N, K));
+    if (ctx && ctx->tr && ctx->tr->idx_mode && B <= 1) {
+        /* long frame: collapse mask is identically 1 (B <= 1), so the
+           values cannot influence decode control flow — hand the
+           index straight to the device cwrsi kernel. */
+        PROF_ADD(2, pc0);
+        emit_leaf(ctx, LF_PVQ_IDX, X, N, K, B, gain, idx, 0);
+        return 1;
+    }
+    cwrsi(N, K, idx, iy);
     PROF_ADD(2, pc0);
     if (ctx && ctx->tr) {
         emit_leaf(ctx, LF_PVQ, X, N, K, B, gain, 0, iy);
@@ -2258,7 +2304,7 @@ int64_t celt_decode_stream_trace(
     int32_t *fr_misc, float *fr_gains,
     float *xs_dense, int32_t xs_nmax,
     int32_t *rot_row, int32_t *rot_col, int32_t *rot_pk,
-    float *rot_th, float *rot_g)
+    float *rot_th, float *rot_g, int32_t *rot_leaf)
 {
     tracectx T;
     int64_t rc;
@@ -2287,9 +2333,12 @@ int64_t celt_decode_stream_trace(
        requires raw_iy and a heap (iy_cap > 0). */
     T.xs_heap = (int32_t)((tcaps[6] >> 1) & 1) && T.raw_iy
                 && T.iy_heap != 0;
+    /* bit 2: device cwrsi for B<=1 leaves (LF_PVQ_IDX) */
+    T.idx_mode = (int32_t)((tcaps[6] >> 2) & 1) && T.xs_heap;
     if (T.raw_iy && rot_row) {
         T.rot_row = rot_row; T.rot_col = rot_col; T.rot_pk = rot_pk;
         T.rot_th = rot_th; T.rot_g = rot_g;
+        T.rot_leaf = T.idx_mode ? rot_leaf : 0;
         T.rot_cap = tcaps[7];
     }
     rc = celt_decode_stream_i(

@@ -34,13 +34,86 @@ import numpy as np
 from ..formats.opus.celt import ORDERY_TABLE
 from ..formats.opus.celt_tables import mode48000
 from ..formats.opus.iy_split import (
-    EPSILON, LF_FOLD, LF_NOISE, LF_PVQ, SPREAD_NONE, CeltTrace, _chain,
-    _lcg_tables,
+    EPSILON, LF_FOLD, LF_NOISE, LF_PVQ, LF_PVQ_IDX, SPREAD_NONE,
+    CeltTrace, _chain, _lcg_tables,
 )
 
 _LCG_CACHE: dict = {}
 _SIGMA2_CACHE: dict = {}
+_UTAB_CACHE: list = []
 SPREAD_FACTORS = np.asarray([0, 15, 10, 5], np.int64)
+
+UMAX = 243          # covers N <= 242, K+1 <= 242 (cwrs.c bounds)
+PVQ_LEN_BUCKETS = (4, 8, 16, 24, 32, 48, 64, 96, 176)
+
+
+def pvq_u_table_u32():
+    """Saturated-u32 PVQ U(N,K) table [UMAX, UMAX] for the device
+    cwrsi kernel (reference: cwrs.c CELT_PVQ_U).  Codeword indices fit
+    u32 (V(N,K) < 2^32 for codable N,K), so any cell whose exact value
+    exceeds u32 may saturate: the kernel only compares such cells
+    against an index (p > i always true) and never subtracts them."""
+    if _UTAB_CACHE:
+        return _UTAB_CACHE[0]
+    U = np.zeros((UMAX, UMAX), object)
+    U[0, 0] = 1
+    for n in range(1, UMAX):
+        for k in range(1, UMAX):
+            U[n, k] = U[n - 1, k] + U[n, k - 1] + U[n - 1, k - 1]
+    sat = np.vectorize(lambda v: min(int(v), 0xFFFFFFFF))(U)
+    tab = sat.astype(np.uint32)
+    _UTAB_CACHE.append(tab)
+    return tab
+
+
+def cwrsi_kernel(jnp, lax, utab, n_v, k_v, i_v, Lb):
+    """Vectorized PVQ index -> pulse-vector expansion (cwrs.c cwrsi) as
+    a lax.scan over positions, all leaves in a bucket advancing in
+    lockstep.  Per position the two host branches (k>=n / k<n) unify to
+
+        q = U(n, k+1); s = i >= q; i -= s ? q : 0
+        k' = max { t <= k : U(n, t) <= i }   (binary search, U(n,0)=0)
+        i -= U(n, k');  y = +-(k - k');  k = k'
+
+    with the n==2 tail a special case of the same rule and the n==1
+    tail emitting all remaining pulses (y = +-k).  The U table is
+    saturated u32 (pvq_u_table_u32).
+
+    Returns (iy [lanes, Lb] float32, Ryy [lanes] float32).
+    """
+    lanes = n_v.shape[0]
+    uflat = utab.reshape(-1)
+
+    def step(carry, j):
+        k, i = carry                       # int32 [lanes], uint32 [lanes]
+        n = jnp.maximum(n_v - j, 1)
+        active = j < n_v
+        last = j == n_v - 1
+        q = uflat[n * UMAX + k + 1]
+        s = active & (i >= q)
+        i = jnp.where(s, i - q, i)
+        # largest t <= k with U(n, t) <= i  (8 steps cover k <= 242)
+        lo = jnp.zeros_like(k)
+        hi = k
+        for _ in range(8):
+            mid = (lo + hi + 1) >> 1
+            v = uflat[n * UMAX + mid]
+            take = (v <= i) & (mid <= hi)
+            lo = jnp.where(take, mid, lo)
+            hi = jnp.where(take, hi, mid - 1)
+        kp = jnp.where(last, 0, lo)
+        y = (k - kp).astype(jnp.int32)
+        i = jnp.where(last | ~active, i,
+                      i - uflat[n * UMAX + kp])
+        y = jnp.where(active, jnp.where(s, -y, y), 0)
+        return (jnp.where(active, kp, k), i), y
+
+    (kf, _if), ys = lax.scan(
+        step, (k_v.astype(jnp.int32), i_v.astype(jnp.uint32)),
+        jnp.arange(Lb, dtype=jnp.int32))
+    iy = jnp.transpose(ys).astype(jnp.float32)        # [lanes, Lb]
+    ryy = jnp.sum(iy * iy, axis=1)
+    return iy, ryy
 
 
 def _sigma2_of(length, stride):
@@ -181,6 +254,48 @@ def build_replay_arrays(tr: CeltTrace):
     start = tr.start
     band_off = ((1 << LM) * eB).astype(np.int64)
 
+    pvq_spec = None
+    rs_slot = None
+    pvq_arrs = {}
+    if tr.idx_mode:
+        # ---- device-cwrsi leaves (LF_PVQ_IDX): length-bucketed ----
+        ii = np.nonzero(tr.lf_type == LF_PVQ_IDX)[0]
+        lens_i = tr.lf_len[ii].astype(np.int32)
+        rows_i = tr.lf_frame[ii].astype(np.int64) * 2 + tr.lf_call[ii]
+        tgt_i = (rows_i * nmax
+                 + band_off[tr.lf_band[ii].astype(np.int64)]
+                 + tr.lf_off[ii]).astype(np.int32)
+        # rs_slot: global leaf index -> slot in the concatenated
+        # per-leaf rsqrt(Ryy) vector (marker gain fix-up)
+        rs_slot = np.full(len(tr.lf_type) + 1, -1, np.int64)
+        spec = []
+        slot0 = 0
+        for bi, ub in enumerate(PVQ_LEN_BUCKETS):
+            lb = PVQ_LEN_BUCKETS[bi - 1] if bi else 0
+            sel = np.nonzero((lens_i > lb) & (lens_i <= ub))[0]
+            cnt = len(sel)
+            if not cnt:
+                continue
+            lanes = _bucket(cnt, 256)
+            pre = f"pvq{len(spec)}"
+
+            def padv(v, fill, dt):
+                out = np.full(lanes, fill, dt)
+                out[:cnt] = v
+                return out
+
+            pvq_arrs[pre + "_n"] = padv(lens_i[sel], 0, np.int32)
+            pvq_arrs[pre + "_k"] = padv(tr.lf_k[ii[sel]], 0, np.int32)
+            pvq_arrs[pre + "_i"] = padv(tr.lf_seed[ii[sel]], 0,
+                                        np.uint32)
+            pvq_arrs[pre + "_tgt"] = padv(tgt_i[sel], 2 * F * nmax,
+                                          np.int32)
+            spec.append((int(ub), lanes))
+            rs_slot[ii[sel]] = slot0 + np.arange(cnt)
+            slot0 += lanes
+        pvq_arrs["utab"] = pvq_u_table_u32()
+        pvq_spec = (tuple(spec), slot0)
+
     heap_spec = None
     if tr.xs_heap:
         # Compact value heap (int16, decode order) instead of the dense
@@ -209,6 +324,7 @@ def build_replay_arrays(tr: CeltTrace):
         st_a[Lh] = iyn
         dl_a[Lh] = 1 << 30
         arrs = {"iyh": heap, "iyh_st": st_a, "iyh_dl": dl_a}
+        arrs.update(pvq_arrs)
         heap_spec = (Tpad, Lpad)
     else:
         arrs = {"xs": tr.xs.reshape(-1)}
@@ -338,11 +454,18 @@ def build_replay_arrays(tr: CeltTrace):
         arrs["rot_pk"] = pk
         arrs["rot_th"] = th
         arrs["rot_g"] = gg
+        if tr.idx_mode:
+            # marker -> rsqrt(Ryy) slot: pre-gain markers (rot_leaf
+            # >= 0) point at their leaf's slot in the concatenated
+            # device Ryy vector; -1 = rot_g is already final
+            gx = np.full(nm_pad, -1, np.int32)
+            gx[:nm] = rs_slot[tr.rot_leaf]
+            arrs["rot_gidx"] = gx
         rot_spec = (WB, nm_pad, sigmas)
 
     static_key = (F, nmax, LM, start, tr.CC, tr.CCout,
                   tuple(band_spec), nac_pad, nren_pad, rot_spec,
-                  heap_spec)
+                  heap_spec, pvq_spec)
     return arrs, None, static_key
 
 
@@ -480,12 +603,13 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
     use_pallas = (os.environ.get("LIBNYQUIST_ROT_PALLAS")
                   and _jax.default_backend() not in ("cpu", "interpreter"))
 
-    def rotate_pallas(X_all, arrs):
+    def rotate_pallas(X_all, arrs, g_override=None):
         """Single-kernel path (TPU): fill + sweeps + scale in VMEM
         (ops/rot_pallas.py); the marker scatters build the planes
         directly in the kernel's [W, R] position-major layout."""
         from .rot_pallas import rotate_plane_pallas
 
+        gv = arrs["rot_g"] if g_override is None else g_override
         x = X_all.reshape(F2, nmax)
         xh = jnp.transpose(x[:, :WB])                  # [WB, F2]
         idx = (arrs["rot_cols"].astype(jnp.int32) * F2
@@ -495,15 +619,16 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
             vals, mode="drop", unique_indices=True).reshape(WB, F2)
         pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
         th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
-        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_g"])
+        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), gv)
         out = rotate_plane_pallas(xh, pk0, th0, g0, sigmas, band_off_t)
         out = jnp.transpose(out)                       # [F2, WB]
         return jnp.concatenate([out, x[:, WB:]], axis=1).reshape(
             F, 2, nmax)
 
-    def rotate(X_all, arrs):
+    def rotate(X_all, arrs, g_override=None):
         if use_pallas:
-            return rotate_pallas(X_all, arrs)
+            return rotate_pallas(X_all, arrs, g_override)
+        gv = arrs["rot_g"] if g_override is None else g_override
         x = X_all.reshape(F2, nmax)
         xh = x[:, :WB]
         idx = (arrs["rot_rows"].astype(jnp.int32) * WB
@@ -513,7 +638,7 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
             vals, mode="drop", unique_indices=True).reshape(F2, WB)
         pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
         th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
-        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_g"])
+        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), gv)
 
         def comb(a, b):
             m = b[0] >= 0
@@ -556,7 +681,7 @@ def _replay_builder(static_key):
     from jax import lax
 
     (F, nmax, LM, start, CC, CCout, band_spec, nac_pad,
-     nren_pad, rot_spec, heap_spec) = static_key
+     nren_pad, rot_spec, heap_spec, pvq_spec) = static_key
     mode = mode48000()
     nb = mode.nbEBands
     eB = np.asarray(mode.eBands, np.int64)[: nb + 1]
@@ -577,6 +702,7 @@ def _replay_builder(static_key):
     def replay(arrs):
         A = arrs["lcg_a"]
         Bc = arrs["lcg_b"]
+        rot_g_eff = None
         if heap_spec is not None:
             # dense plane from the compact heap: fill the per-leaf
             # (tgtbase - heap_start) delta forward along the heap axis,
@@ -590,13 +716,38 @@ def _replay_builder(static_key):
             dlt = lax.associative_scan(
                 lambda a, b: jnp.where(b == BIG, a, b), dlt0)
             tgt = jnp.arange(Tpad, dtype=jnp.int32) + dlt
-            X_all = jnp.zeros((BIG,), jnp.float32).at[tgt].set(
+            Xf = jnp.zeros((BIG,), jnp.float32).at[tgt].set(
                 arrs["iyh"].astype(jnp.float32), mode="drop",
-                unique_indices=True).reshape(F, 2, nmax)
+                unique_indices=True)
+            if pvq_spec is not None:
+                # device cwrsi: expand LF_PVQ_IDX codeword indices to
+                # pulse vectors per length bucket, scatter into the
+                # plane, and fix up pre-gain markers by rsqrt(Ryy)
+                buckets, _total = pvq_spec
+                rss = []
+                for bi, (Lb, lanes) in enumerate(buckets):
+                    pre = f"pvq{bi}"
+                    iy, ryy = cwrsi_kernel(
+                        jnp, lax, arrs["utab"], arrs[pre + "_n"],
+                        arrs[pre + "_k"], arrs[pre + "_i"], Lb)
+                    jj = jnp.arange(Lb, dtype=jnp.int32)[None, :]
+                    t2 = jnp.where(
+                        jj < arrs[pre + "_n"][:, None],
+                        arrs[pre + "_tgt"][:, None] + jj, BIG)
+                    Xf = Xf.at[t2.reshape(-1)].set(
+                        iy.reshape(-1), mode="drop",
+                        unique_indices=True)
+                    rss.append(1.0 / jnp.sqrt(jnp.maximum(ryy, 1.0)))
+                rs_all = jnp.concatenate(rss) if rss else jnp.ones(
+                    (1,), jnp.float32)
+                gi = arrs["rot_gidx"]
+                rot_g_eff = arrs["rot_g"] * jnp.where(
+                    gi >= 0, rs_all[jnp.maximum(gi, 0)], 1.0)
+            X_all = Xf.reshape(F, 2, nmax)
         else:
             X_all = arrs["xs"].reshape(F, 2, nmax)
         if rotate is not None:
-            X_all = rotate(X_all, arrs)
+            X_all = rotate(X_all, arrs, rot_g_eff)
 
         norm = jnp.zeros((F, 2, norm_len), jnp.float32)
         spec_parts = []

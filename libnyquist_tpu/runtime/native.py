@@ -167,6 +167,7 @@ def lib():
             i32p_, i32p_, i32p_,                    # rot row/col/pk
             ctypes.POINTER(ctypes.c_float),         # rot_th
             ctypes.POINTER(ctypes.c_float),         # rot_g
+            i32p_,                                  # rot_leaf
         ]
         L.celt_compute_allocation.restype = None
         L.celt_compute_allocation.argtypes = [

@@ -64,14 +64,15 @@ def _frames_from_golden(path):
     return ch, frames, sizes, ends, chs
 
 
-def _trace(st, frames, sizes, ends, chs, raw_iy=False, xs_heap=False):
+def _trace(st, frames, sizes, ends, chs, raw_iy=False, xs_heap=False,
+           idx_mode=False):
     payload = b"".join(frames)
     lens = np.fromiter((len(f) for f in frames), np.int64, len(frames))
     offs = np.concatenate(([0], np.cumsum(lens[:-1])))
     return iy_split.celt_trace_stream_arrays(
         st, payload, offs, lens, np.asarray(sizes, np.int32),
         np.asarray(ends, np.int32), np.asarray(chs, np.int32),
-        raw_iy=raw_iy, xs_heap=xs_heap)
+        raw_iy=raw_iy, xs_heap=xs_heap, idx_mode=idx_mode)
 
 
 def _check_replay(ch, frames, sizes, ends, chs):
@@ -217,6 +218,70 @@ def test_replay_device_xs_heap_golden(golden_dir):
     assert (rel > 1e-4).mean() < 1e-5
 
 
+def test_replay_device_idx_mode_golden(golden_dir):
+    """idx-mode traces (LF_PVQ_IDX, the serving production config):
+    B<=1 PVQ leaves skip host cwrsi — the device kernel
+    (celt_replay.cwrsi_kernel) expands codeword index -> pulse vector
+    from the saturated-u32 U table, computes g = gain*rsqrt(Ryy), and
+    the marker gains are fixed up per leaf.  Transient-frame leaves
+    (value-dependent collapse masks) stay host-decoded."""
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st1 = CeltDecoderState(channels=ch)
+    freq_ref = celt_decode_stream_raw(st1, frames, sizes, ends, chs)[0]
+    st2 = CeltDecoderState(channels=ch)
+    tr = _trace(st2, frames, sizes, ends, chs, raw_iy=True,
+                xs_heap=True, idx_mode=True)
+    assert tr.idx_mode
+    assert (tr.lf_type == iy_split.LF_PVQ_IDX).sum() > 0
+    # f64 validator expands idx leaves via the Python cwrsi spec
+    freq_np = iy_split.replay_numpy(tr)
+    d = np.abs(freq_np.astype(np.float64) - freq_ref.astype(np.float64))
+    assert (d / (1.0 + np.abs(freq_ref))).max() < 1e-6
+    freq_dev = np.asarray(celt_replay.replay_device(tr))
+    d = np.abs(freq_dev.astype(np.float64) - freq_ref.astype(np.float64))
+    rel = d / (1.0 + np.abs(freq_ref))
+    assert rel.max() < 1e-3, f"idx-mode device replay error {rel.max()}"
+    assert (rel > 1e-4).mean() < 1e-5
+
+
+def test_cwrsi_kernel_matches_spec():
+    """Device cwrsi vs the Python spec (celt.py cwrsi) over random
+    (N, K, index) triples spanning the codebook ranges."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libnyquist_tpu.formats.opus.celt import cwrsi as spec, pvq_v
+    from libnyquist_tpu.ops.celt_replay import (
+        cwrsi_kernel, pvq_u_table_u32)
+
+    rng = np.random.default_rng(7)
+    cases = []
+    for N in (2, 3, 4, 5, 8, 16, 22, 44, 96, 176):
+        for K in (1, 2, 4, 11, 40, 128):
+            V = pvq_v(N, K)
+            for _ in range(4):
+                cases.append((N, K, int(rng.integers(0, min(V, 1 << 32)))))
+    Lb = max(c[0] for c in cases)
+    lanes = len(cases)
+    n_v = np.array([c[0] for c in cases], np.int32)
+    k_v = np.array([c[1] for c in cases], np.int32)
+    i_v = np.array([c[2] for c in cases], np.uint32)
+    utab = jnp.asarray(pvq_u_table_u32())
+    iy, ryy = jax.jit(
+        lambda n, k, i: cwrsi_kernel(jnp, lax, utab, n, k, i, Lb)
+    )(n_v, k_v, i_v)
+    iy = np.asarray(iy)
+    for r, (N, K, idx) in enumerate(cases):
+        want = np.asarray(spec(N, K, idx), np.float32)
+        np.testing.assert_array_equal(iy[r, :N], want, err_msg=str(
+            (N, K, idx)))
+        assert abs(float(np.asarray(ryy)[r]) - (want ** 2).sum()) < 1e-3
+
+
 def test_batched_stream_program_matches_single(golden_dir):
     """serving.make_opus_stream_program_batched (K streams, one fused
     executable) must reproduce the single-stream program's per-row PCM
@@ -231,7 +296,8 @@ def test_batched_stream_program_matches_single(golden_dir):
     ch, frames, sizes, ends, chs = _frames_from_golden(
         golden_dir / "opus_packets.bin")
     st = CeltDecoderState(channels=ch)
-    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True, xs_heap=True)
+    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True, xs_heap=True,
+                idx_mode=True)
     arrs, _static, key = build_replay_arrays(tr)
     mode = mode48000()
     F = len(tr.fsz)
