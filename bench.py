@@ -377,13 +377,13 @@ def bench_e2e_opus(K):
 
 def bench_e2e_opus_iy(K):
     """iy-split end-to-end bench: host = bits-only trace + replay
-    assembly (timed, K streams); device = ONE fused program per stream
-    (PVQ-plane replay + full synthesis scan,
-    serving.make_opus_stream_program).  Headline = the PIPELINED
-    composition: each stream's device program is dispatched
-    asynchronously while the host decodes the next stream — the
-    double-buffered deployment shape (VERDICT r2 item 2); the serial
-    sum is also reported."""
+    assembly (timed, K streams); device = ONE fused BATCHED program for
+    the whole batch (device cwrsi + PVQ-plane replay + full synthesis
+    scan over K*CC rows, serving.make_opus_stream_program_batched).
+    Headline = the PIPELINED composition: the batch-k device program
+    runs while the host decodes batch k+1 — the double-buffered
+    deployment shape (VERDICT r2 item 2); the serial sum is also
+    reported."""
     jax = _jax_setup()
     import jax.numpy as jnp
 
@@ -423,66 +423,82 @@ def bench_e2e_opus_iy(K):
             2 * mode.shortMdctSize, mode.overlap, B_short)
     else:
         T8m, T8p = np.zeros_like(T1m), np.zeros_like(T1p)
+
+    def tileK(x):   # per-stream synth params [K, ...] (tiny)
+        return np.broadcast_to(x[None], (K,) + x.shape).copy()
+
     synth = {
-        "msk": msk.reshape(n_steps, FC),
-        "TA": chunked(TA, 15), "gA": chunked(gA, 0.0, (3,)),
-        "TB1": chunked(TB1, 15), "gB1": chunked(gB1, 0.0, (3,)),
+        "msk": tileK(msk.reshape(n_steps, FC)),
+        "TA": tileK(chunked(TA, 15)),
+        "gA": tileK(chunked(gA, 0.0, (3,))),
+        "TB1": tileK(chunked(TB1, 15)),
+        "gB1": tileK(chunked(gB1, 0.0, (3,))),
         "fade": serving._fade_pattern(N, mode.overlap, mode.shortMdctSize),
         "T1m": T1m, "T1p": T1p, "T8m": T8m, "T8p": T8p,
     }
 
     # Staging (untimed; documented): production PCIe makes this <1% of
     # decode, this rig's debug tunnel does not (see module docstring).
+    # The batch's K trace copies are materialized device-side in ONE
+    # jitted tile call (eager per-leaf broadcasts each pay a remote
+    # compile+dispatch roundtrip on this tunnel — measured minutes);
+    # the replay program then receives K physically distinct buffers,
+    # so XLA cannot sink a broadcast into the compute.
     t0 = time.perf_counter()
-    d_iy = jax.device_put(iy_arrs)
+    d_one = jax.device_put(iy_arrs)
     d_synth = jax.device_put(synth)
-    for leaf in jax.tree_util.tree_leaves((d_iy, d_synth)):
+    for leaf in jax.tree_util.tree_leaves((d_one, d_synth)):
+        jax.block_until_ready(leaf)
+    tile = jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (K,) + (1,) * x.ndim), t))
+    d_iy = tile(d_one)
+    for leaf in jax.tree_util.tree_leaves(d_iy):
         jax.block_until_ready(leaf)
     t_stage = time.perf_counter() - t0
 
-    stream_fn = serving.make_opus_stream_program(
-        iy_key, F, N, CC, n_steps, FC, mode.overlap, mode.shortMdctSize)
-    acc = stream_fn(d_iy, d_synth)
-    jax.block_until_ready(acc)         # compile + warm
+    stream_fn = serving.make_opus_stream_program_batched(
+        iy_key, K, F, N, CC, n_steps, FC, mode.overlap,
+        mode.shortMdctSize)
+    acc_h = np.asarray(stream_fn(d_iy, d_synth))  # compile + warm
 
     # ---------- host half: K real streams, timed (median of 3) ----------
     passes = sorted(_timed_host_pass_iy(data, K) for _ in range(3))
     t_host, host_workers = passes[1]
 
-    # ---------- device half: K fused stream programs ----------
-    # completion barrier = a real (tiny) D2H fetch of every result:
+    # ---------- device half: one batched fused program ----------
+    # completion barrier = a real (tiny) D2H fetch of the result:
     # block_until_ready alone under-reports on this tunnel runtime
     dev_samples = []
     for _ in range(3):
         t0 = time.perf_counter()
-        accs = [stream_fn(d_iy, d_synth) for _ in range(K)]
-        acc_h = [np.asarray(a) for a in accs]
+        acc_h = np.asarray(stream_fn(d_iy, d_synth))
         dev_samples.append(time.perf_counter() - t0)
     dev_samples.sort()
     t_dev = dev_samples[len(dev_samples) // 2]
 
-    # ---------- pipelined: device(k) overlaps host(k+1) ----------
+    # ---------- pipelined steady state: device(batch k) overlaps ------
+    # host(batch k+1); one iteration = dispatch batch, host-decode the
+    # next batch's K streams, fetch the batch result.
     pipe_samples = []
     for _ in range(2):
         t0 = time.perf_counter()
-        accs = []
-        _host_decode_opus_iy(data)             # host stream 0
-        for k in range(K):
-            accs.append(stream_fn(d_iy, d_synth))   # device k (async)
-            if k + 1 < K:
-                _host_decode_opus_iy(data)          # host k+1 overlaps
-        acc_h = [np.asarray(a) for a in accs]       # fetch barrier
+        acc = stream_fn(d_iy, d_synth)            # device batch (async)
+        _timed_host_pass_iy(data, K)              # host batch k+1
+        acc_h = np.asarray(acc)                   # fetch barrier
         pipe_samples.append(time.perf_counter() - t0)
     pipe_samples.sort()
     t_pipe = pipe_samples[0]
     spread = (pipe_samples[-1] - pipe_samples[0]) / max(t_pipe, 1e-9)
 
-    # Oracle: per-stream sample sum (reference Main.cpp:146).
-    total = float(acc_h[-1].sum())
+    # Oracle: per-stream sample sums (reference Main.cpp:146), checked
+    # for EVERY stream of the batch.
+    sums = acc_h.sum(axis=1)
+    total = float(sums[-1])
     if src == "sb-reverie.opus":
-        ok = abs(total - 403.42) < 1.0
-        print(f"# oracle: int(sum) = {int(total)} expected 403 -> "
-              f"{'PASS' if ok else 'FAIL'}", file=sys.stderr)
+        ok = bool(np.all(np.abs(sums - 403.42) < 1.0))
+        print(f"# oracle: int(sum) = {int(total)} expected 403 for all "
+              f"{K} streams -> {'PASS' if ok else 'FAIL'}",
+              file=sys.stderr)
         if not ok:
             raise SystemExit("oracle mismatch in benched decode")
 
@@ -511,7 +527,8 @@ def bench_e2e_opus_iy(K):
     pipe_x = total_audio / t_pipe
     host_1core_x = audio_s / (t_host * host_workers / K)
     print(f"# streams={K} src={src} audio={audio_s:.1f}s/stream "
-          f"iy-split fused per-stream programs", file=sys.stderr)
+          f"iy-split batched fused program (device cwrsi)",
+          file=sys.stderr)
     print(f"# host ({host_workers} core(s)): {t_host:.2f}s = "
           f"{host_x:.0f}x ({host_1core_x:.0f}x/core) | device: "
           f"{t_dev:.3f}s = {dev_x:.0f}x | staging (excluded, debug "
