@@ -237,14 +237,20 @@ def encode_aiff_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
 
 def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                           bitrate_kbps: int = 96,
-                          frame_ms: float = 20) -> bytes:
-    """Encode AudioData to Ogg Opus (CELT-only fullband frames of
-    2.5/5/10/20 ms).
+                          frame_ms: float = 20,
+                          mode: str = "celt") -> bytes:
+    """Encode AudioData to Ogg Opus.
+
+    mode="celt" (default): CELT-only fullband frames of 2.5/5/10/20 ms.
+    mode="silk": SILK-only wideband 20 ms frames (mono) — the speech
+    coding half of Opus (reference: silk/enc_API.c); rate follows the
+    signal (closed-loop VBR), bitrate_kbps is ignored.
 
     The reference declares this API but ships no implementation
-    (Encoders.h:40); this is a working encoder validated against both
-    our decoder and the reference's (opusfile) decoder. Non-48 kHz
-    input is resampled with the polyphase SRC first, per the header's
+    (Encoders.h:40); both modes are working encoders validated against
+    our decoder and the reference's own libopus/opusfile decoders
+    (SILK: bit-identical output between the two). Non-48 kHz input is
+    resampled with the polyphase SRC first, per the header's
     "re-formatted to satisfy the Ogg/Opus spec" contract.
     """
     if d.samples is None or len(d.samples) == 0:
@@ -268,6 +274,13 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
 
         per = np.asarray(resample(per, rate, 48000))
         samples = per.T.reshape(-1).astype(np.float32)
+    if mode == "silk":
+        if ch != 1:
+            raise ValueError(
+                EncoderError.UnsupportedChannelConfiguration.name)
+        from .formats.opus.silk_encoder import encode_ogg_opus_silk
+
+        return encode_ogg_opus_silk(samples, 48000)
     from .formats.opus.celt_encoder import encode_ogg_opus
 
     return encode_ogg_opus(samples, ch, 48000, bitrate_kbps,

@@ -581,16 +581,28 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
         packets.append(bytes([toc])
                        + celt_encode_frame(st, win, nbytes, LM))
 
+    return ogg_opus_wrap(packets, channels, S, frame, PRESKIP)
+
+
+def ogg_opus_wrap(packets, channels, input_samples, frame_48k,
+                  preskip) -> bytes:
+    """Wrap finished Opus packets (TOC included) in an Ogg stream:
+    OpusHead/OpusTags + ~1 s data pages with correct granule positions
+    and end trimming (RFC 7845)."""
+    import struct
+
+    from ..ogg import write_page, write_page_multi
+
     head = (b"OpusHead" + bytes([1, channels])
-            + struct.pack("<HIh", PRESKIP, 48000, 0) + bytes([0]))
+            + struct.pack("<HIh", preskip, 48000, 0) + bytes([0]))
     tags = (b"OpusTags" + struct.pack("<I", 14) + b"libnyquist_tpu"
             + struct.pack("<I", 0))
     serial = 0x4C4E5154
     pages = [write_page(head, 0, serial, 0, bos=True),
              write_page(tags, 0, serial, 1)]
-    total = PRESKIP + S
+    total = preskip + input_samples
     seq = 2
-    PER_PAGE = max(1, 48000 // frame)  # ~1 s per page, like opusenc
+    PER_PAGE = max(1, 48000 // frame_48k)  # ~1 s pages, like opusenc
     idx = 0
     while idx < len(packets):
         # fill a page: at most PER_PAGE packets and 255 lacing segments
@@ -603,7 +615,7 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
             take += 1
         sub = packets[idx : idx + take]
         idx += take
-        granule = min(frame * idx, total)
+        granule = min(frame_48k * idx, total)
         pages.append(write_page_multi(sub, granule, serial, seq,
                                       eos=(idx >= len(packets))))
         seq += 1
