@@ -414,6 +414,8 @@ def _native_packet_ctx(channels, blocksizes, modes, mappings, floors,
         return None
     if channels > 8:
         return None
+    if any(isinstance(fl, Floor0) for fl in floors):
+        return None     # floor0: Python path (extinct stream shape)
     import ctypes
 
     try:
@@ -501,6 +503,90 @@ def _native_packet_ctx(channels, blocksizes, modes, mappings, floors,
 # --------------------------------------------------------------------------
 # Floors
 # --------------------------------------------------------------------------
+class Floor0:
+    """LSP floor (Vorbis I spec §6, reference: libvorbis/src/floor0.c
+    + lsp.c vorbis_lsp_to_curve).  Extinct in modern encoders but part
+    of the spec surface; decoded on the Python path (the native packet
+    plane handles floor1 streams only)."""
+
+    def __init__(self, bits: LsbBits):
+        self.order = bits.read(8)
+        self.rate = bits.read(16)
+        self.barkmap = bits.read(16)
+        self.ampbits = bits.read(6)
+        self.ampdB = bits.read(8)
+        self.numbooks = bits.read(4) + 1
+        self.books = [bits.read(8) for _ in range(self.numbooks)]
+        if self.order < 1 or self.rate < 1 or self.barkmap < 1:
+            raise DecodeError("bad floor0 header")
+        self._maps = {}
+
+    def _map(self, n2):
+        m = self._maps.get(n2)
+        if m is None:
+            # floor0.c:126 floor0_map_lazy_init — band-edge bark bins
+            def bark(x):
+                return (13.1 * np.arctan(0.00074 * x)
+                        + 2.24 * np.arctan(x * x * 1.85e-8)
+                        + 1e-4 * x)
+
+            scale = self.barkmap / bark(self.rate / 2.0)
+            j = np.arange(n2)
+            val = np.floor(
+                bark((self.rate / 2.0) / n2 * j) * scale).astype(int)
+            m = np.minimum(val, self.barkmap - 1)
+            self._maps[n2] = m
+        return m
+
+    def decode_curve_native(self, bits, books, n2):
+        """Full decode + LSP curve synthesis (floor0_inverse1/2).
+        Returns the curve [n2] float64, or None (unused channel)."""
+        ampraw = bits.read(self.ampbits)
+        if ampraw <= 0:
+            return None
+        amp = ampraw / ((1 << self.ampbits) - 1) * self.ampdB
+        booknum = bits.read(ilog(self.numbooks))
+        if booknum >= self.numbooks:
+            return None
+        book = books[self.books[booknum]]
+        lsp = []
+        last = 0.0
+        while len(lsp) < self.order:
+            vec = book.decode_vq(bits)
+            lsp.extend(float(v) + last for v in vec)
+            last = lsp[-1]
+        lsp = np.asarray(lsp[: self.order], np.float64)
+
+        # vorbis_lsp_to_curve (lsp.c:140): products over 2cos(lsp)
+        m = self.order
+        lsp2 = 2.0 * np.cos(lsp)
+        mapv = self._map(n2)
+        ks = np.unique(mapv)
+        w = 2.0 * np.cos(np.pi * ks / self.barkmap)
+        q = np.full(len(ks), 0.5)
+        p = np.full(len(ks), 0.5)
+        j = 1
+        while j < m:
+            q *= w - lsp2[j - 1]
+            p *= w - lsp2[j]
+            j += 2
+        if j == m:  # odd order
+            q *= w - lsp2[j - 1]
+            p = p * p * (4.0 - w * w)
+            q = q * q
+        else:       # even order
+            p = p * p * (2.0 - w)
+            q = q * q * (2.0 + w)
+        # clip: degenerate (coincident) LSP roots drive p+q -> 0; the
+        # reference computes inf here, we keep the curve finite
+        expo = np.clip(amp / np.sqrt(np.maximum(p + q, 1e-300))
+                       - self.ampdB, -400.0, 400.0)
+        val = np.exp(expo * 0.11512925)
+        lut = np.zeros(self.barkmap, np.float64)
+        lut[ks] = val
+        return lut[mapv]
+
+
 class Floor1:
     def __init__(self, bits: LsbBits):
         self.partitions = bits.read(5)
@@ -1107,9 +1193,12 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         floors = []
         for _ in range(b.read(6) + 1):
             ftype = b.read(16)
-            if ftype != 1:
+            if ftype == 0:
+                floors.append(Floor0(b))
+            elif ftype == 1:
+                floors.append(Floor1(b))
+            else:
                 raise DecodeError(f"unsupported floor type {ftype}")
-            floors.append(Floor1(b))
         residues = []
         for _ in range(b.read(6) + 1):
             rtype = b.read(16)
@@ -1133,6 +1222,10 @@ def _decode_stream_packets(st, return_entropy: bool = False):
         # Python path, out-of-bounds table reads in the native one)
         nb = len(books)
         for fl in floors:
+            if isinstance(fl, Floor0):
+                if any(bk >= nb for bk in fl.books):
+                    raise DecodeError("floor references missing codebook")
+                continue
             if any(bk >= nb for bk in fl.class_book if bk >= 0):
                 raise DecodeError("floor references missing codebook")
             for row in fl.subclass_books:
