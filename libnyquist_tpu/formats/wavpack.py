@@ -14,8 +14,10 @@ Python fallbacks. Output is interleaved float32: float streams pass
 through (normalized), integer streams are scaled by 2^(bps-1) like the
 upstream consumer.
 
-Lossless, hybrid lossy (incl. wvx float restore) and int32 streams are
-supported (tests/test_wavpack.py covers all three); DSD is not.
+Lossless, hybrid lossy (incl. wvx float restore), int32 and DSD
+streams are supported (tests/test_wavpack.py covers all four; DSD
+modes 0/1/3 per unpack_dsd.c, decoded bit-exact and decimated 8:1 to
+24-bit PCM like OPEN_DSD_AS_PCM).
 """
 
 from __future__ import annotations
@@ -58,9 +60,12 @@ ID_FLOAT_INFO = 0x8
 ID_INT32_INFO = 0x9
 ID_WV_BITSTREAM = 0xA
 ID_WVX_BITSTREAM = 0xC
+ID_DSD_BLOCK = 0xE
 ID_SAMPLE_RATE = 0x27
 ID_ODD_SIZE = 0x40
 ID_LARGE = 0x80
+
+DSD_FLAG = 0x80000000
 
 MAX_TERM = 8
 
@@ -1013,6 +1018,279 @@ class _Block:
         return self._normalize_float_bits(bits)
 
 
+# ---------------------------------------------------------------------------
+# DSD (1-bit) blocks — reference unpack_dsd.c (a surface the reference
+# ships in source but never compiles: its CMake omits ENABLE_DSD).
+# Entropy decode is native (native/wv_dsd.c) with the bit-identical
+# Python fallback below; the 8:1 decimation to PCM is the reference's
+# 56-tap integer conv-table filter, vectorized (a [56]-tap strided conv
+# — trivially a device matmul, but the facade path is host-bound).
+# ---------------------------------------------------------------------------
+
+_DSD_DECM_FILTER = (
+    4, 17, 56, 147, 336, 692, 1315, 2337,
+    3926, 6281, 9631, 14216, 20275, 28021, 37619, 49155,
+    62616, 77870, 94649, 112551, 131049, 149507, 167220, 183448,
+    197472, 208636, 216402, 220385, 220385, 216402, 208636, 197472,
+    183448, 167220, 149507, 131049, 112551, 94649, 77870, 62616,
+    49155, 37619, 28021, 20275, 14216, 9631, 6281, 3926,
+    2337, 1315, 692, 336, 147, 56, 17, 4,
+)
+_DSD_LUT = None
+
+
+def _dsd_decimate(ch_bytes: np.ndarray) -> np.ndarray:
+    """DSD bytes [n] u8 -> 24-bit PCM [n] int32 (decimate_dsd_run:
+    history primed with 0x55, per-byte conv tables, sum >> 4)."""
+    global _DSD_LUT
+    if _DSD_LUT is None:
+        filt = np.asarray(_DSD_DECM_FILTER, np.int64)
+        scale = ((1 << 23) - 1) / float(filt.sum()) * 16.0
+        lut = np.zeros((7, 256), np.int64)
+        j = np.arange(256)
+        for i in range(56):
+            term = int(np.floor(filt[i] * scale + 0.5))
+            if term:
+                bit = (j & (0x80 >> (i & 7))) != 0
+                lut[i >> 3] += np.where(bit, term, -term)
+        _DSD_LUT = lut
+    n = ch_bytes.size
+    hist = np.concatenate(
+        [np.full(6, 0x55, np.uint8), ch_bytes]).astype(np.intp)
+    acc = np.zeros(n, np.int64)
+    for i in range(7):
+        acc += _DSD_LUT[i][hist[i : i + n]]
+    return (acc >> 4).astype(np.int32)
+
+
+def _dsd_decode_py(data: bytes, mode: int, stereo: bool,
+                   nframes: int) -> np.ndarray:
+    """Pure-Python mirror of native/wv_dsd.c (unpack_dsd.c semantics).
+    Returns interleaved DSD bytes [nframes * nch] u8."""
+    nch = 2 if stereo else 1
+    total = nframes * nch
+    M = 0xFFFFFFFF
+
+    if mode == 0:
+        if len(data) != total:
+            raise DecodeError("DSD raw block size mismatch")
+        return np.frombuffer(data, np.uint8).copy()
+
+    if mode == 1:
+        pos = 0
+        if len(data) < 2:
+            raise DecodeError("short DSD fast block")
+        history_bits = data[pos]; pos += 1
+        if history_bits > 5:
+            raise DecodeError("bad DSD history bits")
+        bins = 1 << history_bits
+        max_prob = data[pos]; pos += 1
+        plane = np.zeros(bins * 256, np.uint8)
+        if max_prob < 0xFF:
+            op, oe = 0, bins * 256
+            while op < oe and pos < len(data):
+                code = data[pos]; pos += 1
+                if code > max_prob:
+                    run = min(code - max_prob, oe - op)
+                    op += run
+                elif code:
+                    plane[op] = code
+                    op += 1
+                else:
+                    break
+            if op < oe or (pos < len(data) and data[pos] != 0):
+                raise DecodeError("bad DSD probability plane")
+            if pos < len(data):
+                pos += 1
+        elif len(data) - pos > bins * 256:
+            plane[:] = np.frombuffer(data, np.uint8, bins * 256, pos)
+            pos += bins * 256
+        else:
+            raise DecodeError("short DSD probability plane")
+        prob = plane.reshape(bins, 256).astype(np.int64)
+        summed = prob.cumsum(axis=1)
+        if (summed[:, 255] > 32767).any():
+            raise DecodeError("DSD probability bin overflow")
+        if int(summed[:, 255].sum()) > bins * 1280:
+            raise DecodeError("DSD probabilities too dense")
+        lookup = [np.repeat(np.arange(256, dtype=np.uint8), prob[b])
+                  for b in range(bins)]
+        if len(data) - pos < 4:
+            raise DecodeError("short DSD stream")
+        value = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+        low, high = 0, M
+        p0 = p1 = 0
+        out = np.zeros(total, np.uint8)
+        sp = summed
+        for i in range(total):
+            s = int(sp[p0, 255])
+            if not s:
+                raise DecodeError("empty DSD probability bin")
+            mult = (high - low) // s
+            if not mult:
+                if len(data) - pos >= 4:
+                    value = ((value << 32) & M) | int.from_bytes(
+                        data[pos : pos + 4], "big")
+                    value &= M
+                    pos += 4
+                low, high = 0, M
+                mult = high // s
+                if not mult:
+                    raise DecodeError("DSD coder stall")
+            index = ((value - low) & M) // mult
+            if index >= s:
+                raise DecodeError("DSD index out of range")
+            code = int(lookup[p0][index])
+            if code:
+                low = (low + int(sp[p0, code - 1]) * mult) & M
+            high = (low + int(prob[p0, code]) * mult - 1) & M
+            out[i] = code
+            if not stereo:
+                p0 = code & (bins - 1)
+            else:
+                p0, p1 = p1, code & (bins - 1)
+            while not ((high ^ low) & 0xFF000000) and pos < len(data):
+                value = ((value << 8) & M) | data[pos]
+                high = ((high << 8) & M) | 0xFF
+                low = (low << 8) & M
+                pos += 1
+        return out
+
+    if mode == 3:
+        pos = 0
+        if len(data) < (20 if stereo else 13):
+            raise DecodeError("short DSD high block")
+        rate_i = data[pos]; pos += 1
+        rate_s = data[pos]; pos += 1
+        if rate_s != 20:
+            raise DecodeError("bad DSD high rate_s")
+        # init_ptable
+        ptable = [0] * 256
+        value = 0x808000
+        rate = rate_i << 8
+        for _ in range((rate + 128) >> 8):
+            value += (0x00010000 - value) >> 8
+        for i in range(128):
+            ptable[i] = value
+            ptable[255 - i] = 0x100FFFF - value
+            if value > 0x010000:
+                rate += (rate * rate_s + 128) >> 8
+                for _ in range((rate + 64) >> 7):
+                    value += (0x00010000 - value) >> 8
+        filts = []
+        for _ in range(nch):
+            f = [0] * 10  # f0..f6, factor, byte, value
+            f[1] = data[pos] << 12; pos += 1
+            f[2] = data[pos] << 12; pos += 1
+            f[3] = data[pos] << 12; pos += 1
+            f[4] = data[pos] << 12; pos += 1
+            f[5] = data[pos] << 12; pos += 1
+            factor = data[pos] | (data[pos + 1] << 8); pos += 2
+            if factor >= 0x8000:
+                factor -= 0x10000
+            f[7] = factor
+            filts.append(f)
+        if len(data) - pos < 4:
+            raise DecodeError("short DSD stream")
+        value = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+        low, high = 0, M
+        out = np.zeros(total, np.uint8)
+        VALUE_ONE = 1 << 20
+
+        def i32(x):  # the native plane computes in wrapping int32
+            x &= M
+            return x - 0x100000000 if x >= 0x80000000 else x
+
+        for n in range(nframes):
+            for f in filts:
+                f[9] = i32(f[1] - f[5] + ((f[6] * f[7]) >> 2))
+            for _ in range(8):
+                for f in filts:
+                    pi = (f[9] >> 8) & 0xFF
+                    p = ptable[pi]
+                    split = (low + ((high - low) >> 8) * (p >> 16)) & M
+                    if value <= split:
+                        high = split
+                        ptable[pi] = p + ((0x010000FE - p) >> 8)
+                        f[0] = -1
+                    else:
+                        low = (split + 1) & M
+                        ptable[pi] = p + ((0x00010000 - p) >> 8)
+                        f[0] = 0
+                    while not ((high ^ low) & 0xFF000000) and pos < len(data):
+                        value = ((value << 8) & M) | data[pos]
+                        high = ((high << 8) & M) | 0xFF
+                        low = (low << 8) & M
+                        pos += 1
+                    f[9] = i32(f[9] + (f[6] << 3))
+                    f[8] = ((f[8] << 1) | (f[0] & 1)) & M
+                    a = -1 if ((f[9] ^ f[0]) & 0x80000000) else 1
+                    b = (-1 if ((f[9] ^ i32(f[9] - (f[6] << 4)))
+                                & 0x80000000) else 0)
+                    f[7] += a & b
+                    f[1] += ((f[0] & VALUE_ONE) - f[1]) >> 6
+                    f[2] += ((f[0] & VALUE_ONE) - f[2]) >> 4
+                    f[3] += (f[2] - f[3]) >> 4
+                    f[4] += (f[3] - f[4]) >> 4
+                    f[9] = (f[4] - f[5]) >> 4
+                    f[5] += f[9]
+                    f[6] += (f[9] - f[6]) >> 3
+                    f[9] = i32(f[1] - f[5] + ((f[6] * f[7]) >> 2))
+            for c, f in enumerate(filts):
+                out[n * nch + c] = f[8] & 0xFF
+                f[7] -= (f[7] + 512) >> 10
+        return out
+
+    raise DecodeError(f"unsupported DSD mode {mode}")
+
+
+def _decode_dsd_block(flags: int, block_samples: int,
+                      body: bytes) -> tuple[np.ndarray, int]:
+    """-> (interleaved DSD bytes u8 [block_samples * nch], dsd_power)."""
+    # metadata walk for ID_DSD_BLOCK only (open_utils.c:754)
+    pos = 0
+    dsd = None
+    while pos + 2 <= len(body):
+        mid = body[pos]
+        length = body[pos + 1] << 1
+        pos += 2
+        if mid & ID_LARGE:
+            mid &= ~ID_LARGE
+            length += (body[pos] << 9) + (body[pos + 1] << 17)
+            pos += 2
+        if mid & ID_ODD_SIZE:
+            mid &= ~ID_ODD_SIZE
+            length -= 1
+        if mid == ID_DSD_BLOCK:
+            dsd = body[pos : pos + length]
+            break
+        pos += length + (length & 1)
+    if dsd is None or len(dsd) < 2:
+        raise DecodeError("DSD block without DSD metadata")
+    power, mode = dsd[0], dsd[1]
+    if power > 14:
+        raise DecodeError("bad DSD rate multiplier")
+    payload = dsd[2:]
+    stereo = not (flags & MONO_DATA)
+    nch = 2 if stereo else 1
+
+    L = native.lib()
+    if L is not None and hasattr(L, "wv_dsd_decode"):
+        out = np.zeros(block_samples * nch, np.uint8)
+        r = L.wv_dsd_decode(
+            payload, len(payload), int(mode), int(stereo),
+            block_samples, out.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8)))
+        if r < 0:
+            raise DecodeError("malformed DSD block")
+    else:
+        out = _dsd_decode_py(payload, mode, stereo, block_samples)
+
+    if flags & FALSE_STEREO:
+        out = np.repeat(out, 2)
+    return out, power
+
+
 def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
     pos = 0
     n = len(data)
@@ -1022,6 +1300,8 @@ def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
     total_samples = -1
     bps = 16
     is_float = False
+    is_dsd = False
+    dsd_power = -1
     found = False
 
     while pos + 32 <= n:
@@ -1052,21 +1332,42 @@ def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
         if not (flags & INITIAL_BLOCK) or not (flags & FINAL_BLOCK):
             raise DecodeError(
                 "multichannel (>2ch) WavPack segments not supported")
-        blk = _Block(flags, block_samples, body)
-        decoded = blk.decode()
         nch = 1 if (flags & MONO_FLAG) and not (flags & FALSE_STEREO) else 2
         if channels == 0:
             channels = nch
-        chunks.append(decoded)
+            is_dsd = bool(flags & DSD_FLAG)
+        elif is_dsd != bool(flags & DSD_FLAG):
+            raise DecodeError("mixed DSD and PCM WavPack blocks")
+        if flags & DSD_FLAG:
+            dsd_bytes, power = _decode_dsd_block(flags, block_samples, body)
+            if dsd_power < 0:
+                dsd_power = power
+            chunks.append(dsd_bytes)
+        else:
+            blk = _Block(flags, block_samples, body)
+            chunks.append(blk.decode())
 
     if not found or not chunks:
         raise DecodeError("no WavPack blocks found")
 
-    raw = np.concatenate(chunks)
-    if is_float:
-        pcm = raw.view(np.float32).copy()
+    if dsd_power >= 0:
+        # DSD: entropy-decoded 1-bit stream -> 24-bit PCM at the byte
+        # rate (WavpackGetSampleRate semantics: header rate x 2^power;
+        # one PCM sample per 8 DSD bits, unpack_dsd.c + OPEN_DSD_AS_PCM)
+        planes = np.concatenate(chunks).reshape(-1, channels)
+        pcm_i = np.stack(
+            [_dsd_decimate(planes[:, c]) for c in range(channels)], axis=1
+        ).reshape(-1)
+        pcm = pcm_i.astype(np.float32) * np.float32(1.0 / (1 << 23))
+        sample_rate *= 1 << dsd_power
+        is_float = False
+        bps = 24
     else:
-        pcm = raw.astype(np.float32) * np.float32(1.0 / (1 << (bps - 1)))
+        raw = np.concatenate(chunks)
+        if is_float:
+            pcm = raw.view(np.float32).copy()
+        else:
+            pcm = raw.astype(np.float32) * np.float32(1.0 / (1 << (bps - 1)))
     if total_samples >= 0:
         pcm = pcm[: total_samples * channels]
 

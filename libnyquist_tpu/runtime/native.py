@@ -356,6 +356,11 @@ def lib():
             i32p_, i32p_, i32p_,                    # fsz, ends, chs
             ctypes.c_int64, i32p_,                  # max_frames, info
         ]
+        L.wv_dsd_decode.restype = ctypes.c_int64
+        L.wv_dsd_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+        ]
         L.wv_decorr_stereo.restype = None
         L.wv_decorr_stereo.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),

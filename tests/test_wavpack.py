@@ -68,3 +68,60 @@ def test_wavpack_hybrid_python_fallback(monkeypatch):
     audio = nq.load(str(fixtures / "hybrid_mono.wv"))
     g = load_golden("hybrid_mono_wv")
     assert np.abs(audio.samples - g["full"]).max() == 0.0
+
+
+@pytest.mark.parametrize("name", ["dsd_fast", "dsd_high", "dsd_raw"])
+def test_wavpack_dsd(name):
+    """DSD blocks (reference unpack_dsd.c modes 1/3/0 respectively):
+    entropy-decoded 1-bit stream, decimated 8:1 to 24-bit PCM at the
+    byte rate — vs the reference decoder opened with OPEN_DSD_AS_PCM.
+    The reference's own CMake never defines ENABLE_DSD, so the goldens
+    come from a standalone build of its wavpack sources
+    (tools/gen_dsd_wv.c, which also synthesizes the delta-sigma
+    fixtures)."""
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    audio = nq.load(str(fixtures / f"{name}.wv"))
+    g = load_golden(f"{name}_wv")
+    assert audio.channel_count == int(g["channels"])
+    assert audio.sample_rate == int(g["rate"]) == 352800
+    assert audio.sample_count == int(g["count"])
+    assert np.abs(audio.samples - g["full"]).max() == 0.0  # bit-exact
+
+
+@pytest.mark.parametrize("name", ["dsd_fast", "dsd_high", "dsd_raw"])
+def test_wavpack_dsd_bytes_native_and_python(name, monkeypatch):
+    """The decoded DSD byte planes match the reference's
+    OPEN_DSD_NATIVE output byte-for-byte, through BOTH the native
+    plane (wv_dsd.c) and the pure-Python fallback."""
+    import pathlib
+    import struct
+
+    from libnyquist_tpu.formats import wavpack as wv
+    from libnyquist_tpu.runtime import native
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    data = (fixtures / f"{name}.wv").read_bytes()
+    g = load_golden(f"{name}_wv")
+
+    def decode_bytes():
+        chunks = []
+        pos = 0
+        while pos + 32 <= len(data):
+            if data[pos : pos + 4] != b"wvpk":
+                pos += 1
+                continue
+            (cksize, _ver, _iu8, _tu8, _tlo, _bidx, bsamp, flags,
+             _crc) = struct.unpack_from("<IHBBIIIII", data, pos + 4)
+            body = data[pos + 32 : pos + 8 + cksize]
+            pos += 8 + cksize
+            if bsamp:
+                chunks.append(wv._decode_dsd_block(flags, bsamp, body)[0])
+        return np.concatenate(chunks)
+
+    nat = decode_bytes()
+    assert np.array_equal(nat, g["native_bytes"])
+    monkeypatch.setattr(native, "lib", lambda: None)
+    py = decode_bytes()
+    assert np.array_equal(py, g["native_bytes"])
