@@ -122,3 +122,134 @@ def test_dp_only_serving_shard():
     # rows are independent, but XLA may tile the per-shard matmuls
     # differently: allow float32 reduction-order noise only
     assert np.abs(ref - got).max() <= 1e-6 * max(np.abs(ref).max(), 1.0)
+
+
+def _unified_serving_step(R, FC):
+    """(step fn, args) — the production serving step at realistic
+    shapes (R rows = streams x channels, FC frames per chunk)."""
+    import numpy as np
+
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+    from libnyquist_tpu.ops import comb as comb_ops
+    from libnyquist_tpu.ops import imdct as imdct_ops
+    from libnyquist_tpu.runtime import serving
+
+    mode = mode48000()
+    N, overlap = 960, mode.overlap
+    rng = np.random.default_rng(7)
+    spec = rng.standard_normal((R, FC, N)).astype(np.float32)
+    msk = np.zeros(FC, np.float32)
+    TA = np.full(FC, 40, np.int32)
+    gA = rng.uniform(0, 0.3, (FC, 3)).astype(np.float32)
+    T1m, T1p, _ = imdct_ops.celt_synthesis_matrices_paired(2 * N, overlap, 1)
+    T8m, T8p = np.zeros_like(T1m), np.zeros_like(T1p)
+    fade = serving._fade_pattern(N, overlap, mode.shortMdctSize)
+    tails = np.zeros((R, overlap), np.float32)
+    hist = np.zeros((R, comb_ops.HIST), np.float32)
+    mem = np.zeros((R,), np.float32)
+
+    def step(spec, tails, hist, mem):
+        pcm, _t2, _h2, _m2 = serving.unified_step_body(
+            spec, msk, TA, gA, TA, gA, fade, T1m, T1p, T8m, T8p,
+            tails, hist, mem, overlap, mode.shortMdctSize)
+        return pcm
+
+    return step, (spec, tails, hist, mem)
+
+
+def _flops(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def test_dp_scaling_structural():
+    """Scaling proof that doesn't depend on host cores (this rig pins
+    all 8 virtual devices to ONE core, so wall-clock can't scale):
+    compile the dp-sharded serving step at production shapes and check
+    XLA's own cost model — per-device FLOPs must be 1/8 of the
+    single-device program, with NO collectives in the dp program (rows
+    are independent streams; the deployment shape is dp x sp)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    step, args = _unified_serving_step(R=64, FC=16)
+    single = jax.jit(step).lower(*args).compile()
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    dp8 = jax.jit(shard_map(
+        step, mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=P("dp"),
+    )).lower(*args).compile()
+
+    f1, f8 = _flops(single), _flops(dp8)
+    assert f1 > 1e9          # realistic shapes, not a toy program
+    # per-device work shrinks by the dp factor (allow 5% fusion slack)
+    assert f8 <= f1 / 8 * 1.05, (f1, f8)
+    # dp is collective-free: streams never talk to each other
+    hlo = dp8.as_text()
+    assert "all-reduce" not in hlo and "collective-permute" not in hlo
+
+
+def test_tp_axis_cost_tradeoff():
+    """tp (sharding the synthesis matmul's output columns + psum) is a
+    structural net LOSS at decode matmul sizes: it halves per-device
+    FLOPs but adds an all-reduce whose bytes are comparable to the
+    whole output — at [rows, 960] @ [960, 2040] the FLOPs saved per
+    ICI byte moved (~235 flops/B on tp=2) sit far below a real chip's
+    compute:ICI ratio breakeven. The deployment mesh is therefore
+    dp x sp (README "Multi-chip"); tp stays a demonstration axis in
+    dryrun_multichip."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >= 2 virtual devices")
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh
+    from jax.sharding import PartitionSpec as P
+
+    R, N, M = 64, 960, 2040
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((R, 16 * N)).astype(np.float32).reshape(-1, N)
+    w = rng.standard_normal((N, M)).astype(np.float32)
+
+    def mm(x, w):
+        return x @ w
+
+    single = jax.jit(mm).lower(x, w).compile()
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+
+    def mm_tp(x, w):
+        # contraction-dim sharding: partial products + psum (the
+        # dryrun's tp axis)
+        part = x @ w
+        return jax.lax.psum(part, "tp")
+
+    tp2 = jax.jit(shard_map(
+        mm_tp, mesh=mesh, in_specs=(P(None, "tp"), P("tp", None)),
+        out_specs=P(),
+    )).lower(x, w).compile()
+
+    f1, f2 = _flops(single), _flops(tp2)
+    assert f2 <= f1 / 2 * 1.10          # tp really halves the matmul
+    assert "all-reduce" in tp2.as_text()  # ...but pays an all-reduce
+    # flops saved per all-reduce byte: far below any chip's
+    # compute-to-ICI breakeven (O(10^3) flops/byte), so tp loses here
+    saved = f1 - f2
+    allreduce_bytes = x.shape[0] * M * 4
+    assert saved / allreduce_bytes < 600
