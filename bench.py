@@ -41,6 +41,8 @@ import time
 
 import numpy as np
 
+from libnyquist_tpu.utils import profiling
+
 HERE = pathlib.Path(__file__).parent
 sys.path.insert(0, str(HERE))
 
@@ -475,6 +477,7 @@ def bench_e2e_opus_iy(K):
         dev_samples.append(time.perf_counter() - t0)
     dev_samples.sort()
     t_dev = dev_samples[len(dev_samples) // 2]
+    dev_flops = profiling.xla_flops(stream_fn, d_iy, d_synth)
 
     # ---------- pipelined steady state: device(batch k) overlaps ------
     # host(batch k+1); one iteration = dispatch batch, host-decode the
@@ -533,6 +536,8 @@ def bench_e2e_opus_iy(K):
           f"{host_x:.0f}x ({host_1core_x:.0f}x/core) | device: "
           f"{t_dev:.3f}s = {dev_x:.0f}x | staging (excluded, debug "
           f"tunnel): {t_stage:.1f}s", file=sys.stderr)
+    print(f"# device program: "
+          f"{profiling.flops_report(dev_flops, t_dev)}", file=sys.stderr)
     print(f"# e2e serial: {serial_x:.0f}x | PIPELINED (host k+1 "
           f"overlaps device k): {pipe_x:.0f}x realtime per chip "
           f"(trials {[round(x, 2) for x in pipe_samples]}s, spread "
@@ -597,6 +602,20 @@ def bench_mp3(K):
         samples.append(time.perf_counter() - t0)
     samples.sort()
     t_dev = samples[len(samples) // 2]
+    dev_flops = profiling.xla_flops(synth, Xd, Kd)
+
+    # pipelined steady state: device(batch k) overlaps host(batch k+1)
+    pipe_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pcm = synth(Xd, Kd)                    # device batch (async)
+        for _ in range(K):                     # host batch k+1
+            mp3f.l3_stream_entropy(data)
+        jax.block_until_ready(pcm)             # barrier
+        pipe_samples.append(time.perf_counter() - t0)
+    pipe_samples.sort()
+    t_pipe = pipe_samples[0]
+    spread = (pipe_samples[-1] - pipe_samples[0]) / max(t_pipe, 1e-9)
 
     # parity: device synthesis vs the host decode of the same stream
     a = AudioData()
@@ -611,16 +630,24 @@ def bench_mp3(K):
     total_audio = K * audio_s
     host_x = total_audio / t_host
     dev_x = total_audio / t_dev
-    e2e = total_audio / (t_host + t_dev)
+    serial_x = total_audio / (t_host + t_dev)
+    pipe_x = total_audio / t_pipe
     print(f"# mp3 streams={K} audio={audio_s:.1f}s/stream G={G} "
           f"host (1 core): {t_host:.2f}s = {host_x:.0f}x | device: "
           f"{t_dev:.3f}s = {dev_x:.0f}x | staging (excluded): "
           f"{t_stage:.1f}s", file=sys.stderr)
+    print(f"# mp3 device program: "
+          f"{profiling.flops_report(dev_flops, t_dev)}", file=sys.stderr)
+    print(f"# mp3 e2e serial: {serial_x:.0f}x | PIPELINED: "
+          f"{pipe_x:.0f}x (spread {100 * spread:.0f}%)", file=sys.stderr)
     return {
         "metric": "mp3_e2e_decode_realtime_x",
-        "value": round(e2e, 1),
+        "value": round(pipe_x, 1),
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(e2e / TARGET, 3),
+        "vs_baseline": round(pipe_x / TARGET, 3),
+        "config": {"streams": K, "composition": "pipelined",
+                   "serial_x": round(serial_x, 1),
+                   "trial_spread_pct": round(100 * spread, 1)},
     }
 
 
@@ -683,18 +710,39 @@ def bench_vorbis(K):
         samples.append(time.perf_counter() - t0)
     samples.sort()
     t_dev = samples[len(samples) // 2]
+    dev_flops = profiling.xla_flops(run, d)
+
+    # pipelined steady state: device(batch k) overlaps host(batch k+1)
+    pipe_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(d)                           # device batch (async)
+        for _ in range(K):                     # host batch k+1
+            entropy()
+        jax.block_until_ready(out)             # barrier
+        pipe_samples.append(time.perf_counter() - t0)
+    pipe_samples.sort()
+    t_pipe = pipe_samples[0]
+    spread = (pipe_samples[-1] - pipe_samples[0]) / max(t_pipe, 1e-9)
 
     total_audio = K * audio_s
-    e2e = total_audio / (t_host + t_dev)
+    serial_x = total_audio / (t_host + t_dev)
+    pipe_x = total_audio / t_pipe
     print(f"# vorbis streams={K} audio={audio_s:.1f}s/stream host: "
           f"{t_host:.2f}s = {total_audio / t_host:.0f}x | device: "
-          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x",
+          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x | "
+          f"{profiling.flops_report(dev_flops, t_dev)}",
           file=sys.stderr)
+    print(f"# vorbis e2e serial: {serial_x:.0f}x | PIPELINED: "
+          f"{pipe_x:.0f}x (spread {100 * spread:.0f}%)", file=sys.stderr)
     return {
         "metric": "vorbis_e2e_decode_realtime_x",
-        "value": round(e2e, 1),
+        "value": round(pipe_x, 1),
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(e2e / TARGET, 3),
+        "vs_baseline": round(pipe_x / TARGET, 3),
+        "config": {"streams": K, "composition": "pipelined",
+                   "serial_x": round(serial_x, 1),
+                   "trial_spread_pct": round(100 * spread, 1)},
     }
 
 
@@ -758,18 +806,40 @@ def bench_mpc(K):
         samples.append(time.perf_counter() - t0)
     samples.sort()
     t_dev = samples[len(samples) // 2]
+    dev_flops = profiling.xla_flops(run, d)
+
+    # pipelined steady state: device(batch k) overlaps host(batch k+1)
+    pipe_samples = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        out = run(d)                           # device batch (async)
+        for _ in range(K):                     # host batch k+1
+            mpc.decode_musepack_buffer(
+                data, AudioData(), return_entropy=True)
+        jax.block_until_ready(out)             # barrier
+        pipe_samples.append(time.perf_counter() - t0)
+    pipe_samples.sort()
+    t_pipe = pipe_samples[0]
+    spread = (pipe_samples[-1] - pipe_samples[0]) / max(t_pipe, 1e-9)
 
     total_audio = K * audio_s
-    e2e = total_audio / (t_host + t_dev)
+    serial_x = total_audio / (t_host + t_dev)
+    pipe_x = total_audio / t_pipe
     print(f"# mpc streams={K} audio={audio_s:.1f}s/stream host: "
           f"{t_host:.2f}s = {total_audio / t_host:.0f}x | device: "
-          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x",
+          f"{t_dev * 1000:.1f}ms = {total_audio / t_dev:.0f}x | "
+          f"{profiling.flops_report(dev_flops, t_dev)}",
           file=sys.stderr)
+    print(f"# mpc e2e serial: {serial_x:.0f}x | PIPELINED: "
+          f"{pipe_x:.0f}x (spread {100 * spread:.0f}%)", file=sys.stderr)
     return {
         "metric": "mpc_e2e_decode_realtime_x",
-        "value": round(e2e, 1),
+        "value": round(pipe_x, 1),
         "unit": "audio_seconds_per_second_per_chip",
-        "vs_baseline": round(e2e / TARGET, 3),
+        "vs_baseline": round(pipe_x / TARGET, 3),
+        "config": {"streams": K, "composition": "pipelined",
+                   "serial_x": round(serial_x, 1),
+                   "trial_spread_pct": round(100 * spread, 1)},
     }
 
 

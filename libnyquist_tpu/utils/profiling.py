@@ -116,6 +116,38 @@ def profile_load(path: str) -> StageProfile:
     return prof
 
 
+def xla_flops(jitted_fn, *args) -> float | None:
+    """Total FLOPs of a jitted program per XLA's own cost model, or
+    None when the backend can't report it (some PJRT plugins omit
+    cost analysis).  Use with a measured wall time to report device
+    FLOP/s and MFU (the reference's NCU-roofline analog)."""
+    try:
+        ca = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
+
+
+def flops_report(flops: float | None, seconds: float,
+                 peak_tflops: float | None = None) -> str:
+    """'x GFLOP, y TFLOP/s[, z% MFU]' — peak defaults to the
+    LIBNYQUIST_TPU_PEAK_TFLOPS env var (chip f32 peak) when unset."""
+    import os
+
+    if not flops or seconds <= 0:
+        return "flops: n/a"
+    if peak_tflops is None:
+        env = os.environ.get("LIBNYQUIST_TPU_PEAK_TFLOPS")
+        peak_tflops = float(env) if env else None
+    rate = flops / seconds
+    s = f"{flops / 1e9:.2f} GFLOP, {rate / 1e12:.3f} TFLOP/s"
+    if peak_tflops:
+        s += f", {100.0 * rate / (peak_tflops * 1e12):.2f}% MFU"
+    return s
+
+
 @contextlib.contextmanager
 def device_trace(logdir: str) -> Iterator[None]:
     """Capture an XLA device trace (jax.profiler.trace wrapper)."""
