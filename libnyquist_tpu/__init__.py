@@ -15,7 +15,13 @@ from .errors import (
     UnsupportedExtensionError,
 )
 from .io import NyquistIO, is_file_supported, load
-from .streaming import StreamReader
+from .streaming import (
+    FlacSeekReader,
+    Mp3SeekReader,
+    OggSeekReader,
+    StreamReader,
+    seek_reader,
+)
 
 
 def resample(x, sr_in: int, sr_out: int, **kwargs):
@@ -35,6 +41,10 @@ __all__ = [
     "is_file_supported",
     "resample",
     "StreamReader",
+    "OggSeekReader",
+    "Mp3SeekReader",
+    "FlacSeekReader",
+    "seek_reader",
     "NyquistError",
     "DecodeError",
     "TruncatedDataError",

@@ -32,7 +32,8 @@ import numpy as np
 from .errors import DecodeError
 from .io import load
 
-__all__ = ["StreamReader", "OggSeekReader", "CountingSource"]
+__all__ = ["StreamReader", "OggSeekReader", "Mp3SeekReader",
+           "FlacSeekReader", "CountingSource", "seek_reader"]
 
 
 class StreamReader:
@@ -429,3 +430,355 @@ class OggSeekReader:
         win_start = first_gran - lead - self.preskip
         self._buf = pcm
         self._buf_start = win_start
+
+
+# ======================================================================
+# MP3: frame-index walk + windowed re-decode
+# ======================================================================
+
+class Mp3SeekReader:
+    """Positioned reader over an MP3 stream without keeping the decode.
+
+    MP3 carries no timestamps, so exact positioning needs a frame
+    index: one buffered header walk (headers only — payload bytes are
+    skipped by the frame-length arithmetic, so the scan is one
+    sequential pass of cheap reads, built lazily on first use).  Seeks
+    then decode a bounded window starting PREROLL frames early: the
+    bit reservoir reaches <= 511 bytes back and the IMDCT/polyphase
+    state converges within a frame, so the window is bit-identical to
+    the full decode from the target frame on (frames the reservoir
+    can't satisfy emit nothing; the anchor arithmetic accounts for
+    them).  Layers I/II have no reservoir and converge immediately."""
+
+    PREROLL = 10            # frames (minimp3-style safety margin)
+
+    def __init__(self, source):
+        from .formats import mp3 as M
+
+        self._M = M
+        self.src = (source if isinstance(source, CountingSource)
+                    else CountingSource(source))
+        head = self.src.pread(0, 64 * 1024)
+        off = 0
+        if head[:3] == b"ID3":         # skip ID3v2
+            sz = ((head[6] & 0x7F) << 21) | ((head[7] & 0x7F) << 14) \
+                | ((head[8] & 0x7F) << 7) | (head[9] & 0x7F)
+            off = 10 + sz
+            head = self.src.pread(off, 64 * 1024)
+        i = self._find_header(head)
+        if i is None:
+            raise DecodeError("no MP3 frame header found")
+        h = head[i : i + 4]
+        if M.hdr_is_free_format(h):
+            raise DecodeError("free-format MP3 not seekable")
+        self._first_off = off + i
+        self.sample_rate = M.hdr_sample_rate_hz(h)
+        self.channel_count = 1 if M.hdr_is_mono(h) else 2
+        self.spf = M.hdr_frame_samples(h)
+        self._offs = None              # lazy frame index
+        self._pos = 0
+        self._buf = np.zeros((0, self.channel_count), np.float32)
+        self._buf_start = 0
+
+    def _find_header(self, buf, start=0):
+        M = self._M
+        i = start
+        while True:
+            i = buf.find(b"\xff", i)
+            if i < 0 or i + 4 > len(buf):
+                return None
+            h = buf[i : i + 4]
+            if M.hdr_valid(h) and not M.hdr_is_free_format(h):
+                return i
+            i += 1
+
+    def _index(self):
+        if self._offs is not None:
+            return self._offs
+        M = self._M
+        offs = []
+        off = self._first_off
+        CHUNK = 256 * 1024
+        buf = b""
+        base = off
+        while off + 4 <= self.src.size:
+            if not (base <= off and off + 4 <= base + len(buf)):
+                buf = self.src.pread(off, CHUNK)
+                base = off
+                if len(buf) < 4:
+                    break
+            h = buf[off - base : off - base + 4]
+            if M.hdr_valid(h) and not M.hdr_is_free_format(h):
+                offs.append(off)
+                off += M.hdr_frame_bytes(h, 0) + M.hdr_padding(h)
+            else:                       # resync
+                j = self._find_header(buf, off - base + 1)
+                if j is None:
+                    if len(buf) < CHUNK:
+                        break
+                    off = base + len(buf) - 3
+                else:
+                    off = base + j
+        if not offs:
+            raise DecodeError("no MP3 frames indexed")
+        self._offs = offs
+        return offs
+
+    # -- surface -----------------------------------------------------
+    def pcm_total(self) -> int:
+        return len(self._index()) * self.spf
+
+    def pcm_tell(self) -> int:
+        return self._pos
+
+    def pcm_seek(self, offset: int) -> None:
+        if offset < 0 or offset > self.pcm_total():
+            raise DecodeError("seek out of range")
+        self._pos = int(offset)
+
+    def time_tell(self) -> float:
+        return self._pos / self.sample_rate
+
+    def time_seek(self, seconds: float) -> None:
+        self.pcm_seek(int(round(seconds * self.sample_rate)))
+
+    def read(self, n: int) -> np.ndarray:
+        if n < 0:
+            raise DecodeError("negative read size")
+        n = min(n, self.pcm_total() - self._pos)
+        if n <= 0:
+            return np.zeros((0, self.channel_count), np.float32)
+        lo = self._pos - self._buf_start
+        if not (0 <= lo and lo + n <= self._buf.shape[0]):
+            self._decode_window(self._pos, n)
+            lo = self._pos - self._buf_start
+        out = self._buf[lo : lo + n]
+        self._pos += out.shape[0]
+        return out
+
+    def _decode_window(self, pos, n):
+        from .audio_data import AudioData
+
+        offs = self._index()
+        k = pos // self.spf
+        j0 = max(k - self.PREROLL, 0)
+        j1 = min(k + (n + self.spf - 1) // self.spf + 2, len(offs))
+        end_off = offs[j1] if j1 < len(offs) else self.src.size
+        raw = self.src.pread(offs[j0], end_off - offs[j0])
+        a = AudioData()
+        self._M.decode_mp3_buffer(raw, a)
+        pcm = np.asarray(a.samples, np.float32).reshape(
+            -1, a.channel_count)
+        # reservoir-starved leading frames emit nothing: anchor by the
+        # emitted length (every emitted frame is exactly spf samples)
+        dropped = (j1 - j0) - pcm.shape[0] // self.spf
+        self._buf = pcm
+        self._buf_start = (j0 + dropped) * self.spf
+
+
+# ======================================================================
+# FLAC: frame-header bisection (frames are independent)
+# ======================================================================
+
+def _flac_crc8(buf: bytes) -> int:
+    c = 0
+    for x in buf:
+        c ^= x
+        for _ in range(8):
+            c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+    return c
+
+
+class FlacSeekReader:
+    """Positioned reader over native FLAC: O(log) byte bisection on
+    frame headers (each header carries its coded frame/sample number
+    and a CRC-8 that validates the probe), then a windowed decode of
+    the target frames.  FLAC frames are fully independent, so windows
+    are bit-identical to the full decode — no pre-roll needed."""
+
+    _PROBE = 64 * 1024
+
+    def __init__(self, source):
+        self.src = (source if isinstance(source, CountingSource)
+                    else CountingSource(source))
+        head = self.src.pread(0, 64 * 1024)
+        if head[:4] != b"fLaC":
+            raise DecodeError("not native FLAC")
+        pos = 4
+        info = None
+        while pos + 4 <= len(head):
+            hdr = head[pos]
+            ln = int.from_bytes(head[pos + 1 : pos + 4], "big")
+            if (hdr & 0x7F) == 0:
+                info = head[pos + 4 : pos + 4 + ln]
+            pos += 4 + ln
+            if hdr & 0x80:
+                break
+        if info is None or len(info) < 18:
+            raise DecodeError("FLAC STREAMINFO missing")
+        self._meta = bytes(head[:pos])
+        self.data_off = pos
+        self.block_nominal = int.from_bytes(info[2:4], "big")  # max
+        self.sample_rate = int.from_bytes(info[10:13], "big") >> 4
+        self.channel_count = ((info[12] >> 1) & 0x7) + 1
+        self.total = ((info[13] & 0xF) << 32) | int.from_bytes(
+            info[14:18], "big")
+        self._pos = 0
+        self._buf = np.zeros((0, self.channel_count), np.float32)
+        self._buf_start = 0
+
+    # -- frame probe ---------------------------------------------------
+    def _parse_header(self, buf, i):
+        """Validated frame header at buf[i] -> (sample_pos, hdr_len)
+        or None (CRC-8 gates false syncs)."""
+        if i + 16 > len(buf):
+            return None
+        if not (buf[i] == 0xFF and (buf[i + 1] & 0xFC) == 0xF8):
+            return None
+        variable = buf[i + 1] & 1
+        j = i + 4
+        b0 = buf[j]
+        if b0 < 0x80:
+            nb, num = 1, b0
+        else:
+            nb, t = 0, b0
+            while t & 0x80:
+                nb += 1
+                t = (t << 1) & 0xFF
+            if nb < 2 or nb > 7 or j + nb > len(buf):
+                return None
+            num = b0 & (0x7F >> nb)
+            for k in range(1, nb):
+                if (buf[j + k] & 0xC0) != 0x80:
+                    return None
+                num = (num << 6) | (buf[j + k] & 0x3F)
+        j += nb
+        bs_code = buf[i + 2] >> 4
+        if bs_code == 6:
+            j += 1
+        elif bs_code == 7:
+            j += 2
+        sr_code = buf[i + 2] & 0xF
+        if sr_code == 12:
+            j += 1
+        elif sr_code in (13, 14):
+            j += 2
+        if j >= len(buf):
+            return None
+        if _flac_crc8(buf[i : j]) != buf[j]:
+            return None
+        sample = num if variable else num * self.block_nominal
+        return sample, i
+
+    def _first_frame_after(self, off):
+        """(sample_pos, file_off) of the first valid frame header at or
+        after byte off."""
+        base = max(off, self.data_off)
+        while base < self.src.size:
+            buf = self.src.pread(base, self._PROBE)
+            i = 0
+            while True:
+                i = buf.find(b"\xff", i)
+                if i < 0 or i + 16 > len(buf):
+                    break
+                got = self._parse_header(buf, i)
+                if got is not None:
+                    return got[0], base + i
+                i += 1
+            if base + len(buf) >= self.src.size:
+                return None
+            base += self._PROBE - 32
+        return None
+
+    # -- surface -----------------------------------------------------
+    def pcm_total(self) -> int:
+        return self.total
+
+    def pcm_tell(self) -> int:
+        return self._pos
+
+    def pcm_seek(self, offset: int) -> None:
+        if offset < 0 or offset > self.total:
+            raise DecodeError("seek out of range")
+        self._pos = int(offset)
+
+    def time_tell(self) -> float:
+        return self._pos / self.sample_rate
+
+    def time_seek(self, seconds: float) -> None:
+        self.pcm_seek(int(round(seconds * self.sample_rate)))
+
+    def read(self, n: int) -> np.ndarray:
+        if n < 0:
+            raise DecodeError("negative read size")
+        n = min(n, self.total - self._pos)
+        if n <= 0:
+            return np.zeros((0, self.channel_count), np.float32)
+        lo = self._pos - self._buf_start
+        if not (0 <= lo and lo + n <= self._buf.shape[0]):
+            self._decode_window(self._pos, n)
+            lo = self._pos - self._buf_start
+        out = self._buf[lo : lo + n]
+        self._pos += out.shape[0]
+        return out
+
+    def _decode_window(self, pos, n):
+        from .audio_data import AudioData
+        from .formats import flac as F
+
+        # bisect to the last frame starting at/before pos
+        lo, hi = self.data_off, self.src.size
+        while hi - lo > 2 * self._PROBE:
+            mid = (lo + hi) // 2
+            got = self._first_frame_after(mid)
+            if got is None:
+                hi = mid
+            elif got[0] <= pos:
+                lo = got[1]
+                if lo <= mid:           # no forward progress past mid
+                    break
+            else:
+                hi = mid
+        got = self._first_frame_after(lo)
+        if got is None or got[0] > pos:
+            got = self._first_frame_after(self.data_off)
+        if got is None:
+            raise DecodeError("no FLAC frame found for seek target")
+        start_sample, start_off = got
+        # decode frames covering [pos, pos+n) via a synthetic
+        # container; grow the window on a short decode OR on a frame
+        # the read truncated mid-stream (the decoder overruns on it)
+        need_end = min(pos + n, self.total)
+        est = (need_end - start_sample + self.block_nominal) * \
+            self.channel_count * 4 + 64 * 1024
+        while True:
+            raw = self.src.pread(start_off, int(est))
+            at_eof = start_off + len(raw) >= self.src.size
+            a = AudioData()
+            try:
+                F.decode_flac_buffer(self._meta + raw, a)
+            except DecodeError:
+                if at_eof:
+                    raise
+                est *= 2
+                continue
+            pcm = np.asarray(a.samples, np.float32).reshape(
+                -1, a.channel_count)
+            if start_sample + pcm.shape[0] >= need_end or at_eof:
+                break
+            est *= 2
+        self._buf = pcm
+        self._buf_start = start_sample
+
+
+def seek_reader(source):
+    """Factory: the right lazy seek reader for the content (Ogg
+    Opus/Vorbis bisection, FLAC frame bisection, MP3 frame index)."""
+    src = source if isinstance(source, CountingSource) \
+        else CountingSource(source)
+    head = src.pread(0, 16)
+    if head[:4] == b"OggS":
+        return OggSeekReader(src)
+    if head[:4] == b"fLaC":
+        return FlacSeekReader(src)
+    return Mp3SeekReader(src)

@@ -13,7 +13,8 @@ import numpy as np
 import pytest
 
 from libnyquist_tpu.streaming import (
-    CountingSource, OggSeekReader, StreamReader)
+    CountingSource, FlacSeekReader, Mp3SeekReader, OggSeekReader,
+    StreamReader, seek_reader)
 
 REF = pathlib.Path("/root/reference/test_data")
 
@@ -110,3 +111,65 @@ def test_sequential_reads_after_seek():
         a = r.read(960)
         b = full.read(960)
         assert np.abs(a - b).max() <= 2e-4
+
+
+def test_flac_frame_bisection_seek():
+    """FlacSeekReader: O(log) frame-header bisection (CRC-8 validated
+    probes), windows bit-identical to the full decode (FLAC frames are
+    independent)."""
+    p = REF / "ad_hoc" / "KittyPurr16_Stereo.flac"
+    if not p.exists():
+        pytest.skip("reference corpus absent")
+    data = p.read_bytes()
+    full = StreamReader(data, extension="flac")
+    src = CountingSource(data)
+    r = FlacSeekReader(src)
+    assert r.pcm_total() == full.pcm_total()
+    assert src.reads <= 3               # setup reads the head only
+    for pos in (5, 4096, 123457, 900000, r.pcm_total() - 50):
+        r0 = src.reads
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(200)
+        b = full.read(200)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos       # bit-exact
+        assert src.reads - r0 <= 25, (pos, src.reads - r0)
+
+
+def test_mp3_frame_index_seek():
+    """Mp3SeekReader: lazy frame-index walk (headers only, buffered
+    sequential reads), then bounded windowed re-decode with reservoir
+    pre-roll — bit-identical to the full decode at any offset."""
+    p = REF / "ad_hoc" / "acetylene.mp3"
+    if not p.exists():
+        pytest.skip("reference corpus absent")
+    data = p.read_bytes()
+    full = StreamReader(data, extension="mp3")
+    src = CountingSource(data)
+    r = Mp3SeekReader(src)
+    assert r.pcm_total() == full.pcm_total()
+    # the index walk reads the file once in big chunks, not per frame
+    assert src.reads <= 4 + len(data) // (256 * 1024)
+    for pos in (0, 12345, 100000, r.pcm_total() - 2000):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(1500)
+        b = full.read(1500)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos       # bit-exact
+
+
+def test_seek_reader_factory_dispatch():
+    cases = [
+        (REF / "sb-reverie.opus", OggSeekReader),
+        (REF / "ad_hoc" / "KittyPurr16_Stereo.flac", FlacSeekReader),
+        (REF / "ad_hoc" / "acetylene.mp3", Mp3SeekReader),
+    ]
+    for path, cls in cases:
+        if not path.exists():
+            pytest.skip("reference corpus absent")
+        r = seek_reader(str(path))
+        assert isinstance(r, cls), path
+        r.time_seek(1.0)
+        assert r.read(100).shape[0] == 100
