@@ -287,6 +287,34 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                            frame_ms=frame_ms)
 
 
+def encode_opus_multistream_to_buffer(p: EncoderParams, d: AudioData,
+                                      bitrate_kbps: int | None = None,
+                                      frame_ms: float = 20) -> bytes:
+    """Encode 1-8 channel AudioData to Ogg Opus with channel mapping
+    family 1 (the reference's surround encoder surface,
+    opus_multistream_encoder.c + RFC 7845 §5.1.1.2).  Channels in
+    Vorbis surround order; bitrate_kbps is the TOTAL target (default
+    48 kbps/channel).  Output decodes through our multistream decoder
+    and the reference's own opusfile (validated to float32 noise)."""
+    if d.samples is None or len(d.samples) == 0:
+        raise ValueError(EncoderError.InsufficientSampleData.name)
+    ch = d.channel_count
+    if not 1 <= ch <= 8:
+        raise ValueError(EncoderError.UnsupportedChannelConfiguration.name)
+    samples = np.asarray(d.samples, np.float32)
+    rate = d.sample_rate
+    if rate != 48000:
+        per = samples.reshape(-1, ch).T
+        from .ops.src import resample
+
+        per = np.asarray(resample(per, rate, 48000))
+        samples = per.T.reshape(-1).astype(np.float32)
+    from .formats.opus.celt_encoder import encode_ogg_opus_multistream
+
+    return encode_ogg_opus_multistream(samples, ch, 48000, bitrate_kbps,
+                                       frame_ms=frame_ms)
+
+
 def encode_opus_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
     """Reference signature (Encoders.h:40): returns an EncoderError code."""
     try:

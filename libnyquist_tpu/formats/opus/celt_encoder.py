@@ -514,10 +514,21 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
     our rate control is an original loudness+boost heuristic, not a
     port).  vbr=False keeps the old CBR behavior.
     """
-    import struct
+    packets, S = celt_encode_packets(samples, channels, sample_rate,
+                                     bitrate_kbps, vbr, frame_ms)
+    frame = 120 << {2.5: 0, 5: 1, 10: 2, 20: 3}[frame_ms]
+    return ogg_opus_wrap(packets, channels, S, frame, PRESKIP)
 
-    from ..ogg import write_page, write_page_multi
 
+def celt_encode_packets(samples: np.ndarray, channels: int,
+                        sample_rate: int, bitrate_kbps: int = 96,
+                        vbr: bool = True,
+                        frame_ms: float = 20) -> tuple[list, int]:
+    """Encode PCM to a list of finished Opus packets (TOC included).
+    Returns (packets, input_samples).  The container-free form both
+    the single-stream Ogg writer and the multistream combiner build
+    on (reference: opus_encoder.c produces packets the same way for
+    opus_multistream_encoder.c to frame)."""
     if sample_rate != 48000:
         raise ValueError("opus encoding requires 48 kHz input (resample)")
     if channels not in (1, 2):
@@ -581,20 +592,113 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
         packets.append(bytes([toc])
                        + celt_encode_frame(st, win, nbytes, LM))
 
-    return ogg_opus_wrap(packets, channels, S, frame, PRESKIP)
+    return packets, S
+
+
+# RFC 7845 §5.1.1.2 channel mapping family 1 (Vorbis order), mirrored
+# from the layouts the reference encoder uses
+# (opus_multistream_encoder.c:52 vorbis_mappings): channels ->
+# (streams, coupled_streams, mapping).
+VORBIS_LAYOUTS = {
+    1: (1, 0, (0,)),
+    2: (1, 1, (0, 1)),
+    3: (2, 1, (0, 2, 1)),
+    4: (2, 2, (0, 1, 2, 3)),
+    5: (3, 2, (0, 4, 1, 2, 3)),
+    6: (4, 2, (0, 4, 1, 2, 3, 5)),
+    7: (4, 3, (0, 4, 1, 2, 3, 5, 6)),
+    8: (5, 3, (0, 6, 1, 2, 3, 4, 5, 7)),
+}
+
+
+def self_delimit(pkt: bytes) -> bytes:
+    """Code-0/1/2/3 packet -> RFC 6716 Appendix B self-delimited form
+    (multistream packets carry every stream but the last this way)."""
+    code = pkt[0] & 3
+    if code == 0:
+        frame = pkt[1:]
+        n = len(frame)
+    elif code in (1, 2):
+        raise ValueError("multistream combiner emits code-0 packets")
+    else:
+        raise ValueError("multistream combiner emits code-0 packets")
+    if n < 252:
+        size = bytes([n])
+    else:
+        b1 = 252 + ((n - 252) % 4)
+        size = bytes([b1, (n - b1) // 4])
+    return bytes([pkt[0]]) + size + frame
+
+
+def encode_ogg_opus_multistream(samples: np.ndarray, channels: int,
+                                sample_rate: int,
+                                bitrate_kbps: int | None = None,
+                                vbr: bool = True,
+                                frame_ms: float = 20) -> bytes:
+    """Encode 1-8 channel interleaved PCM to Ogg Opus with channel
+    mapping family 1 (RFC 7845 §5.1.1.2; the reference's surround
+    encoder surface, opus_multistream_encoder.c).
+
+    Channels follow Vorbis surround order (L C R ... LFE).  Coupled
+    streams carry channel pairs, mono streams the rest; per the
+    decoder mapping out[i] = stream_channels[mapping[i]].
+    bitrate_kbps is the TOTAL target; it splits 2:1 between coupled
+    and mono streams (default 48 kbps per channel)."""
+    if channels not in VORBIS_LAYOUTS:
+        raise ValueError("multistream encoding supports 1-8 channels")
+    if channels <= 2:
+        return encode_ogg_opus(samples, channels, sample_rate,
+                               bitrate_kbps or 48 * channels, vbr,
+                               frame_ms)
+    streams, coupled, mapping = VORBIS_LAYOUTS[channels]
+    total_kbps = bitrate_kbps or 48 * channels
+    shares = 2 * coupled + (streams - coupled)
+    kbps_coupled = max(16, int(total_kbps * 2 / shares))
+    kbps_mono = max(12, int(total_kbps / shares))
+
+    pcm = np.asarray(samples, np.float64).reshape(-1, channels)
+    # stream channel j <- input channel i where mapping[i] == j
+    inv = {j: i for i, j in enumerate(mapping)}
+    all_pkts = []
+    S = None
+    for s in range(streams):
+        if s < coupled:
+            ch_idx = [inv[2 * s], inv[2 * s + 1]]
+            nch, kbps = 2, kbps_coupled
+        else:
+            ch_idx = [inv[coupled + s]]
+            nch, kbps = 1, kbps_mono
+        sub = np.ascontiguousarray(pcm[:, ch_idx]).reshape(-1)
+        pkts, S = celt_encode_packets(sub, nch, sample_rate, kbps, vbr,
+                                      frame_ms)
+        all_pkts.append(pkts)
+
+    combined = []
+    for frame_pkts in zip(*all_pkts):
+        ms = b"".join(self_delimit(p) for p in frame_pkts[:-1])
+        combined.append(ms + frame_pkts[-1])
+    frame = 120 << {2.5: 0, 5: 1, 10: 2, 20: 3}[frame_ms]
+    return ogg_opus_wrap(combined, channels, S, frame, PRESKIP,
+                         layout=(streams, coupled, mapping))
 
 
 def ogg_opus_wrap(packets, channels, input_samples, frame_48k,
-                  preskip) -> bytes:
+                  preskip, layout=None) -> bytes:
     """Wrap finished Opus packets (TOC included) in an Ogg stream:
     OpusHead/OpusTags + ~1 s data pages with correct granule positions
-    and end trimming (RFC 7845)."""
+    and end trimming (RFC 7845).  layout=(streams, coupled, mapping)
+    selects channel mapping family 1 (multistream)."""
     import struct
 
     from ..ogg import write_page, write_page_multi
 
+    if layout is None:
+        family = bytes([0])
+    else:
+        streams, coupled, mapping = layout
+        family = bytes([1, streams, coupled]) + bytes(mapping)
     head = (b"OpusHead" + bytes([1, channels])
-            + struct.pack("<HIh", preskip, 48000, 0) + bytes([0]))
+            + struct.pack("<HIh", preskip, 48000, 0) + family)
     tags = (b"OpusTags" + struct.pack("<I", 14) + b"libnyquist_tpu"
             + struct.pack("<I", 0))
     serial = 0x4C4E5154

