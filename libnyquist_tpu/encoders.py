@@ -245,6 +245,10 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     mode="silk": SILK-only wideband 20 ms frames (mono) — the speech
     coding half of Opus (reference: silk/enc_API.c); rate follows the
     signal (closed-loop VBR), bitrate_kbps is ignored.
+    mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
+    range coder per packet (mono FB 20 ms, TOC config 15; reference:
+    opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
+    so the total rate may exceed bitrate_kbps on busy content.
 
     The reference declares this API but ships no implementation
     (Encoders.h:40); both modes are working encoders validated against
@@ -281,6 +285,13 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
         return encode_ogg_opus_silk(samples, 48000)
+    if mode == "hybrid":
+        if ch != 1:
+            raise ValueError(
+                EncoderError.UnsupportedChannelConfiguration.name)
+        from .formats.opus.hybrid_encoder import encode_ogg_opus_hybrid
+
+        return encode_ogg_opus_hybrid(samples, 48000, bitrate_kbps)
     from .formats.opus.celt_encoder import encode_ogg_opus
 
     return encode_ogg_opus(samples, ch, 48000, bitrate_kbps,

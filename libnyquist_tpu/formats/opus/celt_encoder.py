@@ -328,7 +328,7 @@ def transient_detect(pcm_win: np.ndarray, N: int, n_short: int) -> int:
 
 
 def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
-                      nbytes: int, LM: int = 3) -> bytes:
+                      nbytes: int, LM: int = 3, enc=None) -> bytes:
     """Encode one CELT frame (intra energy; frame length 120 << LM).
 
     Args:
@@ -336,7 +336,10 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         to the CELT signal domain (+-32768 * gain handled by caller).
       nbytes: target packet payload size (CBR, excluding the TOC byte).
       LM: 0..3 -> 2.5/5/10/20 ms frames.
-    Returns the compressed frame payload.
+      enc: optional shared RangeEncoder (hybrid mode: SILK bits already
+        written; nbytes is then the WHOLE payload size and the caller
+        finalizes the coder — celt_encode_with_ec's contract).
+    Returns the compressed frame payload (b"" when enc is shared).
     """
     mode = mode48000()
     C = st.channels
@@ -345,7 +348,9 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     eBands = mode.eBands
     nbEBands = mode.nbEBands
 
-    enc = RangeEncoder(nbytes)
+    external = enc is not None
+    if not external:
+        enc = RangeEncoder(nbytes)
     total_bits = nbytes * 8
 
     n_short = mode.shortMdctSize
@@ -374,8 +379,10 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     )
 
     tell = enc.tell()
-    # silence flag
-    if tell + 15 <= total_bits:
+    # silence flag: only a FRESH CELT frame codes it — the decoder
+    # (celt_decoder.c and ours) reads it iff tell == 1, so a hybrid
+    # frame (SILK bits already in the coder) must NOT write it
+    if tell == 1:
         enc.enc_bit_logp(0, 15)
     tell = enc.tell()
     # postfilter (start == 0): off
@@ -483,6 +490,10 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         fine_priority, nbytes * 8 - enc.tell(), enc, C,
     )
 
+    if external:
+        if enc.error:
+            raise RuntimeError("range encoder overflow")
+        return b""
     data = enc.done()
     if enc.error:
         raise RuntimeError("range encoder overflow")

@@ -1,0 +1,110 @@
+"""Hybrid (SILK+CELT) Opus encoder: mono fullband 20 ms frames.
+
+The hybrid mode codes the low band with SILK (WB, internal 16 kHz) and
+everything from 8 kHz up with CELT starting at band 17, both halves
+sharing one range coder per packet (reference:
+libopus/src/opus_encoder.c — SILK first via silk_Encode, then
+celt_encode_with_ec on the same ec; RFC 6716 §2 "Hybrid mode", TOC
+config 15 = FB hybrid 20 ms).  Mono only (our SILK encoder codes mono
+WB); callers wanting stereo use CELT mode.
+
+Packet layout produced here, mirrored from our own decoder's read
+order (formats/opus/decoder.py decode_packet):
+  VAD flag, LBRR flag, SILK WB frame, redundancy flag (0, logp 12),
+  then the CELT frame with start band 17 on the same coder.
+
+Rate: SILK runs closed-loop VBR (the bits are what they are); the
+CELT half gets the remaining bytes of a per-frame budget derived from
+bitrate_kbps.  The SILK half is probed on a state copy first so the
+total packet size — which the CELT allocator needs up front — is
+known exactly.
+"""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from .celt_encoder import (
+    FRAME,
+    PREEMPH_COEF,
+    PRESKIP,
+    CeltEncoderState,
+    celt_encode_frame,
+    mode48000,
+    ogg_opus_wrap,
+)
+from .range_coder import RangeEncoder
+from .silk_encoder import FRAME_LEN, SilkEncoderState, _encode_frame
+
+TOC_HYBRID_FB_20MS = (15 << 3) | 0      # config 15, mono, code 0
+
+
+def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
+                           bitrate_kbps: int = 40) -> bytes:
+    """Encode mono float32 [-1, 1] PCM as hybrid fullband Ogg Opus."""
+    from ...ops.src import resample
+
+    x = np.asarray(samples, np.float64).reshape(-1)
+    if sample_rate != 48000:
+        x = np.asarray(resample(x.astype(np.float32), sample_rate,
+                                48000), np.float64)
+    S48 = len(x)
+
+    # 48 kHz plane for CELT: preskip priming + frame padding + preemph
+    mode = mode48000()
+    lead = np.zeros(PRESKIP)
+    x48 = np.concatenate([lead, x])
+    F = -(-len(x48) // FRAME)
+    pad = F * FRAME + mode.overlap - len(x48)
+    x48 = np.concatenate([x48, np.zeros(pad)])
+    pre = np.empty_like(x48)
+    pre[0] = 32768.0 * x48[0]
+    pre[1:] = 32768.0 * (x48[1:] - PREEMPH_COEF * x48[:-1])
+
+    # 16 kHz plane for SILK: same preskip convention as the SILK-only
+    # path (PRESKIP is 48 kHz samples; 16 kHz sees a third of them)
+    x16 = np.asarray(resample(np.asarray(x, np.float32), 48000, 16000),
+                     np.float64)
+    x16 = np.concatenate([np.zeros(PRESKIP // 3), x16]) * 32767.0
+    x16 = np.concatenate([x16, np.zeros(F * FRAME_LEN - len(x16))])
+
+    base_total = max(20, int(bitrate_kbps * 1000 * (FRAME / 48000.0) / 8))
+    # Our SILK half is closed-loop VBR with no rate control (the bits
+    # are what they are, ~40-50 kbps on busy speech), so the high band
+    # gets max(total-target minus SILK, this floor) — the actual total
+    # rate can exceed bitrate_kbps when SILK overruns it (documented).
+    MIN_CELT = 30                       # bytes the high band always gets
+
+    silk_st = SilkEncoderState()
+    celt_st = CeltEncoderState(1)
+    celt_st.start = 17                  # hybrid: CELT codes 8 kHz up
+    packets = []
+    for k in range(F):
+        xf = x16[k * FRAME_LEN : (k + 1) * FRAME_LEN]
+
+        # probe pass: SILK bit count on a state copy (deterministic)
+        probe = RangeEncoder(1275)
+        probe.enc_bit_logp(1, 1)
+        probe.enc_bit_logp(0, 1)
+        _encode_frame(probe, copy.deepcopy(silk_st), xf)
+        silk_bytes = (probe.tell() + 12 + 7) >> 3
+
+        total = min(max(base_total, silk_bytes + MIN_CELT), 1275)
+
+        enc = RangeEncoder(total)
+        enc.enc_bit_logp(1, 1)          # VAD: active
+        enc.enc_bit_logp(0, 1)          # LBRR
+        _encode_frame(enc, silk_st, xf)
+        # redundancy flag (decoder reads it when 37 bits fit)
+        if enc.tell() + 37 <= 8 * total:
+            enc.enc_bit_logp(0, 12)
+        win = pre[k * FRAME : k * FRAME + FRAME + mode.overlap]
+        celt_encode_frame(celt_st, win[None, :], total, 3, enc=enc)
+        payload = enc.done()
+        if enc.error:
+            raise RuntimeError("hybrid range encoder overflow")
+        packets.append(bytes([TOC_HYBRID_FB_20MS]) + payload)
+
+    return ogg_opus_wrap(packets, 1, S48, FRAME, PRESKIP)

@@ -404,3 +404,88 @@ def test_opus_multistream_encode_roundtrip(ch):
         snr = 10 * np.log10(np.dot(ref[:, c], ref[:, c])
                             / max(np.dot(e, e), 1e-30))
         assert snr > 12.0, (c, snr)
+
+
+def test_hybrid_encode_roundtrip():
+    """Hybrid (SILK+CELT) encode: mono FB 20 ms, TOC config 15, both
+    halves in one shared range coder (hybrid_encoder.py).  The low
+    band carries speech-like content through the SILK half (same
+    quality envelope as mode="silk"); the high band (>= 8 kHz, CELT
+    start band 17) must survive — that's the half a SILK-only stream
+    drops.  The same streams decode BIT-IDENTICALLY through the
+    reference's own libopus (see
+    test_hybrid_encode_reference_oracle)."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sr = 48000
+    sig_low = _speechish()
+    t = np.arange(len(sig_low)) / sr
+    high = (0.1 * np.sin(2 * np.pi * 10500 * t)).astype(np.float32)
+    sig = sig_low + high
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 1
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, 64, mode="hybrid")
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == 1
+    assert back.sample_rate == 48000
+    out = np.asarray(back.samples, np.float64)
+    ref = np.asarray(sig, np.float64)[: out.size]
+    # lag + LS-gain fit like the SILK test (resampler group delay)
+    n = len(out)
+    best = (0, -1e18)
+    for lag in range(0, 200):
+        m = n - lag
+        c = float(np.dot(ref[:m], out[lag : lag + m]))
+        if c > best[1]:
+            best = (lag, c)
+    lag = best[0]
+    m = n - lag - 960
+    o = out[lag : lag + m]
+    r = ref[:m]
+    g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
+    err = r - g * o
+    snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
+    assert snr > 10.0, f"hybrid round-trip SNR {snr:.1f} dB"
+    # the CELT half must carry the 10.5 kHz tone (SILK-only can't)
+    sp = np.abs(np.fft.rfft(out[:sr]))
+    f = np.fft.rfftfreq(sr, 1 / sr)
+    got = float(sp[(f > 10400) & (f < 10600)].max())
+    want = float(np.abs(np.fft.rfft(ref[:sr]))[(f > 10400)
+                                               & (f < 10600)].max())
+    assert got > 0.5 * want, (got, want)
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+def test_hybrid_encode_reference_oracle(tmp_path):
+    """The reference's own libopus decodes our hybrid streams to output
+    bit-identical to our decoder (mode/TOC/shared-coder symmetry)."""
+    import subprocess
+    import struct
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    a = AudioData()
+    a.samples = _speechish(seconds=1.0)
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, 64, mode="hybrid")
+    p = tmp_path / "h.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "h.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (n,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:n]
+    ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
+    m = min(ref.size, ours.size)
+    assert m > 40000
+    assert np.abs(ref[:m] - ours[:m]).max() < 1e-6

@@ -239,6 +239,14 @@ def test_native_paths_byte_fuzz():
         (str(pathlib.Path(__file__).parent / "fixtures" / "sv7_stereo.mpc"),
          "mpc"),
         ("/root/reference/test_data/ad_hoc/LR_Stereo.ogg", "ogg"),
+        # DSD planes (native/wv_dsd.c): fast + high arithmetic coders
+        (str(pathlib.Path(__file__).parent / "fixtures" / "dsd_fast.wv"),
+         "wv"),
+        (str(pathlib.Path(__file__).parent / "fixtures" / "dsd_high.wv"),
+         "wv"),
+        # floor0 LSP path (Python, extinct shape)
+        (str(pathlib.Path(__file__).parent / "fixtures"
+             / "floor0_mono8k.ogg"), "ogg"),
     ]
     for path, ext in targets:
         p = pathlib.Path(path)
