@@ -216,6 +216,11 @@ class VorbisCodebook:
                         vq[e, d] = v
                         if sequence_p:
                             last = v
+            # malformed float32_unpack exponents overflow the f32 cast
+            # to inf and would NaN the whole spectrum downstream (fuzz
+            # policy: finite output or typed error; no real encoder
+            # emits values near f32 max)
+            np.nan_to_num(vq, copy=False, posinf=0.0, neginf=0.0)
             self.vq = vq
         elif self.lookup_type != 0:
             raise DecodeError("reserved codebook lookup type")
@@ -556,6 +561,11 @@ class Floor0:
             lsp.extend(float(v) + last for v in vec)
             last = lsp[-1]
         lsp = np.asarray(lsp[: self.order], np.float64)
+        if not np.isfinite(lsp).all():
+            # malformed stream: codebook float32_unpack overflow feeds
+            # cos() a non-finite value (fuzz policy: typed error, never
+            # NaN output)
+            raise DecodeError("non-finite floor0 LSP values")
 
         # vorbis_lsp_to_curve (lsp.c:140): products over 2cos(lsp)
         m = self.order

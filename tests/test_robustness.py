@@ -260,7 +260,11 @@ def test_native_paths_byte_fuzz():
                     pos = random.randrange(region)
                     mut[pos] = random.randrange(256)
                 try:
-                    nq.load(bytes(mut), extension=ext)
+                    d = nq.load(bytes(mut), extension=ext)
+                    # finite-or-typed-error policy: adversarial input
+                    # must never NaN the output (caught a real floor0 /
+                    # VQ-overflow leak in round 3)
+                    assert np.isfinite(np.asarray(d.samples)).all()
                 except (NyquistError, MemoryError):
                     pass
 
