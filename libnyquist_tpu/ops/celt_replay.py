@@ -239,6 +239,16 @@ def _bucket_fine(n, lo=8):
     return b
 
 
+def _native_pack():
+    """Native leaf packer (native/replay_pack.c), or None."""
+    from ..runtime import native
+
+    L = native.lib()
+    if L is not None and hasattr(L, "celt_pvq_bucket_fill"):
+        return L
+    return None
+
+
 def build_replay_arrays(tr: CeltTrace):
     """Host assembly: trace -> device-ready arrays + a static structure
     spec (hashable) that keys the compiled replay program.  All work
@@ -259,40 +269,116 @@ def build_replay_arrays(tr: CeltTrace):
     pvq_arrs = {}
     if tr.idx_mode:
         # ---- device-cwrsi leaves (LF_PVQ_IDX): length-bucketed ----
-        ii = np.nonzero(tr.lf_type == LF_PVQ_IDX)[0]
-        lens_i = tr.lf_len[ii].astype(np.int32)
-        rows_i = tr.lf_frame[ii].astype(np.int64) * 2 + tr.lf_call[ii]
-        tgt_i = (rows_i * nmax
-                 + band_off[tr.lf_band[ii].astype(np.int64)]
-                 + tr.lf_off[ii]).astype(np.int32)
         # rs_slot: global leaf index -> slot in the concatenated
         # per-leaf rsqrt(Ryy) vector (marker gain fix-up)
         rs_slot = np.full(len(tr.lf_type) + 1, -1, np.int64)
-        spec = []
-        slot0 = 0
-        for bi, ub in enumerate(PVQ_LEN_BUCKETS):
-            lb = PVQ_LEN_BUCKETS[bi - 1] if bi else 0
-            sel = np.nonzero((lens_i > lb) & (lens_i <= ub))[0]
-            cnt = len(sel)
-            if not cnt:
-                continue
-            lanes = _bucket(cnt, 256)
-            pre = f"pvq{len(spec)}"
+        edges = np.asarray(PVQ_LEN_BUCKETS, np.int32)
+        nleaf = len(tr.lf_type)
+        L = _native_pack()
+        if L is not None:
+            # one O(n) C pass bucket-packs the ~800k leaves (this was
+            # ~20% of the Opus host half as NumPy gathers + sort)
+            import ctypes
 
-            def padv(v, fill, dt):
-                out = np.full(lanes, fill, dt)
-                out[:cnt] = v
-                return out
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            counts = np.zeros(len(PVQ_LEN_BUCKETS) + 1, np.int64)
+            tag = L.celt_pvq_bucket_count(
+                tr.lf_type.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int8)),
+                tr.lf_len.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int16)),
+                nleaf, edges.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_int32)),
+                len(edges), counts.ctypes.data_as(i64p))
+            assert tag == LF_PVQ_IDX
+            assert counts[len(PVQ_LEN_BUCKETS)] == 0, \
+                "leaf exceeds buckets"
+            spec = []
+            bucket_base = np.zeros(len(PVQ_LEN_BUCKETS) + 1, np.int64)
+            spans = []
+            slot0 = 0
+            for bi, ub in enumerate(PVQ_LEN_BUCKETS):
+                cnt = int(counts[bi])
+                bucket_base[bi] = slot0
+                if not cnt:
+                    continue
+                lanes = _bucket(cnt, 256)
+                spec.append((int(ub), lanes))
+                spans.append((slot0, cnt, lanes))
+                slot0 += lanes
+            total = slot0
+            out_n = np.zeros(total, np.int32)
+            out_k = np.zeros(total, np.int32)
+            out_i = np.zeros(total, np.uint32)
+            out_tgt = np.full(total, 2 * F * nmax, np.int32)
+            i8p = ctypes.POINTER(ctypes.c_int8)
+            i16p = ctypes.POINTER(ctypes.c_int16)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            u32p = ctypes.POINTER(ctypes.c_uint32)
+            L.celt_pvq_bucket_fill(
+                tr.lf_type.ctypes.data_as(i8p),
+                tr.lf_len.ctypes.data_as(i16p),
+                tr.lf_frame.ctypes.data_as(i32p),
+                tr.lf_call.ctypes.data_as(i8p),
+                tr.lf_band.ctypes.data_as(i8p),
+                tr.lf_off.ctypes.data_as(i16p),
+                tr.lf_k.ctypes.data_as(i32p),
+                tr.lf_seed.ctypes.data_as(u32p),
+                nleaf, edges.ctypes.data_as(i32p), len(edges),
+                bucket_base.ctypes.data_as(i64p),
+                band_off.ctypes.data_as(i64p), nmax,
+                out_n.ctypes.data_as(i32p), out_k.ctypes.data_as(i32p),
+                out_i.ctypes.data_as(u32p),
+                out_tgt.ctypes.data_as(i32p),
+                rs_slot.ctypes.data_as(i64p))
+            for j, (base, _cnt, lanes) in enumerate(spans):
+                pre = f"pvq{j}"
+                pvq_arrs[pre + "_n"] = out_n[base : base + lanes]
+                pvq_arrs[pre + "_k"] = out_k[base : base + lanes]
+                pvq_arrs[pre + "_i"] = out_i[base : base + lanes]
+                pvq_arrs[pre + "_tgt"] = out_tgt[base : base + lanes]
+        else:
+            # pure-NumPy fallback (bit-identical ordering: stable sort
+            # on the bucket id keeps leaves in decode order)
+            ii = np.nonzero(tr.lf_type == LF_PVQ_IDX)[0]
+            lens_i = tr.lf_len[ii].astype(np.int32)
+            rows_i = (tr.lf_frame[ii].astype(np.int64) * 2
+                      + tr.lf_call[ii])
+            tgt_i = (rows_i * nmax
+                     + band_off[tr.lf_band[ii].astype(np.int64)]
+                     + tr.lf_off[ii]).astype(np.int32)
+            k_i = tr.lf_k[ii]
+            seed_i = tr.lf_seed[ii]
+            bid = np.searchsorted(edges, lens_i, side="left")
+            order = np.argsort(bid, kind="stable")
+            counts = np.bincount(bid, minlength=len(PVQ_LEN_BUCKETS) + 1)
+            assert counts[len(PVQ_LEN_BUCKETS)] == 0, \
+                "leaf exceeds buckets"
+            spec = []
+            slot0 = 0
+            pos = 0
+            for bi, ub in enumerate(PVQ_LEN_BUCKETS):
+                cnt = int(counts[bi])
+                sel = order[pos : pos + cnt]
+                pos += cnt
+                if not cnt:
+                    continue
+                lanes = _bucket(cnt, 256)
+                pre = f"pvq{len(spec)}"
 
-            pvq_arrs[pre + "_n"] = padv(lens_i[sel], 0, np.int32)
-            pvq_arrs[pre + "_k"] = padv(tr.lf_k[ii[sel]], 0, np.int32)
-            pvq_arrs[pre + "_i"] = padv(tr.lf_seed[ii[sel]], 0,
-                                        np.uint32)
-            pvq_arrs[pre + "_tgt"] = padv(tgt_i[sel], 2 * F * nmax,
-                                          np.int32)
-            spec.append((int(ub), lanes))
-            rs_slot[ii[sel]] = slot0 + np.arange(cnt)
-            slot0 += lanes
+                def padv(v, fill, dt):
+                    out = np.full(lanes, fill, dt)
+                    out[:cnt] = v
+                    return out
+
+                pvq_arrs[pre + "_n"] = padv(lens_i[sel], 0, np.int32)
+                pvq_arrs[pre + "_k"] = padv(k_i[sel], 0, np.int32)
+                pvq_arrs[pre + "_i"] = padv(seed_i[sel], 0, np.uint32)
+                pvq_arrs[pre + "_tgt"] = padv(tgt_i[sel], 2 * F * nmax,
+                                              np.int32)
+                spec.append((int(ub), lanes))
+                rs_slot[ii[sel]] = slot0 + np.arange(cnt)
+                slot0 += lanes
         pvq_arrs["utab"] = pvq_u_table_u32()
         pvq_spec = (tuple(spec), slot0)
 

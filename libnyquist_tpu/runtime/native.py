@@ -356,6 +356,27 @@ def lib():
             i32p_, i32p_, i32p_,                    # fsz, ends, chs
             ctypes.c_int64, i32p_,                  # max_frames, info
         ]
+        i8p0 = ctypes.POINTER(ctypes.c_int8)
+        L.celt_pvq_bucket_count.restype = ctypes.c_int64
+        L.celt_pvq_bucket_count.argtypes = [
+            i8p0, ctypes.POINTER(ctypes.c_int16), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        L.celt_pvq_bucket_fill.restype = None
+        L.celt_pvq_bucket_fill.argtypes = [
+            i8p0, ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32), i8p0, i8p0,
+            ctypes.POINTER(ctypes.c_int16),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         L.wv_dsd_decode.restype = ctypes.c_int64
         L.wv_dsd_decode.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
