@@ -442,3 +442,30 @@ def test_replay_device_small_frames():
         rel = d / (1.0 + np.abs(freq_ref))
         assert rel.max() < 1e-3, (frame_ms, rel.max())
         assert (rel > 1e-4).mean() < 1e-4, frame_ms
+
+
+def test_native_pack_matches_python(golden_dir):
+    """native/replay_pack.c (the O(n) C bucket packer) produces
+    bit-identical replay arrays to the NumPy fallback path — every
+    key, every element, and the same static program key."""
+    from libnyquist_tpu.ops import celt_replay
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st = CeltDecoderState(channels=ch)
+    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True,
+                xs_heap=True, idx_mode=True)
+    assert celt_replay._native_pack() is not None
+
+    a_nat, _, k_nat = celt_replay.build_replay_arrays(tr)
+    orig = celt_replay._native_pack
+    try:
+        celt_replay._native_pack = lambda: None
+        a_py, _, k_py = celt_replay.build_replay_arrays(tr)
+    finally:
+        celt_replay._native_pack = orig
+    assert k_nat == k_py
+    assert set(a_nat) == set(a_py)
+    for key in a_nat:
+        assert np.array_equal(np.asarray(a_nat[key]),
+                              np.asarray(a_py[key])), key
