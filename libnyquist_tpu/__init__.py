@@ -16,6 +16,7 @@ from .errors import (
 )
 from .io import NyquistIO, is_file_supported, load
 from .streaming import (
+    ChainedOggSeekReader,
     FlacSeekReader,
     Mp3SeekReader,
     OggSeekReader,
@@ -42,6 +43,7 @@ __all__ = [
     "resample",
     "StreamReader",
     "OggSeekReader",
+    "ChainedOggSeekReader",
     "Mp3SeekReader",
     "FlacSeekReader",
     "seek_reader",

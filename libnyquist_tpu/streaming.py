@@ -32,8 +32,9 @@ import numpy as np
 from .errors import DecodeError
 from .io import load
 
-__all__ = ["StreamReader", "OggSeekReader", "Mp3SeekReader",
-           "FlacSeekReader", "CountingSource", "seek_reader"]
+__all__ = ["StreamReader", "OggSeekReader", "ChainedOggSeekReader",
+           "Mp3SeekReader", "FlacSeekReader", "CountingSource",
+           "seek_reader"]
 
 
 class StreamReader:
@@ -47,7 +48,9 @@ class StreamReader:
     def __new__(cls, source, extension: Optional[str] = None,
                 lazy: bool = False):
         if lazy and cls is StreamReader:
-            return OggSeekReader(source)
+            # content dispatch: Ogg (single or chained links), FLAC
+            # frame bisection, MP3 frame index
+            return seek_reader(source)
         return super().__new__(cls)
 
     def __init__(self, source, extension: Optional[str] = None,
@@ -131,6 +134,29 @@ class CountingSource:
             return self._buf[off : off + n]
         self._f.seek(off)
         return self._f.read(n)
+
+
+class _SubSource(CountingSource):
+    """A [base, base+size) byte-range view over another source (one
+    chained-Ogg link); reads are counted on the parent."""
+
+    def __init__(self, parent, base: int, size: int):
+        self.parent = parent
+        self.base = base
+        self.size = size
+
+    def pread(self, off: int, n: int) -> bytes:
+        off = max(0, min(off, self.size))
+        n = max(0, min(n, self.size - off))
+        return self.parent.pread(self.base + off, n)
+
+    @property
+    def reads(self):
+        return self.parent.reads
+
+    @property
+    def bytes_read(self):
+        return self.parent.bytes_read
 
 
 _WIN = 128 * 1024         # bisection window (>= 2 max Ogg pages, so a
@@ -771,14 +797,140 @@ class FlacSeekReader:
         self._buf_start = start_sample
 
 
+class ChainedOggSeekReader:
+    """Chained Ogg (multiple sequential links with distinct serials):
+    the opusfile surface across links.  Link boundaries are discovered
+    by serial bisection (op_bisect_forward_serialno, opusfile.c:1098)
+    — O(links * log size) reads, no full scan — then each link gets
+    its own OggSeekReader over a byte-range view.  Reads stitch across
+    links like op_read_float does; links must share channel count and
+    sample rate (ov_read/op_read surface the same way)."""
+
+    def __init__(self, source):
+        self.src = (source if isinstance(source, CountingSource)
+                    else CountingSource(source))
+        bounds = self._discover_links()
+        self.links = [OggSeekReader(_SubSource(self.src, b0, b1 - b0))
+                      for b0, b1 in bounds]
+        r0 = self.links[0]
+        self.channel_count = r0.channel_count
+        self.sample_rate = r0.sample_rate
+        for r in self.links[1:]:
+            if (r.channel_count != r0.channel_count
+                    or r.sample_rate != r0.sample_rate):
+                raise DecodeError("chained links disagree on format")
+        self._starts = []
+        total = 0
+        for r in self.links:
+            self._starts.append(total)
+            total += r.pcm_total()
+        self._total = total
+        self._pos = 0
+
+    def _first_page_any(self, off):
+        """(serial, page_start, page_end) of the first page header at
+        or after off (any serial; header-only probe)."""
+        base = off
+        while base < self.src.size:
+            buf = self.src.pread(base, 66 * 1024)
+            p = _scan_page(buf, base, None, header_only=True)
+            if p is not None:
+                return p[1], p[2], p[3]
+            if len(buf) < 66 * 1024:
+                return None
+            base += 66 * 1024 - 300
+        return None
+
+    def _discover_links(self):
+        bounds = []
+        start = 0
+        while start < self.src.size:
+            first = self._first_page_any(start)
+            if first is None:
+                break
+            serial = first[0]
+            start = first[1]
+            # bisect for the first page with a DIFFERENT serial
+            lo, hi = start, self.src.size
+            boundary = self.src.size
+            while hi - lo > _WIN:
+                mid = (lo + hi) // 2
+                p = self._first_page_any(mid)
+                if p is None:
+                    hi = mid
+                elif p[0] == serial:
+                    lo = p[2]
+                else:
+                    boundary = min(boundary, p[1])
+                    hi = p[1]
+            # linear finish inside the last window
+            off = lo
+            while off < boundary:
+                p = self._first_page_any(off)
+                if p is None:
+                    break
+                if p[0] != serial:
+                    boundary = p[1]
+                    break
+                off = p[2]
+            bounds.append((start, boundary))
+            start = boundary
+        if not bounds:
+            raise DecodeError("no Ogg links found")
+        return bounds
+
+    # -- surface -----------------------------------------------------
+    def pcm_total(self) -> int:
+        return self._total
+
+    def pcm_tell(self) -> int:
+        return self._pos
+
+    def pcm_seek(self, offset: int) -> None:
+        if offset < 0 or offset > self._total:
+            raise DecodeError("seek out of range")
+        self._pos = int(offset)
+
+    def time_tell(self) -> float:
+        return self._pos / self.sample_rate
+
+    def time_seek(self, seconds: float) -> None:
+        self.pcm_seek(int(round(seconds * self.sample_rate)))
+
+    def read(self, n: int) -> np.ndarray:
+        if n < 0:
+            raise DecodeError("negative read size")
+        out = []
+        got = 0
+        while got < n and self._pos < self._total:
+            li = 0
+            for i, s in enumerate(self._starts):
+                if self._pos >= s:
+                    li = i
+            r = self.links[li]
+            local = self._pos - self._starts[li]
+            r.pcm_seek(min(local, r.pcm_total()))
+            chunk = r.read(n - got)
+            if chunk.shape[0] == 0:
+                break
+            out.append(chunk)
+            got += chunk.shape[0]
+            self._pos += chunk.shape[0]
+        if not out:
+            return np.zeros((0, self.channel_count), np.float32)
+        return np.concatenate(out, axis=0)
+
+
 def seek_reader(source):
     """Factory: the right lazy seek reader for the content (Ogg
-    Opus/Vorbis bisection, FLAC frame bisection, MP3 frame index)."""
+    Opus/Vorbis bisection incl. chained links, FLAC frame bisection,
+    MP3 frame index)."""
     src = source if isinstance(source, CountingSource) \
         else CountingSource(source)
     head = src.pread(0, 16)
     if head[:4] == b"OggS":
-        return OggSeekReader(src)
+        r = ChainedOggSeekReader(src)
+        return r.links[0] if len(r.links) == 1 else r
     if head[:4] == b"fLaC":
         return FlacSeekReader(src)
     return Mp3SeekReader(src)

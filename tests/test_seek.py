@@ -173,3 +173,61 @@ def test_seek_reader_factory_dispatch():
         assert isinstance(r, cls), path
         r.time_seek(1.0)
         assert r.read(100).shape[0] == 100
+
+
+def test_chained_ogg_lazy_reader():
+    """Chained Ogg (two links, distinct serials): link boundaries
+    discovered by serial bisection (op_bisect_forward_serialno,
+    opusfile.c:1098) in O(links x log size) reads; reads stitch across
+    the boundary and match the full chained decode bit-exactly."""
+    from libnyquist_tpu.streaming import ChainedOggSeekReader
+
+    pa = REF / "ad_hoc" / "LR_Stereo.ogg"
+    pb = REF / "ad_hoc" / "BlockWoosh_Stereo.ogg"
+    if not (pa.exists() and pb.exists()):
+        pytest.skip("reference corpus absent")
+    da, db = pa.read_bytes(), pb.read_bytes()
+    chained = da + db
+    full = StreamReader(chained, extension="ogg")
+    src = CountingSource(chained)
+    r = ChainedOggSeekReader(src)
+    assert len(r.links) == 2
+    assert r.pcm_total() == full.pcm_total()
+    assert src.reads < 80       # discovery + headers, not O(file)
+    link0 = r.links[0].pcm_total()
+    for pos in (0, 1000, link0 - 500, link0 + 500,
+                r.pcm_total() - 3000):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(1200)
+        b = full.read(1200)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos
+    # lazy dispatch picks the chained reader for chained content
+    assert isinstance(StreamReader(chained, extension="ogg", lazy=True),
+                      ChainedOggSeekReader)
+    assert isinstance(seek_reader(chained), ChainedOggSeekReader)
+
+
+def test_chained_opus_lazy_reader():
+    """Chained Ogg Opus links through the lazy reader (preroll keeps
+    windows within float tolerance of the full decode)."""
+    from libnyquist_tpu.streaming import ChainedOggSeekReader
+
+    pa = REF / "short.opus"
+    pb = REF / "sb-reverie.opus"
+    if not (pa.exists() and pb.exists()):
+        pytest.skip("reference corpus absent")
+    chained = pa.read_bytes() + pb.read_bytes()
+    full = StreamReader(chained, extension="opus")
+    r = ChainedOggSeekReader(CountingSource(chained))
+    assert len(r.links) == 2
+    assert r.pcm_total() == full.pcm_total()
+    l0 = r.links[0].pcm_total()
+    for pos in (0, l0 - 300, l0 + 300, r.pcm_total() - 2000):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(1000)
+        b = full.read(1000)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() < 2e-4, pos
