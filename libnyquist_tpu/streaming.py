@@ -598,8 +598,17 @@ class Mp3SeekReader:
         # reservoir-starved leading frames emit nothing: anchor by the
         # emitted length (every emitted frame is exactly spf samples)
         dropped = (j1 - j0) - pcm.shape[0] // self.spf
+        buf_start = (j0 + dropped) * self.spf
+        if j0 == 0 and buf_start > pos:
+            # a mid-stream rip whose FIRST frame needs reservoir bytes
+            # that never existed: those lead samples exist in no decode
+            # (the full decode drops them too) — surface silence there
+            # rather than mis-sliced audio
+            pad = np.zeros((buf_start - pos, pcm.shape[1]), np.float32)
+            pcm = np.concatenate([pad, pcm], axis=0)
+            buf_start = pos
         self._buf = pcm
-        self._buf_start = (j0 + dropped) * self.spf
+        self._buf_start = buf_start
 
 
 # ======================================================================
@@ -804,7 +813,10 @@ class ChainedOggSeekReader:
     — O(links * log size) reads, no full scan — then each link gets
     its own OggSeekReader over a byte-range view.  Reads stitch across
     links like op_read_float does; links must share channel count and
-    sample rate (ov_read/op_read surface the same way)."""
+    sample rate (ov_read/op_read surface the same way).  Per RFC 3533
+    chained links carry DISTINCT serials; a same-serial concatenation
+    (spec-invalid) is not separable by bisection — use the
+    decode-backed StreamReader for those."""
 
     def __init__(self, source):
         self.src = (source if isinstance(source, CountingSource)
