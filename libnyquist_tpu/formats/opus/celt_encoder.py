@@ -268,30 +268,56 @@ class CeltEncoderState:
 
 
 def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
-    """Leakage-driven boost analysis (simplified from the reference
-    encoder's dynalloc_analysis, celt_encoder.c): bands that poke above
-    a two-sided max-decay follower of the band spectrum get extra
-    allocation, which concentrates bits on tonal peaks the static
-    allocation would starve.
+    """Tonality-driven boost analysis (the idea of the reference
+    encoder's dynalloc_analysis, celt_encoder.c:889, in our own
+    formulation): a slow-attack VALLEY follower rides the band
+    spectrum from both sides (rise limited to 1.5 dB/band forward,
+    2 dB/band backward), so isolated tonal peaks poke far above it;
+    the excess buys extra allocation for exactly those bands.  A
+    ridge/max follower cannot work here — it contains each band's own
+    energy, so a lone peak never exceeds it (the round-3 bug that
+    left pure tones 12 dB behind libopus at matched rates).
 
-    Returns per-band desired boost in eighth-bits (multiples of the
-    decoder's dynalloc quanta are applied at encode time)."""
-    e = np.mean(bandLogE, axis=0)
-    n = len(e)
-    f = e.copy()
-    for i in range(start + 1, end):
-        f[i] = max(f[i - 1] - 1.5, e[i])
-    b = e.copy()
-    for i in range(end - 2, start - 1, -1):
-        b[i] = max(b[i + 1] - 1.5, e[i])
-    follower = np.minimum(f, b)
-    excess = np.maximum(0.0, e - follower - 1.0)   # dB above the ridge
-    boosts = np.zeros(n, np.int64)
+    Returns per-band desired boost in eighth-bits (the encode loop
+    buys whole decoder-grammar quanta up to these)."""
+    nb = bandLogE.shape[1] if bandLogE.ndim == 2 else len(bandLogE)
+    e2 = np.atleast_2d(bandLogE)
+    Cn = e2.shape[0]
+    followers = np.empty_like(e2)
+    for c in range(Cn):
+        e = e2[c]
+        fol = np.empty(nb)
+        fol[0] = e[0]
+        last = 0
+        for i in range(1, end):
+            # the last clearly-rising band bounds the backward pass
+            # (bandlimited signals would otherwise boost the cutoff)
+            if e[i] > e[i - 1] + 0.5:
+                last = i
+            fol[i] = min(fol[i - 1] + 1.5, e[i])
+        fol[end:] = e[end:] if end < nb else fol[end:]
+        for i in range(last - 1, -1, -1):
+            fol[i] = min(fol[i], fol[i + 1] + 2.0, e[i])
+        followers[c] = fol
+    if Cn == 2:
+        # cross-talk: a tone in one channel raises the other channel's
+        # floor (limits boosting content the ear localizes anyway)
+        fL = followers[0, start:end].copy()
+        fR = followers[1, start:end].copy()
+        followers[0, start:end] = np.maximum(fL, fR - 4.0)
+        followers[1, start:end] = np.maximum(fR, fL - 4.0)
+    excess = np.maximum(0.0, e2 - followers).mean(axis=0)
+    # perceptual shaping: low bands matter double, high bands half;
+    # bound any single band's boost at 4 dB worth
+    excess[:8] *= 2.0
+    excess[12:] *= 0.5
+    excess = np.minimum(excess, 4.0)
+    boosts = np.zeros(nb, np.int64)
     for i in range(start, end):
         width = C * (int(eBands[i + 1]) - int(eBands[i])) << LM
-        # about half a bit per excess dB per coefficient, capped
-        want = int(excess[i] * width * 4)          # eighth-bits
-        boosts[i] = min(want, int(cap[i]) // 2)
+        # ~one extra bit per coefficient per dB of tonal excess
+        want = int(excess[i] * width * 8)          # eighth-bits
+        boosts[i] = min(want, int(cap[i]))
     return boosts
 
 

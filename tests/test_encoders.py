@@ -112,7 +112,7 @@ def _sine(ch, sr, seconds=0.6):
     return a
 
 
-@pytest.mark.parametrize("ch,kbps,min_snr", [(1, 96, 27.0), (2, 160, 21.0)])
+@pytest.mark.parametrize("ch,kbps,min_snr", [(1, 96, 37.0), (2, 160, 33.0)])
 def test_opus_encode_roundtrip(ch, kbps, min_snr):
     """Our CELT encoder's streams decode through our own decoder with
     sane fidelity (also validated against the reference opusfile decoder
@@ -367,11 +367,12 @@ def test_opus_encoder_rd_vs_libopus():
     their_bytes, their_snr = r.stdout.split()
     their_kbps = int(their_bytes) * 8 / secs / 1000
 
-    # matched rate (within 10%), bounded distortion gap
+    # matched rate (within 10%), bounded distortion gap (after the
+    # valley-follower dynalloc fix we BEAT libopus on mono tones)
     assert abs(our_kbps - kbps) / kbps < 0.10, our_kbps
     assert abs(their_kbps - kbps) / kbps < 0.10, their_kbps
-    assert our_snr > 25.0, our_snr
-    assert our_snr > float(their_snr) - 16.0, (our_snr, their_snr)
+    assert our_snr > 35.0, our_snr
+    assert our_snr > float(their_snr) - 5.0, (our_snr, their_snr)
 
 
 @pytest.mark.parametrize("ch", [3, 6, 8])
