@@ -50,7 +50,12 @@ FRAME_MS = 20
 SUBFR = 4
 SUBFR_LEN = 5 * FS_KHZ          # 80 samples @16 kHz
 FRAME_LEN = SUBFR * SUBFR_LEN   # 320
+LTP_MEM = 20 * FS_KHZ           # 320 (LTP_MEM_LENGTH_MS)
+MIN_LAG = 2 * FS_KHZ            # 32
+MAX_LAG = 18 * FS_KHZ           # 288
+LTP_ORDER = 5
 TYPE_UNVOICED = 1
+TYPE_VOICED = 2
 
 
 # ----------------------------------------------------------------------
@@ -59,18 +64,27 @@ TYPE_UNVOICED = 1
 
 def _levinson(r):
     """Levinson-Durbin: autocorrelation -> predictor coeffs p with
-    x[n] ~= sum_j p[j] x[n-1-j]."""
+    x[n] ~= sum_j p[j] x[n-1-j].
+
+    Guards are RELATIVE to r[0]: with near-singular autocorrelations
+    (pure tones) the prediction error e underflows in r[0]-scale units
+    long before any absolute epsilon, and clipped reflection
+    coefficients then compound into garbage predictors (the round-3
+    bug that capped SILK quality).  When a reflection saturates the
+    recursion stops at the current order instead."""
     d = len(r) - 1
     a = np.zeros(d)
-    e = r[0]
+    e = float(r[0])
+    floor = float(r[0]) * 1e-9 + 1e-12
     for i in range(d):
         acc = r[i + 1] - np.dot(a[:i], r[i:0:-1][:i])
-        k = acc / e if e > 1e-12 else 0.0
-        k = float(np.clip(k, -0.999, 0.999))
+        if e <= floor:
+            break
+        k = float(acc / e)
+        if abs(k) >= 0.999:
+            break
         a[:i], a[i] = a[:i] - k * a[:i][::-1], k
         e *= (1.0 - k * k)
-        if e < 1e-12:
-            break
     return a
 
 
@@ -286,19 +300,154 @@ class SilkEncoderState:
         self.last_gain_index = 10
         self.x_hist = np.zeros(LPC_ORDER)       # input history (int16 dom)
         self.xq_hist = np.zeros(LPC_ORDER)      # reconstruction history
+        self.res_hist = np.zeros(LTP_MEM)       # input LPC residual hist
+        self.out_buf = np.zeros(LTP_MEM)        # reconstruction (int16 dom)
+        self.slpc = np.zeros(16)                # Q14 gain-normalized carry
+        self.prev_gain_q16 = 1 << 16
         self.first = True
 
 
+def _pitch_analysis(res_ext):
+    """Normalized-autocorrelation pitch estimate on the input LPC
+    residual (res_ext = [LTP_MEM history | current frame]).  Returns
+    (voiced, per-subframe lags) — the encoder-side analysis half the
+    decoder never sees (reference idea: silk/float/pitch_analysis_core
+    — ours is a plain argmax, not a port)."""
+    cur = res_ext[LTP_MEM:]
+    e1 = float(np.dot(cur, cur))
+    if e1 < 1e3:
+        return False, None
+    best_lag, best_c = 0, 0.0
+    for lag in range(MIN_LAG, MAX_LAG + 1):
+        past = res_ext[LTP_MEM - lag : LTP_MEM - lag + FRAME_LEN]
+        c = float(np.dot(cur, past))
+        if c <= 0:
+            continue
+        e2 = float(np.dot(past, past)) + 1e-9
+        score = c * c / e2
+        if score > best_c:
+            best_c, best_lag = score, lag
+    if not best_lag:
+        return False, None
+    corr = np.sqrt(best_c / e1)
+    # loose gate: the order-16 LPC whitens most periodicity out of the
+    # residual, so frame-level corr is low even for clearly voiced
+    # input; the caller's LTP energy-reduction test makes the final
+    # voiced/unvoiced call
+    if corr < 0.25:
+        return False, None
+    # per-subframe refinement around the global lag
+    lags = []
+    for k in range(SUBFR):
+        seg = res_ext[LTP_MEM + k * SUBFR_LEN : LTP_MEM + (k + 1)
+                      * SUBFR_LEN]
+        bl, bc = best_lag, -1.0
+        for lag in range(max(MIN_LAG, best_lag - 4),
+                         min(MAX_LAG, best_lag + 4) + 1):
+            base = LTP_MEM + k * SUBFR_LEN - lag
+            past = res_ext[base : base + SUBFR_LEN]
+            c = float(np.dot(seg, past))
+            e2 = float(np.dot(past, past)) + 1e-9
+            s = c * abs(c) / e2
+            if s > bc:
+                bc, bl = s, lag
+        lags.append(bl)
+    return True, lags
+
+
+def _fit_contour(lags):
+    """(lagIndex, contourIndex, per-subframe coded lags): the WB 20 ms
+    contour codebook entry + base lag best matching the measured
+    per-subframe lags (decode side: silk.decode_pitch)."""
+    t = ST.tables()
+    cbl = np.asarray(t["CB_lags_stage3"]).reshape(SUBFR, 34)
+    lags = np.asarray(lags, np.float64)
+    best = None
+    for idx in range(cbl.shape[1]):
+        off = cbl[:, idx].astype(np.float64)
+        base = int(np.clip(round(float(np.mean(lags - off))),
+                           MIN_LAG, MAX_LAG))
+        cost = float(np.sum((base + off - lags) ** 2))
+        if best is None or cost < best[0]:
+            best = (cost, base, idx)
+    _, base, idx = best
+    lag_index = int(np.clip(base - MIN_LAG, 0, 255))
+    coded = [int(np.clip(MIN_LAG + lag_index + int(cbl[k, idx]),
+                         MIN_LAG, MAX_LAG)) for k in range(SUBFR)]
+    return lag_index, idx, coded
+
+
+def _select_ltp(res_ext, lags):
+    """Open-loop LTP codebook search on the input residual: for each
+    subframe pick the 5-tap vector (across the three periodicity
+    tables) minimizing the residual after prediction from lags
+    L-2..L+2.  Returns (per_index, ltp_index[4], b_q14[4][5],
+    reduced residual [FRAME_LEN])."""
+    t = ST.tables()
+    tables = [np.asarray(t[f"LTP_vq_Q7_{p}"], np.float64).reshape(-1, 5)
+              for p in range(3)]
+    red = np.empty(FRAME_LEN)
+    choices = []
+    for k in range(SUBFR):
+        s0 = LTP_MEM + k * SUBFR_LEN
+        r = res_ext[s0 : s0 + SUBFR_LEN]
+        L = lags[k]
+        P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
+                              + SUBFR_LEN] for j in range(LTP_ORDER)], 1)
+        best = None
+        for p, tab in enumerate(tables):
+            pred = P @ (tab.T / 128.0)          # [80, nvec]
+            errs = ((r[:, None] - pred) ** 2).sum(axis=0)
+            j = int(np.argmin(errs))
+            if best is None or errs[j] < best[0]:
+                best = (float(errs[j]), p, j)
+        choices.append(best)
+    # PERIndex is shared across subframes: pick the table whose best
+    # vectors minimize the total error, then re-pick vectors within it
+    totals = []
+    for p, tab in enumerate(tables):
+        tot = 0.0
+        for k in range(SUBFR):
+            s0 = LTP_MEM + k * SUBFR_LEN
+            r = res_ext[s0 : s0 + SUBFR_LEN]
+            L = lags[k]
+            P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
+                                  + SUBFR_LEN] for j in range(LTP_ORDER)],
+                         1)
+            pred = P @ (tab.T / 128.0)
+            tot += float(((r[:, None] - pred) ** 2).sum(axis=0).min())
+        totals.append(tot)
+    per = int(np.argmin(totals))
+    tab = tables[per]
+    ltp_index = []
+    b_q14 = []
+    for k in range(SUBFR):
+        s0 = LTP_MEM + k * SUBFR_LEN
+        r = res_ext[s0 : s0 + SUBFR_LEN]
+        L = lags[k]
+        P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
+                              + SUBFR_LEN] for j in range(LTP_ORDER)], 1)
+        pred = P @ (tab.T / 128.0)
+        errs = ((r[:, None] - pred) ** 2).sum(axis=0)
+        j = int(np.argmin(errs))
+        ltp_index.append(j)
+        b_q14.append(tab[j] * 128.0)            # vq_Q7 << 7 -> Q14
+        red[k * SUBFR_LEN : (k + 1) * SUBFR_LEN] = r - pred[:, j]
+    return per, ltp_index, b_q14, red
+
+
 def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
-    """One 20 ms mono WB frame (320 samples, int16 domain floats)."""
+    """One 20 ms mono WB frame (320 samples, int16 domain floats).
+
+    Voiced frames (pitch detected in the input LPC residual) carry the
+    full LTP layer — lag/contour, 5-tap codebook gains, LTP scale —
+    and the closed-loop excitation quantizer mirrors the decoder's
+    reconstruction (silk.decode_core) in float: whitened pitch history
+    (lpc_analysis_filter), inverse-gain/LTP-scale scaling, gain-adjust
+    of carried state, the decoder's rounding biases.  Unvoiced frames
+    use the same mirror with the LTP term zero."""
     t = ST.tables()
     cb = ST.nlsf_cb_wb()
-    signal_type = TYPE_UNVOICED
-    quant_offset_type = 0
-
-    # signal type + offset (VAD-active)
-    ix = (signal_type << 1) + quant_offset_type
-    enc.enc_icdf(ix - 2, t["type_offset_VAD_iCDF"], 8)
 
     # ---- LPC analysis on the windowed frame ----
     xw = x * np.hanning(FRAME_LEN)
@@ -308,32 +457,87 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     r[0] += 1e-2
     a = _levinson(r)
     a *= 0.994 ** (np.arange(LPC_ORDER) + 1)    # bandwidth expansion
+
+    # ---- input residual + prediction-gain limiting ----
+    # The closed-loop quantizer feeds its error back through 1/A(z);
+    # unbounded prediction gain (pure tones: poles at the expansion
+    # radius) amplifies the +-half-step quantization noise past int32
+    # and the loop wraps.  SILK's own encoder bandwidth-expands until
+    # the gain is bounded (silk/float/find_LPC.c limit) — same idea.
+    hist = np.concatenate([st.x_hist, x])
+    ex = float(np.dot(x, x)) + 1.0
+    for _chirp in range(16):
+        aq_probe = np.asarray(a)
+        e = np.empty(FRAME_LEN)
+        for n in range(FRAME_LEN):
+            e[n] = x[n] - np.dot(aq_probe,
+                                 hist[n + LPC_ORDER - 1::-1][:LPC_ORDER])
+        if ex / (float(np.dot(e, e)) + 1.0) < 1e3:
+            break
+        a *= 0.97 ** (np.arange(LPC_ORDER) + 1)
     nlsf_tgt = _a2nlsf_q15(a)
 
-    # ---- gains (quantized before NLSF in the bitstream) ----
-    aq_probe = np.asarray(a)
-    hist = np.concatenate([st.x_hist, x])
-    e = np.empty(FRAME_LEN)
-    for n in range(FRAME_LEN):
-        e[n] = x[n] - np.dot(aq_probe,
-                             hist[n + LPC_ORDER - 1::-1][:LPC_ORDER])
+    # ---- voicing / pitch / LTP analysis ----
+    res_ext = np.concatenate([st.res_hist, e])
+    voiced, subf_lags = _pitch_analysis(res_ext)
+    if voiced:
+        lag_index, contour_index, lags = _fit_contour(subf_lags)
+        per_index, ltp_index, b_q14, e_red = _select_ltp(res_ext, lags)
+        # voiced only when LTP genuinely pays (the corr gate alone
+        # passes glides the 5-tap filter can't track)
+        if (float(np.dot(e_red, e_red))
+                > 0.75 * float(np.dot(e, e)) + 1.0):
+            voiced = False
+    if voiced:
+        signal_type = TYPE_VOICED
+    else:
+        lags = None
+        e_red = e
+        signal_type = TYPE_UNVOICED
+    quant_offset_type = 0
+
+    # ---- NLSF quantization (needed by the trial loop; coded later) --
+    nlsf_idx, nlsf_deq = _quant_nlsf(nlsf_tgt, cb, signal_type)
+    aq = np.asarray(S.nlsf2a(list(nlsf_deq), LPC_ORDER), np.float64)
+    aqf = aq / 4096.0
+
+    scale_index = 0
+    ltp_scale_q14 = (int(t["LTPScales_table_Q14"][scale_index])
+                     if voiced else 0)
+
+    # ---- gains with escalation: the closed loop feeds quantization
+    # error back through 1/A(z); when the pulse budget can't track the
+    # target (tonal content: poles near the unit circle) the loop
+    # rings to saturation.  Double the gains until the quantizer fits
+    # — the decoder-side cost is coarser excitation, not instability.
+    rms0 = [float(np.sqrt(np.mean(
+        e_red[k * SUBFR_LEN:(k + 1) * SUBFR_LEN] ** 2)) + 1.0)
+        for k in range(SUBFR)]
+    boost = 1.0
+    for attempt in range(6):
+        tg = [int(min(r_ * 1.7 * boost * 65536.0, 2.0 ** 38))
+              for r_ in rms0]
+        g_inds, gains_q16, lgi = _quant_gains(
+            tg, st.last_gain_index, conditional=False)
+        pulses, xq, slpc_out, prev_gain_out, miss = _quantize_frame(
+            st, x, aq, aqf, gains_q16, signal_type, quant_offset_type,
+            voiced, lags, b_q14 if voiced else None, ltp_scale_q14)
+        if miss <= FRAME_LEN // 32 or attempt == 5:
+            break
+        boost *= 2.0
+    st.last_gain_index = lgi
+
+    # ---- emission (decoder read order: silk.decode_indices) ----
+    ix = (signal_type << 1) + quant_offset_type
+    enc.enc_icdf(ix - 2, t["type_offset_VAD_iCDF"], 8)
     # One frame per packet means every frame is CODE_INDEPENDENTLY in
     # the decoder (nFramesDecoded resets per packet): gains use the
     # absolute form, with LastGainIndex still carried across packets.
-    tg = []
-    for k in range(SUBFR):
-        seg = e[k * SUBFR_LEN:(k + 1) * SUBFR_LEN]
-        rms = float(np.sqrt(np.mean(seg ** 2)) + 1.0)
-        tg.append(int(min(rms * 1.7 * 65536.0, 2.0 ** 38)))
-    g_inds, gains_q16, st.last_gain_index = _quant_gains(
-        tg, st.last_gain_index, conditional=False)
     enc.enc_icdf(g_inds[0] >> 3, t["gain_iCDF"][signal_type], 8)
     enc.enc_icdf(g_inds[0] & 7, t["uniform8_iCDF"], 8)
     for k in range(1, SUBFR):
         enc.enc_icdf(g_inds[k], t["delta_gain_iCDF"], 8)
 
-    # ---- NLSF quantization + coding ----
-    nlsf_idx, nlsf_deq = _quant_nlsf(nlsf_tgt, cb, signal_type)
     enc.enc_icdf(nlsf_idx[0], cb.CB1_iCDF[signal_type >> 1], 8)
     ec_ix, _pred = S.nlsf_unpack(cb, nlsf_idx[0])
     for i in range(cb.order):
@@ -353,60 +557,142 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     # 20 ms frame: NLSF interpolation coef (4 = no interpolation)
     enc.enc_icdf(4, t["NLSF_interp_iCDF"], 8)
 
-    # (unvoiced: no pitch/LTP block)
-    seed = 0
-    enc.enc_icdf(seed, t["uniform4_iCDF"], 8)
+    if voiced:
+        # absolute lag (independent coding): high part * 8 + low bits
+        enc.enc_icdf(lag_index >> 3, t["pitch_lag_iCDF"], 8)
+        enc.enc_icdf(lag_index & 7, t["uniform8_iCDF"], 8)
+        enc.enc_icdf(contour_index, t["pitch_contour_iCDF"], 8)
+        enc.enc_icdf(per_index, t["LTP_per_index_iCDF"], 8)
+        for k in range(SUBFR):
+            enc.enc_icdf(ltp_index[k],
+                         t[f"LTP_gain_iCDF_{per_index}"], 8)
+        enc.enc_icdf(scale_index, t["LTPscale_iCDF"], 8)
 
-    # ---- closed-loop excitation quantization ----
-    aq = np.asarray(S.nlsf2a(list(nlsf_deq), LPC_ORDER), np.float64)
-    aqf = aq / 4096.0
+    enc.enc_icdf(0, t["uniform4_iCDF"], 8)      # seed
+
+    _encode_pulses(enc, pulses, signal_type, quant_offset_type)
+
+    st.x_hist = x[-LPC_ORDER:].copy()
+    st.xq_hist = xq[-LPC_ORDER:].copy()
+    st.res_hist = np.concatenate([st.res_hist, e])[-LTP_MEM:]
+    st.out_buf = np.concatenate([st.out_buf, xq])[-LTP_MEM:]
+    st.slpc = slpc_out
+    st.prev_gain_q16 = prev_gain_out
+    st.last_xq = xq          # mirror output (tests compare vs decoder)
+    st.first = False
+
+
+def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
+                    quant_offset_type, voiced, lags, b_q14,
+                    ltp_scale_q14):
+    """Closed-loop excitation quantization against a float mirror of
+    silk.decode_core (whitened LTP history, inverse-gain scaling,
+    gain-adjusted carried state, the decoder's rounding biases).
+    Pure trial function: reads st, never mutates it.  Returns
+    (pulses, xq, slpc_carry, prev_gain, miss) where miss counts
+    samples the pulse grid could not track (escalation signal)."""
+    t = ST.tables()
     offset_q10 = int(t["Quantization_Offsets_Q10"][signal_type >> 1][
         quant_offset_type])
     adj16 = ST.QUANT_LEVEL_ADJUST_Q10 << 4
     off16 = offset_q10 << 4
     pulses = np.zeros(FRAME_LEN, np.int64)
     xq = np.empty(FRAME_LEN)
-    hist_q = np.concatenate([st.xq_hist, np.zeros(FRAME_LEN)])
-    rand_seed = seed
+    rand_seed = 0
+    miss = 0
+
+    slpc = np.concatenate([st.slpc, np.zeros(SUBFR_LEN)])
+    sltp = np.zeros(LTP_MEM + FRAME_LEN)        # sLTP_Q15 mirror
+    buf_idx = LTP_MEM
+    prev_gain = st.prev_gain_q16
     budget = 0
-    for n in range(FRAME_LEN):
-        k = n // SUBFR_LEN
-        gain = gains_q16[k] / 65536.0
-        if n % ST.SHELL_FRAME == 0:
-            budget = ST.MAX_PULSES
-        pred = float(np.dot(aqf, hist_q[n + LPC_ORDER - 1::-1]
-                            [:LPC_ORDER]))
-        resid = x[n] - pred
-        vt = resid / max(gain, 1e-9) * 16384.0   # desired exc_Q14
-        rand_seed = S.silk_rand(rand_seed)
-        flip = rand_seed < 0
-        want = -vt if flip else vt
-        p0 = int(round((want - off16) / 16384.0))
-        best_p, best_err = 0, None
-        for p in {p0 - 1, p0, p0 + 1, 0}:
-            p = int(np.clip(p, -budget, budget))
-            v = p << 14
-            if v > 0:
-                v -= adj16
-            elif v < 0:
-                v += adj16
-            v += off16
-            if flip:
-                v = -v
-            err = abs(v - vt)
-            if best_err is None or err < best_err:
-                best_p, best_err, best_v = p, err, v
-        pulses[n] = best_p
-        budget -= abs(best_p)
-        rand_seed = S.i32(rand_seed + best_p)
-        xq[n] = pred + best_v / 16384.0 * gain
-        hist_q[n + LPC_ORDER] = xq[n]
+    n = 0
+    lag = 0
+    for k in range(SUBFR):
+        gq16 = gains_q16[k]
+        gain_q10 = gq16 >> 6
+        inv_gain_q31 = (1 << 47) / max(gq16, 1)
+        if gq16 != prev_gain:
+            gain_adj = prev_gain / gq16
+            slpc[:16] *= gain_adj
+        else:
+            gain_adj = 1.0
+        prev_gain = gq16
 
-    _encode_pulses(enc, pulses, signal_type, quant_offset_type)
+        if voiced:
+            lag = lags[k]
+            if k == 0:
+                # whiten the reconstruction history with the frame's
+                # quantized LPC (decode_core k==0 branch)
+                start = LTP_MEM - lag - LPC_ORDER - LTP_ORDER // 2
+                seg = st.out_buf[start:]
+                filt = np.zeros(len(seg))
+                for i2 in range(LPC_ORDER, len(seg)):
+                    filt[i2] = np.clip(
+                        seg[i2] - np.dot(
+                            aqf, seg[i2 - LPC_ORDER : i2][::-1]),
+                        -32768.0, 32767.0)
+                inv = inv_gain_q31 * ltp_scale_q14 / (1 << 16) * 4
+                for i2 in range(lag + LTP_ORDER // 2):
+                    sltp[buf_idx - i2 - 1] = (
+                        inv * filt[len(filt) - i2 - 1] / (1 << 16))
+            elif gain_adj != 1.0:
+                for i2 in range(lag + LTP_ORDER // 2):
+                    sltp[buf_idx - i2 - 1] *= gain_adj
 
-    st.x_hist = x[-LPC_ORDER:].copy()
-    st.xq_hist = hist_q[-LPC_ORDER:].copy()
-    st.first = False
+        for i in range(SUBFR_LEN):
+            if n % ST.SHELL_FRAME == 0:
+                budget = ST.MAX_PULSES
+            c_ltp = 0.0
+            if voiced:
+                p_ = buf_idx - lag + LTP_ORDER // 2
+                ltp_pred = 2.0
+                for j in range(LTP_ORDER):
+                    ltp_pred += sltp[p_ - j] * b_q14[k][j] / 65536.0
+                c_ltp = 2.0 * ltp_pred
+            pos = 16 + i
+            lpc_pred = LPC_ORDER / 2.0
+            for j in range(LPC_ORDER):
+                lpc_pred += slpc[pos - 1 - j] * aq[j] / 65536.0
+            # v = exc + c_ltp + 16*lpc_pred; xq = v*gain_q10/2^24
+            v_target = x[n] * (1 << 24) / max(gain_q10, 1)
+            vt = v_target - c_ltp - 16.0 * lpc_pred   # desired exc_Q14
+            rand_seed = S.silk_rand(rand_seed)
+            flip = rand_seed < 0
+            want = -vt if flip else vt
+            p0 = int(round((want - off16) / 16384.0))
+            best_p, best_err, best_v = 0, None, 0.0
+            for p in {p0 - 1, p0, p0 + 1, 0}:
+                p = int(np.clip(p, -budget, budget))
+                vq = p << 14
+                if vq > 0:
+                    vq -= adj16
+                elif vq < 0:
+                    vq += adj16
+                vq += off16
+                if flip:
+                    vq = -vq
+                err = abs(vq - vt)
+                if best_err is None or err < best_err:
+                    best_p, best_err, best_v = p, err, vq
+            if best_err > 1.5 * 16384.0:
+                miss += 1
+            pulses[n] = best_p
+            budget -= abs(best_p)
+            rand_seed = S.i32(rand_seed + best_p)
+            res = best_v + c_ltp
+            if voiced:
+                sltp[buf_idx] = 2.0 * res
+                buf_idx += 1
+            v = res + 16.0 * lpc_pred
+            slpc[pos] = v
+            xq[n] = float(np.clip(round(v * gain_q10 / (1 << 24)),
+                                  -32768, 32767))
+            n += 1
+        slpc = np.concatenate([slpc[SUBFR_LEN : SUBFR_LEN + 16],
+                               np.zeros(SUBFR_LEN)])
+
+    return pulses, xq, slpc[:16].copy(), prev_gain, miss
 
 
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -183,7 +183,7 @@ def test_silk_encode_roundtrip():
     g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
     err = r - g * o
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
-    assert snr > 12.0, f"SILK round-trip SNR {snr:.1f} dB"
+    assert snr > 17.0, f"SILK round-trip SNR {snr:.1f} dB"
 
 
 @pytest.mark.skipif(
@@ -450,7 +450,7 @@ def test_hybrid_encode_roundtrip():
     g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
     err = r - g * o
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
-    assert snr > 10.0, f"hybrid round-trip SNR {snr:.1f} dB"
+    assert snr > 11.0, f"hybrid round-trip SNR {snr:.1f} dB"
     # the CELT half must carry the 10.5 kHz tone (SILK-only can't)
     sp = np.abs(np.fft.rfft(out[:sr]))
     f = np.fft.rfftfreq(sr, 1 / sr)
