@@ -24,8 +24,8 @@
 
 int main (int argc, char **argv)
 {
-    if (argc != 5) {
-        fprintf (stderr, "usage: %s in.f32 ch bitrate frame_ms10\n",
+    if (argc < 5) {
+        fprintf (stderr, "usage: %s in.f32 ch bitrate frame_ms10 [v]\n",
                  argv [0]);
         return 2;
     }
@@ -34,6 +34,7 @@ int main (int argc, char **argv)
     int bitrate = atoi (argv [3]);
     int ms10 = atoi (argv [4]);
     int frame = 48000 * ms10 / 10000;
+    int voip = argc > 5 && argv [5][0] == 'v';   /* SILK WB speech mode */
 
     FILE *f = fopen (path, "rb");
     if (!f) { perror (path); return 1; }
@@ -47,14 +48,19 @@ int main (int argc, char **argv)
     fclose (f);
 
     int err = 0;
-    OpusEncoder *enc = opus_encoder_create (48000, ch,
-                                            OPUS_APPLICATION_AUDIO, &err);
+    OpusEncoder *enc = opus_encoder_create (
+        48000, ch, voip ? OPUS_APPLICATION_VOIP : OPUS_APPLICATION_AUDIO,
+        &err);
     if (err) { fprintf (stderr, "enc create %d\n", err); return 1; }
     opus_encoder_ctl (enc, OPUS_SET_BITRATE (bitrate));
     opus_encoder_ctl (enc, OPUS_SET_COMPLEXITY (10));
     /* CELT mode: the music signal hint plus sub-10 ms frames force the
      * CELT-only path; at 20 ms the hint still selects CELT for music */
-    opus_encoder_ctl (enc, OPUS_SET_SIGNAL (OPUS_SIGNAL_MUSIC));
+    if (voip) {
+        opus_encoder_ctl (enc, OPUS_SET_SIGNAL (OPUS_SIGNAL_VOICE));
+        opus_encoder_ctl (enc, OPUS_SET_MAX_BANDWIDTH (OPUS_BANDWIDTH_WIDEBAND));
+    } else
+        opus_encoder_ctl (enc, OPUS_SET_SIGNAL (OPUS_SIGNAL_MUSIC));
     opus_encoder_ctl (enc, OPUS_SET_VBR (1));
     opus_encoder_ctl (enc, OPUS_SET_VBR_CONSTRAINT (1));
 
