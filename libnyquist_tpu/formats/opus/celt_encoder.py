@@ -197,6 +197,79 @@ def quant_energy_finalise(mode, start, end, oldEBands, error, fine_quant,
             i += 1
 
 
+def _haar_time(x, rounds):
+    """The decoder's extra-time-resolution transform for long frames
+    with tf_change < 0 (bands.c haar1(X, N>>k, 1<<k) iterated)."""
+    x = np.asarray(x, np.float64).copy()
+    n = len(x)
+    s = np.sqrt(0.5)
+    for k in range(rounds):
+        n0 = n >> k
+        stride = 1 << k
+        pairs = n0 >> 1
+        if pairs == 0:
+            break
+        v = x[: pairs * 2 * stride].reshape(pairs, 2, stride)
+        a = s * (v[:, 0] + v[:, 1])
+        b = s * (v[:, 0] - v[:, 1])
+        x[: pairs * 2 * stride] = np.stack(
+            [a, b], axis=1).reshape(-1)
+    return x
+
+
+def tf_analysis(X, start, end, eBands, LM):
+    """Per-band time/frequency resolution decisions for LONG frames:
+    raw tf bit 1 maps (via TF_SELECT_TABLE) to extra time splits — the
+    right choice for bands whose coefficients become SPARSER under the
+    time haar (sweeping tones, isolated clicks).  L1-compaction metric
+    with a bias covering the flip's bit cost (the idea of the
+    reference's tf_analysis, celt_encoder.c:589, without its viterbi
+    smoothing)."""
+    depth = {0: 1, 1: 2, 2: 2, 3: 2}[LM]
+    M = 1 << LM
+    wants = [0] * end
+    for i in range(start, end):
+        x = X[M * int(eBands[i]) : M * int(eBands[i + 1])]
+        if len(x) < 4:
+            continue
+        l1 = float(np.abs(x).sum()) + 1e-9
+        l1t = float(np.abs(_haar_time(x, depth)).sum()) + 1e-9
+        # 3% compaction bias: sweeps gain ~+1 dB while stationary
+        # content (music/pink) loses <0.1 dB to flip bits
+        if l1t < 0.97 * l1:
+            wants[i] = 1
+    return wants
+
+
+def tf_encode(start, end, isTransient, LM, enc, wants):
+    """Per-band tf_encode mirroring tf_decode's grammar exactly."""
+    budget = enc.storage * 8
+    tell = enc.tell()
+    logp = 2 if isTransient else 4
+    tf_select_rsv = 1 if (LM > 0 and tell + logp + 1 <= budget) else 0
+    budget -= tf_select_rsv
+    curr = 0
+    tf_changed = 0
+    raw = [0] * end
+    for i in range(start, end):
+        if tell + logp <= budget:
+            enc.enc_bit_logp(wants[i] ^ curr, logp)
+            tell = enc.tell()
+            curr = wants[i]
+            tf_changed |= curr
+        raw[i] = curr
+        logp = 4 if isTransient else 5
+    base = 4 * (1 if isTransient else 0)
+    tf_select = 0
+    if tf_select_rsv and (
+        TF_SELECT_TABLE[LM][base + 0 + tf_changed]
+        != TF_SELECT_TABLE[LM][base + 2 + tf_changed]
+    ):
+        enc.enc_bit_logp(0, 1)
+    return [TF_SELECT_TABLE[LM][base + 2 * tf_select + raw[i]]
+            for i in range(end)]
+
+
 def tf_encode_uniform(start, end, isTransient, LM, enc, want):
     """tf_encode with a uniform tf_res (celt_encoder.c tf_encode).
 
@@ -432,8 +505,17 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         mode, st.start, st.end, bandLogE, st.oldEBands, enc, C, LM,
         total_bits,
     )
-    tf_vals = tf_encode_uniform(st.start, st.end, isTransient, LM, enc,
-                                1 if isTransient else 0)
+    if isTransient:
+        # keep the short blocks' time resolution everywhere
+        tf_vals = tf_encode_uniform(st.start, st.end, 1, LM, enc, 1)
+    elif LM >= 2:
+        # mono analysis on the mid channel (stereo bands share tf)
+        Xa = X[0] if C == 1 else (X[0] + X[1]) * 0.5
+        wants = tf_analysis(Xa, st.start, st.end, eBands, LM)
+        tf_vals = tf_encode(st.start, st.end, 0, LM, enc, wants)
+    else:
+        # 2.5/5 ms frames already have fine time resolution
+        tf_vals = tf_encode_uniform(st.start, st.end, 0, LM, enc, 0)
 
     tell = enc.tell()
     if tell + 4 <= total_bits:
