@@ -126,10 +126,18 @@ from .celt import (  # noqa: E402
 
 
 def quant_coarse_energy(mode, start, end, bandLogE, oldEBands, enc, C, LM,
-                        budget):
-    """Intra-only coarse energy encode (quant_bands.c quant_coarse_energy)."""
-    prob_model = mode.e_prob_model[LM][1]  # intra
-    coef, beta = 0.0, BETA_INTRA
+                        budget, intra=True):
+    """Coarse energy encode (quant_bands.c quant_coarse_energy); the
+    caller picks intra (self-contained, ~6 bits/band) or inter
+    (predicted from the previous frame's energies, ~2-3 bits/band on
+    stationary content) and codes the flag itself."""
+    prob_model = mode.e_prob_model[LM][1 if intra else 0]
+    if intra:
+        coef, beta = 0.0, BETA_INTRA
+    else:
+        from .celt import BETA_COEF, PRED_COEF
+
+        coef, beta = PRED_COEF[LM], BETA_COEF[LM]
     prev = [0.0, 0.0]
     error = np.zeros((C, mode.nbEBands))
     for i in range(start, end):
@@ -498,12 +506,30 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     else:
         isTransient = 0
     shortBlocks = M if isTransient else 0
-    # intra energy
+    # intra/inter energy: trial-code both on scratch coders (range
+    # cost depends only on the symbols, not prior coder state) and
+    # keep the cheaper, including the flag's own cost.  The decoder
+    # assumes INTER when the flag doesn't fit (celt.py:2235).
+    if C == 1:
+        # the decoder merges rows at frame start (celt.py:2202)
+        st.oldEBands[0, :] = np.maximum(st.oldEBands[0],
+                                        st.oldEBands[1])
     if tell + 3 <= total_bits:
-        enc.enc_bit_logp(1, 3)
+        cost = {}
+        for trial_intra in (True, False):
+            sc = RangeEncoder(nbytes)
+            quant_coarse_energy(
+                mode, st.start, st.end, bandLogE,
+                st.oldEBands.copy(), sc, C, LM, total_bits,
+                intra=trial_intra)
+            cost[trial_intra] = sc.tell_frac()
+        intra = cost[True] + (3 << 3) <= cost[False] + 2
+        enc.enc_bit_logp(1 if intra else 0, 3)
+    else:
+        intra = False
     error = quant_coarse_energy(
         mode, st.start, st.end, bandLogE, st.oldEBands, enc, C, LM,
-        total_bits,
+        total_bits, intra=intra,
     )
     if isTransient:
         # keep the short blocks' time resolution everywhere
@@ -601,6 +627,14 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         mode, st.start, st.end, st.oldEBands, error, fine_quant,
         fine_priority, nbytes * 8 - enc.tell(), enc, C,
     )
+
+    # mirror the decoder's end-of-frame energy state so inter-coded
+    # frames predict from the SAME values the decoder holds
+    # (celt.py:2360-2366: mono row copy, out-of-range bands zeroed)
+    if C == 1:
+        st.oldEBands[1, :] = st.oldEBands[0, :]
+    st.oldEBands[:, : st.start] = 0.0
+    st.oldEBands[:, st.end:] = 0.0
 
     if external:
         if enc.error:
