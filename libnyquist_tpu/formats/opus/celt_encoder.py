@@ -27,6 +27,7 @@ from .celt import (
     COMBFILTER_MINPERIOD,
     LOG2_FRAC_TABLE,
     SPREAD_ICDF,
+    TAPSET_ICDF,
     TRIM_ICDF,
     TF_SELECT_TABLE,
     bits2pulses,
@@ -203,6 +204,130 @@ def quant_energy_finalise(mode, start, end, oldEBands, error, fine_quant,
                 oldEBands[c, i] += offset
                 bits_left -= 1
             i += 1
+
+
+COMB_MINPERIOD = 15
+COMB_MAXPERIOD = 1024
+
+
+def _prefilter_pitch(xm, base, N):
+    """Pitch lag + normalized correlation for the frame xm[base:base+N]
+    (mono raw preemph stream with >= COMB_MAXPERIOD+2 history).
+    Coarse search at 1/2 rate, refine at full rate (the idea of
+    celt/pitch.c pitch_search + remove_doubling, not a port)."""
+    ds = xm[base - COMB_MAXPERIOD : base + N][::2]
+    cur = ds[COMB_MAXPERIOD // 2 :]
+    e1 = float(np.dot(cur, cur)) + 1e-9
+    best_l, best_s = 0, 0.0
+    # skip the shortest 1.5 octaves: short-term correlation of any
+    # smooth signal is high there (run_prefilter's own guard — it
+    # searches down to 3*COMBFILTER_MINPERIOD only, sub-periods below
+    # come from the doubling check)
+    for lag in range(3 * COMB_MINPERIOD // 2, COMB_MAXPERIOD // 2 - 2):
+        past = ds[COMB_MAXPERIOD // 2 - lag : COMB_MAXPERIOD // 2 - lag
+                  + len(cur)]
+        c = float(np.dot(cur, past))
+        if c <= 0:
+            continue
+        s = c * c / (float(np.dot(past, past)) + 1e-9)
+        if s > best_s:
+            best_s, best_l = s, lag
+    if not best_l:
+        return COMB_MINPERIOD, 0.0
+    # prefer the shortest consistent sub-period (remove doubling)
+    for div in (4, 3, 2):
+        lag2 = best_l // div
+        if lag2 <= COMB_MINPERIOD // 2:
+            continue
+        past = ds[COMB_MAXPERIOD // 2 - lag2 : COMB_MAXPERIOD // 2 - lag2
+                  + len(cur)]
+        c = float(np.dot(cur, past))
+        if c <= 0:
+            continue
+        s = c * c / (float(np.dot(past, past)) + 1e-9)
+        if s > 0.81 * best_s:
+            best_s, best_l = s, lag2
+            break
+    # full-rate refinement around 2*lag
+    best_T, best_c = 2 * best_l, -1.0
+    curf = xm[base : base + N]
+    e1f = float(np.dot(curf, curf)) + 1e-9
+    for T in range(max(COMB_MINPERIOD, 2 * best_l - 2),
+                   min(COMB_MAXPERIOD - 2, 2 * best_l + 2) + 1):
+        past = xm[base - T : base - T + N]
+        c = float(np.dot(curf, past))
+        e2 = float(np.dot(past, past)) + 1e-9
+        s = c / np.sqrt(e1f * e2) if c > 0 else 0.0
+        if s > best_c:
+            best_c, best_T = s, T
+    return best_T, max(0.0, best_c)
+
+
+def run_prefilter(pre, F, N, overlap, window, short_mdct):
+    """Stream prefilter (reference celt_encoder.c:1007 run_prefilter):
+    per frame, pitch-search the raw pre-emphasized input and SUBTRACT
+    the comb prediction (negated postfilter gains) so the decoder's
+    pitch postfilter re-adds the harmonics — quantization noise
+    between the harmonics gets shaped away.  Feed-forward on the raw
+    stream (the decoder's postfilter is the recursive inverse on its
+    own output), params crossfaded at frame starts exactly like the
+    decoder applies them.
+
+    pre: [C, total] raw pre-emphasized input (frame-padded + overlap
+    tail).  Returns (filtered [C, total], per-frame params
+    [(pf_on, pitch_index, qg, tapset)])."""
+    from .celt import comb_filter
+
+    C, total = pre.shape
+    pad = COMB_MAXPERIOD + 2
+    raw = np.concatenate([np.zeros((C, pad)), pre], axis=1)
+    out = raw.copy()
+    xm = raw.mean(axis=0) if C == 2 else raw[0]
+    prev_T, prev_g, prev_tap = COMB_MINPERIOD, 0.0, 0
+    params = []
+    for k in range(F):
+        base = pad + k * N
+        T, corr = _prefilter_pitch(xm, base, N)
+        gain1 = 0.7 * corr
+        thr = 0.2
+        if abs(T - prev_T) * 10 > T:
+            thr += 0.2
+        if prev_g > 0.4:
+            thr -= 0.1
+        if prev_g > 0.55:
+            thr -= 0.1
+        thr = max(thr, 0.2)
+        if gain1 < thr:
+            pf_on, qg, g1, T = 0, 0, 0.0, COMB_MINPERIOD
+        else:
+            if abs(gain1 - prev_g) < 0.1:
+                gain1 = prev_g
+            qg = int(np.clip(np.floor(0.5 + gain1 * 32.0 / 3.0) - 1,
+                             0, 7))
+            g1 = 0.09375 * (qg + 1)
+            pf_on = 1
+        # Application timing: the decoder switches to frame k's params
+        # only at output sample k*N + shortMdctSize (its first
+        # shortMdctSize samples still run the previous params,
+        # celt.py:2702-2717), and our framing has zero net latency
+        # (PRESKIP absorbs it) — so the removal must shift by the same
+        # shortMdctSize or every param change mis-cancels for 240
+        # samples (measured: -5 dB on music before this shift).
+        for c in range(C):
+            comb_filter(out[c], raw[c], base + short_mdct, prev_T, T,
+                        N, -prev_g, -g1, prev_tap, 0, window, overlap)
+        params.append((pf_on, T, qg, 0))
+        prev_T, prev_g, prev_tap = T, g1, 0
+    # lookahead tail past the last shifted region (read by the final
+    # MDCT window): constant last params
+    tpos = pad + F * N + short_mdct
+    tail = total + pad - tpos
+    if tail > 0 and prev_g != 0.0:
+        for c in range(C):
+            comb_filter(out[c], raw[c], tpos, prev_T, prev_T,
+                        tail, -prev_g, -prev_g, prev_tap, prev_tap,
+                        window, 0)
+    return out[:, pad:], params
 
 
 def _haar_time(x, rounds):
@@ -439,7 +564,8 @@ def transient_detect(pcm_win: np.ndarray, N: int, n_short: int) -> int:
 
 
 def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
-                      nbytes: int, LM: int = 3, enc=None) -> bytes:
+                      nbytes: int, LM: int = 3, enc=None,
+                      pf=None) -> bytes:
     """Encode one CELT frame (intra energy; frame length 120 << LM).
 
     Args:
@@ -496,9 +622,20 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     if tell == 1:
         enc.enc_bit_logp(0, 15)
     tell = enc.tell()
-    # postfilter (start == 0): off
+    # postfilter signaling (start == 0 frames only; pf from the
+    # prefilter pass: (pf_on, pitch_index, qg, tapset))
     if st.start == 0 and tell + 16 <= total_bits:
-        enc.enc_bit_logp(0, 1)
+        if pf is not None and pf[0]:
+            enc.enc_bit_logp(1, 1)
+            t1 = pf[1] + 1
+            octave = t1.bit_length() - 5   # EC_ILOG
+            enc.enc_uint(octave, 6)
+            enc.enc_bits(t1 - (16 << octave), 4 + octave)
+            enc.enc_bits(pf[2], 3)
+            if enc.tell() + 2 <= total_bits:
+                enc.enc_icdf(pf[3], TAPSET_ICDF, 2)
+        else:
+            enc.enc_bit_logp(0, 1)
         tell = enc.tell()
     if LM > 0 and tell + 3 <= total_bits:
         enc.enc_bit_logp(isTransient, 3)
@@ -713,6 +850,14 @@ def celt_encode_packets(samples: np.ndarray, channels: int,
     base = max(12, int(bitrate_kbps * 1000 * (frame / 48000.0) / 8))
     st = CeltEncoderState(channels)
     mode = mode48000()
+
+    # pitch prefilter (the decoder's postfilter re-adds the harmonics)
+    if LM >= 2:
+        pre, pf_params = run_prefilter(pre, F, frame, mode.overlap,
+                                       np.asarray(mode.window),
+                                       mode.shortMdctSize)
+    else:
+        pf_params = [None] * F
     # CELT fullband configs 28..31 = 2.5/5/10/20 ms (RFC 6716 §3.1)
     toc = ((28 + LM) << 3) | ((1 if channels == 2 else 0) << 2)
     packets = []
@@ -747,7 +892,8 @@ def celt_encode_packets(samples: np.ndarray, channels: int,
                 want, 12, base + max(0.0, min(reservoir, base))))
             reservoir = min(reservoir + base - nbytes, 8.0 * base)
         packets.append(bytes([toc])
-                       + celt_encode_frame(st, win, nbytes, LM))
+                       + celt_encode_frame(st, win, nbytes, LM,
+                                           pf=pf_params[k]))
 
     return packets, S
 
