@@ -259,6 +259,10 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     """
     if d.samples is None or len(d.samples) == 0:
         raise ValueError(EncoderError.InsufficientSampleData.name)
+    if not np.isfinite(np.asarray(d.samples)).all():
+        # NaN/Inf input would otherwise surface as foreign numerical
+        # exceptions deep in the analysis (typed-error policy)
+        raise ValueError(EncoderError.InsufficientSampleData.name)
     ch = d.channel_count
     if p.channel_count != ch:
         if ch == 2 and p.channel_count == 1:
@@ -308,6 +312,8 @@ def encode_opus_multistream_to_buffer(p: EncoderParams, d: AudioData,
     48 kbps/channel).  Output decodes through our multistream decoder
     and the reference's own opusfile (validated to float32 noise)."""
     if d.samples is None or len(d.samples) == 0:
+        raise ValueError(EncoderError.InsufficientSampleData.name)
+    if not np.isfinite(np.asarray(d.samples)).all():
         raise ValueError(EncoderError.InsufficientSampleData.name)
     ch = d.channel_count
     if not 1 <= ch <= 8:

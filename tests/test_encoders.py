@@ -492,3 +492,20 @@ def test_hybrid_encode_reference_oracle(tmp_path):
     m = min(ref.size, ours.size)
     assert m > 40000
     assert np.abs(ref[:m] - ours[:m]).max() < 1e-6
+
+
+@pytest.mark.parametrize("mode", ["celt", "silk", "hybrid"])
+def test_opus_encode_nonfinite_input_typed_error(mode):
+    """NaN/Inf input raises the typed encoder error, never foreign
+    numerical exceptions from deep inside the analysis."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    for bad in (np.nan, np.inf):
+        a = AudioData()
+        a.samples = np.full(24000, bad, np.float32)
+        a.channel_count = 1
+        a.sample_rate = 48000
+        a.source_format = PCMFormat.PCM_FLT
+        with pytest.raises(ValueError, match="InsufficientSampleData"):
+            encode_opus_to_buffer(
+                EncoderParams(1, PCMFormat.PCM_FLT), a, 64, mode=mode)
