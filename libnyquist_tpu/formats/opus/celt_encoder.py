@@ -360,17 +360,42 @@ def tf_analysis(X, start, end, eBands, LM):
     smoothing)."""
     depth = {0: 1, 1: 2, 2: 2, 3: 2}[LM]
     M = 1 << LM
-    wants = [0] * end
+    # per-band coding-gain estimate in bits: a unit-L2 band whose L1
+    # compacts from l1_0 to l1_1 under the time haar saves roughly
+    # N*log2(l1_0/l1_1) bits of shape entropy
+    benefit = np.zeros(end)
     for i in range(start, end):
         x = X[M * int(eBands[i]) : M * int(eBands[i + 1])]
         if len(x) < 4:
             continue
         l1 = float(np.abs(x).sum()) + 1e-9
         l1t = float(np.abs(_haar_time(x, depth)).sum()) + 1e-9
-        # 3% compaction bias: sweeps gain ~+1 dB while stationary
-        # content (music/pink) loses <0.1 dB to flip bits
-        if l1t < 0.97 * l1:
-            wants[i] = 1
+        benefit[i] = len(x) * np.log2(l1 / l1t)
+    # two-state viterbi over the tf grammar's transition costs (first
+    # flip costs ~4 bits, later flips 5, staying ~0.1) — smooths out
+    # isolated flips the per-band threshold version paid for dearly
+    NEG = -1e18
+    dp = {0: 0.0, 1: NEG}
+    bp = {0: [], 1: []}
+    first = True
+    for i in range(start, end):
+        logp = 4.0 if first else 5.0
+        first = False
+        ndp, nbp = {}, {}
+        for s in (0, 1):
+            best, arg = NEG, 0
+            for sp in (0, 1):
+                c = logp if (s ^ sp) else 0.1
+                v = dp[sp] - c + (benefit[i] if s else 0.0)
+                if v > best:
+                    best, arg = v, sp
+            ndp[s] = best
+            nbp[s] = bp[arg] + [s]
+        dp, bp = ndp, nbp
+    path = bp[0] if dp[0] >= dp[1] else bp[1]
+    wants = [0] * end
+    for j, i in enumerate(range(start, end)):
+        wants[i] = path[j]
     return wants
 
 
