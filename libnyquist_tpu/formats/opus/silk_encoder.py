@@ -387,21 +387,6 @@ def _select_ltp(res_ext, lags):
     tables = [np.asarray(t[f"LTP_vq_Q7_{p}"], np.float64).reshape(-1, 5)
               for p in range(3)]
     red = np.empty(FRAME_LEN)
-    choices = []
-    for k in range(SUBFR):
-        s0 = LTP_MEM + k * SUBFR_LEN
-        r = res_ext[s0 : s0 + SUBFR_LEN]
-        L = lags[k]
-        P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
-                              + SUBFR_LEN] for j in range(LTP_ORDER)], 1)
-        best = None
-        for p, tab in enumerate(tables):
-            pred = P @ (tab.T / 128.0)          # [80, nvec]
-            errs = ((r[:, None] - pred) ** 2).sum(axis=0)
-            j = int(np.argmin(errs))
-            if best is None or errs[j] < best[0]:
-                best = (float(errs[j]), p, j)
-        choices.append(best)
     # PERIndex is shared across subframes: pick the table whose best
     # vectors minimize the total error, then re-pick vectors within it
     totals = []
