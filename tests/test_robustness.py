@@ -261,9 +261,12 @@ def test_native_paths_byte_fuzz():
                     mut[pos] = random.randrange(256)
                 try:
                     d = nq.load(bytes(mut), extension=ext)
-                    # finite-or-typed-error policy: adversarial input
-                    # must never NaN the output (caught a real floor0 /
-                    # VQ-overflow leak in round 3)
+                    # finite-or-typed-error policy for CODEC decoders:
+                    # adversarial input must never NaN the output
+                    # (caught a real floor0 / VQ-overflow leak in
+                    # round 3).  Raw float CONTAINERS (f32 WAV/AIFF)
+                    # are exempt — they pass the file's own IEEE bits
+                    # through verbatim, like the reference.
                     assert np.isfinite(np.asarray(d.samples)).all()
                 except (NyquistError, MemoryError):
                     pass
