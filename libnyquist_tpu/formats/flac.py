@@ -162,6 +162,10 @@ def _decode_subframe(br: BitReader, blocksize, bps):
     if br.read(1):
         wasted = 1 + br.read_unary()
         bps -= wasted
+        if bps <= 0:
+            # corrupt wasted-bits count (libFLAC errors out too; a
+            # negative width would feed negative shifts downstream)
+            raise DecodeError("subframe wasted bits exceed bps")
     out = np.zeros(blocksize, np.int32)
     L = native.lib()
     if sftype == 0:  # constant
