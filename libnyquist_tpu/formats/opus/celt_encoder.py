@@ -514,6 +514,14 @@ def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
     nb = bandLogE.shape[1] if bandLogE.ndim == 2 else len(bandLogE)
     e2 = np.atleast_2d(bandLogE)
     Cn = e2.shape[0]
+    # perceptual noise floor (celt_encoder.c:908): band width, depth,
+    # eMeans and a bark-ish (i+5)^2 preemphasis term — boosts below it
+    # would spend bits on content the ear can't use
+    mode = mode48000()
+    idx = np.arange(nb)
+    noise_floor = (0.0625 * np.asarray(mode.logN[:nb], np.float64)
+                   + 0.5 - 15.0 + 0.0062 * (idx + 5) ** 2
+                   - np.asarray(mode.eMeans[:nb], np.float64))
     followers = np.empty_like(e2)
     for c in range(Cn):
         e = e2[c]
@@ -529,7 +537,7 @@ def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
         fol[end:] = e[end:] if end < nb else fol[end:]
         for i in range(last - 1, -1, -1):
             fol[i] = min(fol[i], fol[i + 1] + 2.0, e[i])
-        followers[c] = fol
+        followers[c] = np.maximum(fol, noise_floor)
     if Cn == 2:
         # cross-talk: a tone in one channel raises the other channel's
         # floor (limits boosting content the ear localizes anyway)
