@@ -1329,6 +1329,12 @@ def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
             bps = ((flags & BYTES_STORED) + 1) * 8 - shift
         if not block_samples:
             continue  # metadata-only block (tags etc.)
+        if block_samples > 1 << 20:
+            # no real encoder writes megasample blocks (PCM blocks are
+            # <= ~1 s; DSD64 byte blocks ~350k/s); a corrupt u32 here
+            # otherwise drives the native DSD bit loop for billions of
+            # iterations — a CPU-burn denial found by the soak fuzzer
+            raise DecodeError("implausible WavPack block length")
         if not (flags & INITIAL_BLOCK) or not (flags & FINAL_BLOCK):
             raise DecodeError(
                 "multichannel (>2ch) WavPack segments not supported")

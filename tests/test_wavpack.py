@@ -90,6 +90,26 @@ def test_wavpack_dsd(name):
     assert np.abs(audio.samples - g["full"]).max() == 0.0  # bit-exact
 
 
+def test_wavpack_implausible_block_samples():
+    """A corrupt block_samples u32 (e.g. 0xFFFFFFF from a flipped header
+    byte) must raise quickly instead of driving the native DSD bit loop
+    through billions of iterations (CPU-burn DoS found by the soak
+    fuzzer; the reference relies on block checksums here —
+    open_utils.c:1202 WavpackVerifySingleBlock)."""
+    import pathlib
+    import struct
+    import time
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    for name in ["dsd_high", "dsd_fast"]:
+        data = bytearray((fixtures / f"{name}.wv").read_bytes())
+        struct.pack_into("<I", data, 20, 0xFFFFFFF)  # block_samples
+        t0 = time.monotonic()
+        with pytest.raises(DecodeError):
+            nq.load(bytes(data), extension="wv")
+        assert time.monotonic() - t0 < 5.0
+
+
 @pytest.mark.parametrize("name", ["dsd_fast", "dsd_high", "dsd_raw"])
 def test_wavpack_dsd_bytes_native_and_python(name, monkeypatch):
     """The decoded DSD byte planes match the reference's
