@@ -232,6 +232,8 @@ def test_native_paths_byte_fuzz():
     exceptions."""
     import random
 
+    from libnyquist_tpu.audio_data import PCMFormat
+
     random.seed(11)
     targets = [
         ("/root/reference/test_data/ad_hoc/detodos.opus", "opus"),
@@ -264,10 +266,16 @@ def test_native_paths_byte_fuzz():
                     # finite-or-typed-error policy for CODEC decoders:
                     # adversarial input must never NaN the output
                     # (caught a real floor0 / VQ-overflow leak in
-                    # round 3).  Raw float CONTAINERS (f32 WAV/AIFF)
-                    # are exempt — they pass the file's own IEEE bits
-                    # through verbatim, like the reference.
-                    assert np.isfinite(np.asarray(d.samples)).all()
+                    # round 3).  Float CONTAINERS are exempt — they
+                    # pass the file's own IEEE bits through verbatim,
+                    # like the reference.  The exemption keys off the
+                    # DECODED source format, not the fixture: a flags
+                    # mutation can legally turn a .wv block into
+                    # FLOAT_DATA (found by the round-3 deep soak), and
+                    # libwavpack too then reconstructs whatever
+                    # NaN/Inf bits the "mantissas" encode.
+                    if d.source_format != PCMFormat.PCM_FLT:
+                        assert np.isfinite(np.asarray(d.samples)).all()
                 except (NyquistError, MemoryError):
                     pass
 
