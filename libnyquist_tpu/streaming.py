@@ -33,8 +33,8 @@ from .errors import DecodeError
 from .io import load
 
 __all__ = ["StreamReader", "OggSeekReader", "ChainedOggSeekReader",
-           "Mp3SeekReader", "FlacSeekReader", "CountingSource",
-           "seek_reader"]
+           "Mp3SeekReader", "FlacSeekReader", "MpcSeekReader",
+           "CountingSource", "seek_reader"]
 
 
 class StreamReader:
@@ -933,10 +933,394 @@ class ChainedOggSeekReader:
         return np.concatenate(out, axis=0)
 
 
+class MpcSeekReader:
+    """Positioned reader over Musepack SV8/SV7 with real seek-table
+    use and decode warm-up (mpc_demux.c:651 mpc_demux_seek_sample).
+
+    SV8: AP blocks start with a key frame, so entropy decode from any
+    block boundary is exact.  Seeks jump through the stream's ST seek
+    table when present (reached via the SO pointer block,
+    mpc_demux.c:324 mpc_demux_SP + :274 mpc_demux_ST: golomb-coded
+    second-order offset deltas), then walk block headers to the target
+    — the reference's exact flow.  On top of that we warm the
+    synthesis filterbank with one extra AP block (>= 1152 samples >
+    the 512-tap polyphase memory), so seeked reads are bit-identical
+    to a linear decode; libmpcdec itself re-uses stale filter state
+    and only absorbs it in the 481-sample synthesis delay.
+
+    SV7: frames chain scalefactors by DPCM and are not key frames; the
+    reference backs up 32 frames and resets the SCF indices to the
+    0x01010101 pattern so un-refreshed bands clamp to near-silence
+    (mpc_demux.c:664 fwd -= 32, mpc_decoder.c:85 mpc_decoder_reset_scf)
+    — mirrored here, including the 20-bit frame-size walk
+    (mpc_demux.c:712 fpos += bits_read(20) + 20).  We warm up 64
+    frames instead of the reference's 32: measured exact on the
+    fixture where 32 still leaves audible scf drift, and the extra 32
+    entropy-only frames are trivially cheap."""
+
+    _WARMUP_SV7 = 64            # frames (2x mpc_demux.c:665)
+
+    def __init__(self, source):
+        from .formats import musepack as M
+
+        self._M = M
+        self.src = (source if isinstance(source, CountingSource)
+                    else CountingSource(source))
+        magic = self.src.pread(0, 4)
+        self._pos = 0
+        self._buf = None
+        self._buf_start = 0
+        if magic == b"MPCK":
+            self._sv7 = False
+            self._init_sv8()
+        elif magic[:3] == b"MP+":
+            self._sv7 = True
+            self._init_sv7()
+        else:
+            raise DecodeError("not a musepack stream")
+
+    # -- SV8 container ------------------------------------------------
+    def _read_block_header(self, off):
+        """(key, total_size, body_off) of the block at byte off."""
+        hdr = self.src.pread(off, 11)
+        if len(hdr) < 3:
+            return None
+        key = hdr[:2]
+        size = 0
+        p = 2
+        while True:
+            if p >= len(hdr):
+                return None
+            b = hdr[p]
+            size = (size << 7) | (b & 0x7F)
+            p += 1
+            if not b & 0x80:
+                break
+        if size < p:
+            raise DecodeError("mpc: bad block size")
+        return key, size, off + p
+
+    def _init_sv8(self):
+        M = self._M
+        self.beg_silence = 0
+        self._ap = {}               # ap index -> (body_off, body_len)
+        self._cursors = [(4, 0)]    # (block offset, AP index there)
+        self._ended_at = None       # AP count when SE was seen
+        self._st = None             # seek table: list of block offsets
+        self._seek_pwr = 0
+        st_off = None
+        st_body = None
+        off = 4
+        sh = None
+        while True:
+            got = self._read_block_header(off)
+            if got is None:
+                raise DecodeError("no MPC stream header found")
+            key, size, body_off = got
+            if key == b"AP":
+                self._cursors = [(off, 0)]
+                break
+            body = self.src.pread(body_off, size - (body_off - off))
+            if key == b"SH":
+                sh = body
+            elif key == b"SO":
+                ptr, _ = M._read_varint(body, 0)
+                st_off = off + ptr
+            elif key == b"ST":
+                st_body = body           # parsed after SH (needs
+                #                          block_pwr)
+            elif key == b"SE":
+                raise DecodeError("MPC stream ends before audio")
+            off += size
+        if sh is None:
+            raise DecodeError("no MPC stream header found")
+        br = M._Bits(sh)
+        br.read(32)                          # CRC
+        if br.read(8) != 8:
+            raise DecodeError("unsupported MPC stream version")
+        self.total_samples, p = M._read_varint(sh, br.pos // 8)
+        self.beg_silence, p = M._read_varint(sh, p)
+        br.pos = p * 8
+        self.sample_rate = M._SAMPLE_FREQS[br.read(3)]
+        self.max_band = br.read(5) + 1
+        if self.max_band > 31:
+            raise DecodeError("mpc: max_band out of range")
+        self.channel_count = br.read(4) + 1
+        self.ms = bool(br.read(1))
+        self.block_pwr = br.read(3) * 2
+        if st_body is not None:
+            self._parse_st(st_body)
+        elif st_off is not None:
+            got = self._read_block_header(st_off)
+            if got is not None and got[0] == b"ST":
+                body = self.src.pread(got[2], got[1] - (got[2] - st_off))
+                self._parse_st(body)
+        if self._st:
+            shift = self._seek_pwr - self.block_pwr
+            self._cursors += [(o, i << shift)
+                              for i, o in enumerate(self._st)]
+
+    def _parse_st(self, body):
+        """mpc_demux.c:274 mpc_demux_ST — entries are bit offsets,
+        first two varint-coded, the rest golomb(12) second-order
+        deltas in 4-bit units.  (We keep the full-resolution table;
+        the reference additionally downsamples it past
+        MAX_SEEK_TABLE_SIZE entries to bound its malloc.)"""
+        br = self._M._Bits(body)
+
+        def bvar():
+            v = 0
+            while True:
+                b = br.read(8)
+                v = (v << 7) | (b & 0x7F)
+                if not b & 0x80:
+                    return v
+
+        def golomb12():
+            l = 0
+            while br.read(1) == 0:
+                l += 1
+                if l > 64:
+                    raise DecodeError("mpc: bad seek table")
+            return (l << 12) | br.read(12)
+
+        n = bvar()
+        if n > len(body) * 8 or n > 1 << 24:
+            raise DecodeError("mpc: bad seek table")
+        self._seek_pwr = self.block_pwr + br.read(4)
+        if n == 0:
+            self._st = []
+            return
+        last = [bvar() * 8, 0]
+        bits = [last[0]]
+        if n > 1:
+            last[1] = bvar() * 8
+            bits.append(last[1])
+        for i in range(2, n):
+            code = golomb12()
+            if code & 1:
+                code = -(code & ~1)
+            code <<= 2
+            last[i & 1] = code + 2 * last[(i - 1) & 1] - last[i & 1]
+            bits.append(last[i & 1])
+        if any(b % 8 or b < 0 for b in bits):
+            raise DecodeError("mpc: bad seek table")
+        self._st = [b // 8 for b in bits]
+
+    @property
+    def _block_samples(self):
+        return self._M.FRAME_LENGTH << self.block_pwr
+
+    def _frames_total(self):
+        M = self._M
+        return -(-(self.total_samples + M.SYNTH_DELAY) // M.FRAME_LENGTH)
+
+    def _ap_frames(self, idx):
+        n_block = 1 << self.block_pwr
+        done = idx * n_block
+        return max(0, min(n_block, self._frames_total() - done))
+
+    def _ensure_ap(self, idx):
+        """Walk block headers (from the best cursor at or before idx)
+        until AP block idx is cached."""
+        if idx in self._ap:
+            return
+        off, ap_i = max((c for c in self._cursors if c[1] <= idx),
+                        key=lambda c: c[1])
+        while ap_i <= idx:
+            got = self._read_block_header(off)
+            if got is None:
+                raise DecodeError("mpc: seek past end of stream")
+            key, size, body_off = got
+            if key == b"AP":
+                self._ap[ap_i] = (body_off, size - (body_off - off))
+                ap_i += 1
+                self._cursors.append((off + size, ap_i))
+            elif key == b"SE":
+                raise DecodeError("mpc: seek past end of stream")
+            off += size
+
+    # -- SV7 container ------------------------------------------------
+    def _init_sv7(self):
+        M = self._M
+        data = self.src.pread(0, self.src.size)
+        if (data[3] & 15) != 7:
+            raise DecodeError(
+                f"unsupported MPC SV{data[3] & 15} stream")
+        body = data[4:]
+        body += b"\x00" * ((-len(body)) % 4)
+        arr = np.frombuffer(body, np.uint8).reshape(-1, 4)[:, ::-1]
+        self._bits = arr.tobytes()
+        br = M._Bits(self._bits)
+        frames = (br.read(16) << 16) | br.read(16)
+        br.read(1)
+        self.ms = bool(br.read(1))
+        self.max_band = br.read(6)
+        if self.max_band > 31:
+            raise DecodeError("mpc: max_band out of range")
+        br.read(6)                           # profile + link
+        self.sample_rate = M._SAMPLE_FREQS[br.read(2)]
+        for _ in range(5):
+            br.read(16)
+        is_true_gapless = br.read(1)
+        last_frame_samples = br.read(11) or M.FRAME_LENGTH
+        br.read(20)                          # fast seek + reserved
+        br.read(8)                           # encoder version
+        self.channel_count = 2
+        self.beg_silence = 0
+        self.block_pwr = 0
+        si = frames * M.FRAME_LENGTH
+        if is_true_gapless:
+            si -= M.FRAME_LENGTH - last_frame_samples
+        else:
+            si -= M.SYNTH_DELAY
+        # the linear decode can emit at most frames*1152 - 481 samples
+        # (synthesis latency); a gapless tail longer than 1152-481
+        # truncates there, exactly as the facade's span accounting does
+        self.total_samples = min(si,
+                                 frames * M.FRAME_LENGTH - M.SYNTH_DELAY)
+        self._n_frames7 = frames
+        self._fidx = [br.pos]                # bit offset of frame k's
+        #                                      20-bit size field
+
+    def _ensure_frame7(self, k):
+        br = self._M._Bits(self._bits)
+        while len(self._fidx) <= k and len(self._fidx) <= self._n_frames7:
+            br.pos = self._fidx[-1]
+            size = br.read(20)               # mpc_demux.c:712
+            self._fidx.append(self._fidx[-1] + 20 + size)
+            if self._fidx[-1] > len(self._bits) * 8:
+                raise DecodeError("mpc: seek past end of stream")
+
+    # -- surface --------------------------------------------------------
+    def pcm_total(self) -> int:
+        return max(0, self.total_samples - self.beg_silence)
+
+    def pcm_tell(self) -> int:
+        return self._pos
+
+    def pcm_seek(self, offset: int) -> None:
+        if offset < 0 or offset > self.pcm_total():
+            raise DecodeError("seek out of range")
+        self._pos = int(offset)
+
+    def time_tell(self) -> float:
+        return self._pos / self.sample_rate
+
+    def time_seek(self, seconds: float) -> None:
+        self.pcm_seek(int(round(seconds * self.sample_rate)))
+
+    def read(self, n: int) -> np.ndarray:
+        if n < 0:
+            raise DecodeError("negative read size")
+        n = min(n, self.pcm_total() - self._pos)
+        if n <= 0:
+            return np.zeros((0, self.channel_count), np.float32)
+        lo = self._pos - self._buf_start
+        if self._buf is None or not (0 <= lo
+                                     and lo + n <= self._buf.shape[0]):
+            self._decode_window(self._pos, n)
+            lo = self._pos - self._buf_start
+        out = self._buf[lo : lo + n]
+        self._pos += out.shape[0]
+        return out
+
+    def __iter__(self):
+        step = max(1, self.sample_rate // 50)
+        while True:
+            chunk = self.read(step)
+            if chunk.shape[0] == 0:
+                return
+            yield chunk
+
+    # -- windowed decode ----------------------------------------------
+    def _synth_frames(self, ys):
+        """Entropy frames -> interleaved pcm [F*1152, ch] float32
+        (same batched requantize + synthesis as the facade path)."""
+        M = self._M
+        if ys and len(ys[0]) == 4:
+            q = np.stack([y[0] for y in ys])
+            res = np.stack([y[1] for y in ys])
+            scf = np.stack([y[2] for y in ys])
+            msf = np.stack([y[3] for y in ys])
+            YL, YR = M._requantize_batch(q, res, scf, msf, self.max_band)
+            ys = list(zip(YL, YR))
+        F = len(ys)
+        yl = np.stack([y[0] for y in ys]).reshape(F * 36, 32)
+        left = M._synth_stream(yl).reshape(-1, 1)
+        if self.channel_count == 1:
+            return left.astype(np.float32)
+        yr = np.stack([y[1] for y in ys]).reshape(F * 36, 32)
+        right = M._synth_stream(yr).reshape(-1, 1)
+        return np.concatenate([left, right], axis=1).astype(np.float32)
+
+    def _decode_window(self, pos, n):
+        M = self._M
+        if self._sv7:
+            self._decode_window_sv7(pos, n)
+            return
+        BS = self._block_samples
+        dest = pos + self.beg_silence
+        fwd = dest // BS                     # mpc_demux.c:662
+        first = max(0, fwd - 1)              # warm-up block
+        last = min((dest + n + M.SYNTH_DELAY) // BS,
+                   -(-self._frames_total() // (1 << self.block_pwr)) - 1)
+        dec = M.MusepackDecoder(self.max_band, self.ms,
+                                self.channel_count)
+        ys = []
+        for b in range(first, last + 1):
+            self._ensure_ap(b)
+            body_off, body_len = self._ap[b]
+            br = M._Bits(self.src.pread(body_off, body_len))
+            nf = self._ap_frames(b)
+            snap = dec.read_block_native(br, nf, key_first=True)
+            if snap is not None:
+                q_s, res_s, scf_s, ms_s = snap
+                for f in range(nf):
+                    ys.append((q_s[f], res_s[f], scf_s[f], ms_s[f]))
+            else:
+                for f in range(nf):
+                    dec.read_frame(br, is_key_frame=(f == 0))
+                    ys.append(dec.requantize())
+            if br.pos > br.limit:
+                raise DecodeError("MPC bitstream overrun")
+        self._buf = self._synth_frames(ys)
+        # window sample j = stream sample first*BS + j; output sample o
+        # = stream o + SYNTH_DELAY + beg_silence
+        self._buf_start = first * BS - M.SYNTH_DELAY - self.beg_silence
+
+    def _decode_window_sv7(self, pos, n):
+        M = self._M
+        fwd = pos // M.FRAME_LENGTH
+        warm = min(fwd, self._WARMUP_SV7)
+        first = fwd - warm
+        last = min((pos + n + M.SYNTH_DELAY) // M.FRAME_LENGTH,
+                   self._n_frames7 - 1)
+        self._ensure_frame7(last)
+        dec = M.MusepackDecoder(self.max_band, self.ms, 2)
+        if first != 0:
+            # mpc_decoder_reset_scf(d, fwd != 0): memset to 0x01 bytes;
+            # DPCM continuations then blow past 1024 and clamp to
+            # 0x8080 -> SCF[0x80], near-silence instead of garbage
+            for ch in range(2):
+                dec.scf_index[ch][:] = 0x01010101
+        br = M._Bits(self._bits)
+        br.pos = self._fidx[first]
+        ys = []
+        for _ in range(first, last + 1):
+            br.read(20)                      # frame bit-size field
+            dec.read_frame_sv7(br)
+            ys.append(dec.requantize())
+            if br.pos > br.limit:
+                raise DecodeError("MPC SV7 bitstream overrun")
+        self._buf = self._synth_frames(ys)
+        self._buf_start = first * M.FRAME_LENGTH - M.SYNTH_DELAY
+
+
 def seek_reader(source):
     """Factory: the right lazy seek reader for the content (Ogg
     Opus/Vorbis bisection incl. chained links, FLAC frame bisection,
-    MP3 frame index)."""
+    MP3 frame index, Musepack seek-table blocks)."""
     src = source if isinstance(source, CountingSource) \
         else CountingSource(source)
     head = src.pread(0, 16)
@@ -945,4 +1329,6 @@ def seek_reader(source):
         return r.links[0] if len(r.links) == 1 else r
     if head[:4] == b"fLaC":
         return FlacSeekReader(src)
+    if head[:4] == b"MPCK" or head[:3] == b"MP+":
+        return MpcSeekReader(src)
     return Mp3SeekReader(src)

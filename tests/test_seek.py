@@ -12,6 +12,7 @@ import pathlib
 import numpy as np
 import pytest
 
+from libnyquist_tpu.errors import DecodeError
 from libnyquist_tpu.streaming import (
     CountingSource, FlacSeekReader, Mp3SeekReader, OggSeekReader,
     StreamReader, seek_reader)
@@ -231,3 +232,85 @@ def test_chained_opus_lazy_reader():
         b = full.read(1000)
         assert a.shape == b.shape
         assert np.abs(a - b).max() < 2e-4, pos
+
+
+def test_mpc_sv8_seek_reader():
+    """Musepack SV8: ST seek-table jump (mpc_demux.c:274 mpc_demux_ST,
+    reached via the SO pointer block :324 mpc_demux_SP) + block-header
+    walk to the target AP block (:651 mpc_demux_seek_sample).  AP
+    blocks open with a key frame, and the one-block synthesis warm-up
+    exceeds the 512-tap polyphase memory, so every window is
+    bit-identical to the linear decode."""
+    from libnyquist_tpu.streaming import MpcSeekReader
+
+    for name in ("44_16_stereo.mpc", "44_16_mono.mpc"):
+        path = REF / "ad_hoc" / name
+        if not path.exists():
+            pytest.skip("reference corpus absent")
+        full = StreamReader(str(path))
+        src = CountingSource(str(path))
+        r = MpcSeekReader(src)
+        assert r.sample_rate == full.sample_rate
+        assert r.channel_count == full.channel_count
+        assert r.pcm_total() == full.pcm_total()
+        # the fixtures carry a real ST table; every entry must point
+        # at an AP block header (golomb second-order delta decode)
+        assert r._st and len(r._st) >= 1
+        for off in r._st:
+            assert r._read_block_header(off)[0] == b"AP"
+        total = r.pcm_total()
+        for pos in (0, 1000, total // 2, total - 700):
+            r.pcm_seek(pos)
+            full.pcm_seek(pos)
+            a = r.read(600)
+            b = full.read(600)
+            assert a.shape == b.shape
+            assert np.abs(a - b).max() == 0.0, pos   # bit-exact
+
+
+def test_mpc_sv7_seek_reader():
+    """Musepack SV7: 20-bit frame-size walk (mpc_demux.c:712) with the
+    reference's backup-and-reset warm-up (:664 fwd -= 32,
+    mpc_decoder.c:85 mpc_decoder_reset_scf -> 0x01010101 -> the >1024
+    clamp parks un-refreshed bands at SCF[0x80] near-silence).  Our
+    64-frame warm-up measures bit-exact on this fixture where the
+    reference's 32 still drifts."""
+    from libnyquist_tpu.streaming import MpcSeekReader
+
+    path = pathlib.Path(__file__).parent / "fixtures" / "sv7_stereo.mpc"
+    full = StreamReader(str(path))
+    r = MpcSeekReader(CountingSource(str(path)))
+    assert r.pcm_total() == full.pcm_total()
+    assert r.channel_count == full.channel_count == 2
+    total = r.pcm_total()
+    for pos in (0, 1000, total // 2, total - 700):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(600)
+        b = full.read(600)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos
+    # factory + lazy StreamReader dispatch
+    assert isinstance(seek_reader(str(path)), MpcSeekReader)
+    assert isinstance(StreamReader(str(path), lazy=True), MpcSeekReader)
+    # out-of-range seeks reject
+    with pytest.raises(DecodeError):
+        r.pcm_seek(total + 1)
+
+
+def test_mpc_sv8_seek_io_bounded():
+    """A far seek through the ST table must not read the whole file:
+    the reader jumps to the nearest table entry and walks block
+    headers from there."""
+    from libnyquist_tpu.streaming import MpcSeekReader
+
+    path = REF / "ad_hoc" / "44_16_stereo.mpc"
+    if not path.exists():
+        pytest.skip("reference corpus absent")
+    src = CountingSource(str(path))
+    r = MpcSeekReader(src)
+    r.pcm_seek(r.pcm_total() - 700)
+    r.read(600)
+    # header scan + ST + the last two AP block bodies; the first/bulk
+    # AP blocks (~58 KB of the 70 KB file) stay untouched
+    assert src.bytes_read < src.size * 0.45, src.bytes_read
