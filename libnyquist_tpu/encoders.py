@@ -238,13 +238,16 @@ def encode_aiff_to_disk(p: EncoderParams, d: AudioData, path: str) -> int:
 def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                           bitrate_kbps: int = 96,
                           frame_ms: float = 20,
-                          mode: str = "celt") -> bytes:
+                          mode: str = "celt",
+                          bandwidth: str = "wb") -> bytes:
     """Encode AudioData to Ogg Opus.
 
     mode="celt" (default): CELT-only fullband frames of 2.5/5/10/20 ms.
-    mode="silk": SILK-only wideband 20 ms frames (mono) — the speech
-    coding half of Opus (reference: silk/enc_API.c); rate follows the
-    signal (closed-loop VBR), bitrate_kbps is ignored.
+    mode="silk": SILK-only 20 ms frames (mono) — the speech coding
+    half of Opus (reference: silk/enc_API.c); rate follows the signal
+    (closed-loop VBR), bitrate_kbps is ignored.  bandwidth picks the
+    SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb" (16 kHz,
+    default) — TOC configs 1/5/9.
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono FB 20 ms, TOC config 15; reference:
     opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
@@ -288,7 +291,7 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                 EncoderError.UnsupportedChannelConfiguration.name)
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
-        return encode_ogg_opus_silk(samples, 48000)
+        return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth)
     if mode == "hybrid":
         if ch != 1:
             raise ValueError(

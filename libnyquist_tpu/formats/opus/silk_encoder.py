@@ -44,18 +44,56 @@ from . import silk as S
 from . import silk_tables as ST
 from .range_coder import RangeEncoder
 
-LPC_ORDER = 16
-FS_KHZ = 16
 FRAME_MS = 20
 SUBFR = 4
-SUBFR_LEN = 5 * FS_KHZ          # 80 samples @16 kHz
-FRAME_LEN = SUBFR * SUBFR_LEN   # 320
-LTP_MEM = 20 * FS_KHZ           # 320 (LTP_MEM_LENGTH_MS)
-MIN_LAG = 2 * FS_KHZ            # 32
-MAX_LAG = 18 * FS_KHZ           # 288
 LTP_ORDER = 5
+MAX_LPC_ORDER = 16              # sLPC carry width (decoder.h MAX_LPC_ORDER)
 TYPE_UNVOICED = 1
 TYPE_VOICED = 2
+
+
+class _Bw:
+    """Per-bandwidth constants (decoder side: silk.py set_fs)."""
+
+    def __init__(self, fs_khz: int, toc_config: int):
+        self.fs_khz = fs_khz
+        self.toc = toc_config            # RFC 6716 TOC config (20 ms)
+        self.subfr_len = 5 * fs_khz      # SUB_FRAME_LENGTH_MS
+        self.frame_len = SUBFR * self.subfr_len
+        self.ltp_mem = 20 * fs_khz       # LTP_MEM_LENGTH_MS
+        self.min_lag = 2 * fs_khz        # PITCH_EST_MIN_LAG_MS
+        self.max_lag = 18 * fs_khz       # PITCH_EST_MAX_LAG_MS
+        self.lag_scale = fs_khz >> 1     # lagIndex = hi*scale + lo
+        self.lpc_order = 16 if fs_khz == 16 else 10
+        self.lag_low_key = {16: "uniform8_iCDF", 12: "uniform6_iCDF",
+                            8: "uniform4_iCDF"}[fs_khz]
+        self.contour_key = ("pitch_contour_NB_iCDF" if fs_khz == 8
+                            else "pitch_contour_iCDF")
+
+    @property
+    def nlsf_cb(self):
+        return (ST.nlsf_cb_wb() if self.fs_khz == 16
+                else ST.nlsf_cb_nb_mb())
+
+    @property
+    def contour_cb(self):
+        t = ST.tables()
+        return (np.asarray(t["CB_lags_stage2"]).reshape(SUBFR, 11)
+                if self.fs_khz == 8
+                else np.asarray(t["CB_lags_stage3"]).reshape(SUBFR, 34))
+
+
+BANDWIDTHS = {"nb": _Bw(8, 1), "mb": _Bw(12, 5), "wb": _Bw(16, 9)}
+
+# module-level WB aliases kept for the original single-bandwidth API
+_WB = BANDWIDTHS["wb"]
+LPC_ORDER = _WB.lpc_order
+FS_KHZ = _WB.fs_khz
+SUBFR_LEN = _WB.subfr_len       # 80 samples @16 kHz
+FRAME_LEN = _WB.frame_len       # 320
+LTP_MEM = _WB.ltp_mem           # 320 (LTP_MEM_LENGTH_MS)
+MIN_LAG = _WB.min_lag           # 32
+MAX_LAG = _WB.max_lag           # 288
 
 
 # ----------------------------------------------------------------------
@@ -261,7 +299,7 @@ def _icdf_bits(icdf, sym):
 def _encode_pulses(enc, pulses, signal_type, quant_offset_type):
     t = ST.tables()
     q = np.asarray(pulses, np.int64)
-    nblk = FRAME_LEN // ST.SHELL_FRAME
+    nblk = len(q) // ST.SHELL_FRAME
     sums = [int(np.abs(q[i * 16:(i + 1) * 16]).sum())
             for i in range(nblk)]
     assert max(sums) <= ST.MAX_PULSES, "pulse budget exceeded"
@@ -296,30 +334,31 @@ def _encode_pulses(enc, pulses, signal_type, quant_offset_type):
 # ----------------------------------------------------------------------
 
 class SilkEncoderState:
-    def __init__(self):
+    def __init__(self, bw: _Bw = _WB):
+        self.bw = bw
         self.last_gain_index = 10
-        self.x_hist = np.zeros(LPC_ORDER)       # input history (int16 dom)
-        self.xq_hist = np.zeros(LPC_ORDER)      # reconstruction history
-        self.res_hist = np.zeros(LTP_MEM)       # input LPC residual hist
-        self.out_buf = np.zeros(LTP_MEM)        # reconstruction (int16 dom)
-        self.slpc = np.zeros(16)                # Q14 gain-normalized carry
+        self.x_hist = np.zeros(bw.lpc_order)    # input history (int16 dom)
+        self.xq_hist = np.zeros(bw.lpc_order)   # reconstruction history
+        self.res_hist = np.zeros(bw.ltp_mem)    # input LPC residual hist
+        self.out_buf = np.zeros(bw.ltp_mem)     # reconstruction (int16 dom)
+        self.slpc = np.zeros(MAX_LPC_ORDER)     # Q14 gain-normalized carry
         self.prev_gain_q16 = 1 << 16
         self.first = True
 
 
-def _pitch_analysis(res_ext):
+def _pitch_analysis(res_ext, bw: _Bw):
     """Normalized-autocorrelation pitch estimate on the input LPC
-    residual (res_ext = [LTP_MEM history | current frame]).  Returns
+    residual (res_ext = [ltp_mem history | current frame]).  Returns
     (voiced, per-subframe lags) — the encoder-side analysis half the
     decoder never sees (reference idea: silk/float/pitch_analysis_core
     — ours is a plain argmax, not a port)."""
-    cur = res_ext[LTP_MEM:]
+    cur = res_ext[bw.ltp_mem:]
     e1 = float(np.dot(cur, cur))
     if e1 < 1e3:
         return False, None
     best_lag, best_c = 0, 0.0
-    for lag in range(MIN_LAG, MAX_LAG + 1):
-        past = res_ext[LTP_MEM - lag : LTP_MEM - lag + FRAME_LEN]
+    for lag in range(bw.min_lag, bw.max_lag + 1):
+        past = res_ext[bw.ltp_mem - lag : bw.ltp_mem - lag + bw.frame_len]
         c = float(np.dot(cur, past))
         if c <= 0:
             continue
@@ -330,7 +369,7 @@ def _pitch_analysis(res_ext):
     if not best_lag:
         return False, None
     corr = np.sqrt(best_c / e1)
-    # loose gate: the order-16 LPC whitens most periodicity out of the
+    # loose gate: the LPC whitens most periodicity out of the
     # residual, so frame-level corr is low even for clearly voiced
     # input; the caller's LTP energy-reduction test makes the final
     # voiced/unvoiced call
@@ -339,13 +378,13 @@ def _pitch_analysis(res_ext):
     # per-subframe refinement around the global lag
     lags = []
     for k in range(SUBFR):
-        seg = res_ext[LTP_MEM + k * SUBFR_LEN : LTP_MEM + (k + 1)
-                      * SUBFR_LEN]
+        seg = res_ext[bw.ltp_mem + k * bw.subfr_len : bw.ltp_mem
+                      + (k + 1) * bw.subfr_len]
         bl, bc = best_lag, -1.0
-        for lag in range(max(MIN_LAG, best_lag - 4),
-                         min(MAX_LAG, best_lag + 4) + 1):
-            base = LTP_MEM + k * SUBFR_LEN - lag
-            past = res_ext[base : base + SUBFR_LEN]
+        for lag in range(max(bw.min_lag, best_lag - 4),
+                         min(bw.max_lag, best_lag + 4) + 1):
+            base = bw.ltp_mem + k * bw.subfr_len - lag
+            past = res_ext[base : base + bw.subfr_len]
             c = float(np.dot(seg, past))
             e2 = float(np.dot(past, past)) + 1e-9
             s = c * abs(c) / e2
@@ -355,29 +394,30 @@ def _pitch_analysis(res_ext):
     return True, lags
 
 
-def _fit_contour(lags):
-    """(lagIndex, contourIndex, per-subframe coded lags): the WB 20 ms
-    contour codebook entry + base lag best matching the measured
-    per-subframe lags (decode side: silk.decode_pitch)."""
-    t = ST.tables()
-    cbl = np.asarray(t["CB_lags_stage3"]).reshape(SUBFR, 34)
+def _fit_contour(lags, bw: _Bw):
+    """(lagIndex, contourIndex, per-subframe coded lags): the 20 ms
+    contour codebook entry (CB_lags_stage3, or stage2 for NB) + base
+    lag best matching the measured per-subframe lags (decode side:
+    silk.decode_pitch)."""
+    cbl = bw.contour_cb
     lags = np.asarray(lags, np.float64)
     best = None
     for idx in range(cbl.shape[1]):
         off = cbl[:, idx].astype(np.float64)
         base = int(np.clip(round(float(np.mean(lags - off))),
-                           MIN_LAG, MAX_LAG))
+                           bw.min_lag, bw.max_lag))
         cost = float(np.sum((base + off - lags) ** 2))
         if best is None or cost < best[0]:
             best = (cost, base, idx)
     _, base, idx = best
-    lag_index = int(np.clip(base - MIN_LAG, 0, 255))
-    coded = [int(np.clip(MIN_LAG + lag_index + int(cbl[k, idx]),
-                         MIN_LAG, MAX_LAG)) for k in range(SUBFR)]
+    # lagIndex is coded hi*scale + lo with hi < 32 (pitch_lag_iCDF)
+    lag_index = int(np.clip(base - bw.min_lag, 0, 32 * bw.lag_scale - 1))
+    coded = [int(np.clip(bw.min_lag + lag_index + int(cbl[k, idx]),
+                         bw.min_lag, bw.max_lag)) for k in range(SUBFR)]
     return lag_index, idx, coded
 
 
-def _select_ltp(res_ext, lags):
+def _select_ltp(res_ext, lags, bw: _Bw):
     """Open-loop LTP codebook search on the input residual: for each
     subframe pick the 5-tap vector (across the three periodicity
     tables) minimizing the residual after prediction from lags
@@ -386,19 +426,19 @@ def _select_ltp(res_ext, lags):
     t = ST.tables()
     tables = [np.asarray(t[f"LTP_vq_Q7_{p}"], np.float64).reshape(-1, 5)
               for p in range(3)]
-    red = np.empty(FRAME_LEN)
+    red = np.empty(bw.frame_len)
     # PERIndex is shared across subframes: pick the table whose best
     # vectors minimize the total error, then re-pick vectors within it
     totals = []
     for p, tab in enumerate(tables):
         tot = 0.0
         for k in range(SUBFR):
-            s0 = LTP_MEM + k * SUBFR_LEN
-            r = res_ext[s0 : s0 + SUBFR_LEN]
+            s0 = bw.ltp_mem + k * bw.subfr_len
+            r = res_ext[s0 : s0 + bw.subfr_len]
             L = lags[k]
             P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
-                                  + SUBFR_LEN] for j in range(LTP_ORDER)],
-                         1)
+                                  + bw.subfr_len]
+                          for j in range(LTP_ORDER)], 1)
             pred = P @ (tab.T / 128.0)
             tot += float(((r[:, None] - pred) ** 2).sum(axis=0).min())
         totals.append(tot)
@@ -407,22 +447,22 @@ def _select_ltp(res_ext, lags):
     ltp_index = []
     b_q14 = []
     for k in range(SUBFR):
-        s0 = LTP_MEM + k * SUBFR_LEN
-        r = res_ext[s0 : s0 + SUBFR_LEN]
+        s0 = bw.ltp_mem + k * bw.subfr_len
+        r = res_ext[s0 : s0 + bw.subfr_len]
         L = lags[k]
         P = np.stack([res_ext[s0 - L + 2 - j : s0 - L + 2 - j
-                              + SUBFR_LEN] for j in range(LTP_ORDER)], 1)
+                              + bw.subfr_len] for j in range(LTP_ORDER)], 1)
         pred = P @ (tab.T / 128.0)
         errs = ((r[:, None] - pred) ** 2).sum(axis=0)
         j = int(np.argmin(errs))
         ltp_index.append(j)
         b_q14.append(tab[j] * 128.0)            # vq_Q7 << 7 -> Q14
-        red[k * SUBFR_LEN : (k + 1) * SUBFR_LEN] = r - pred[:, j]
+        red[k * bw.subfr_len : (k + 1) * bw.subfr_len] = r - pred[:, j]
     return per, ltp_index, b_q14, red
 
 
 def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
-    """One 20 ms mono WB frame (320 samples, int16 domain floats).
+    """One 20 ms mono frame (int16 domain floats; NB/MB/WB via st.bw).
 
     Voiced frames (pitch detected in the input LPC residual) carry the
     full LTP layer — lag/contour, 5-tap codebook gains, LTP scale —
@@ -432,16 +472,19 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     of carried state, the decoder's rounding biases.  Unvoiced frames
     use the same mirror with the LTP term zero."""
     t = ST.tables()
-    cb = ST.nlsf_cb_wb()
+    bw = st.bw
+    order = bw.lpc_order
+    cb = bw.nlsf_cb
 
     # ---- LPC analysis on the windowed frame ----
-    xw = x * np.hanning(FRAME_LEN)
-    r = np.correlate(xw, xw, "full")[FRAME_LEN - 1:FRAME_LEN + LPC_ORDER]
-    r = r * (1.0 + 1e-4 * np.arange(LPC_ORDER + 1) ** 2)  # lag window
+    xw = x * np.hanning(bw.frame_len)
+    r = np.correlate(xw, xw, "full")[bw.frame_len - 1:
+                                     bw.frame_len + order]
+    r = r * (1.0 + 1e-4 * np.arange(order + 1) ** 2)  # lag window
     r[0] *= 1.0 + 1e-3
     r[0] += 1e-2
     a = _levinson(r)
-    a *= 0.994 ** (np.arange(LPC_ORDER) + 1)    # bandwidth expansion
+    a *= 0.994 ** (np.arange(order) + 1)        # bandwidth expansion
 
     # ---- input residual + prediction-gain limiting ----
     # The closed-loop quantizer feeds its error back through 1/A(z);
@@ -453,21 +496,22 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     ex = float(np.dot(x, x)) + 1.0
     for _chirp in range(16):
         aq_probe = np.asarray(a)
-        e = np.empty(FRAME_LEN)
-        for n in range(FRAME_LEN):
+        e = np.empty(bw.frame_len)
+        for n in range(bw.frame_len):
             e[n] = x[n] - np.dot(aq_probe,
-                                 hist[n + LPC_ORDER - 1::-1][:LPC_ORDER])
+                                 hist[n + order - 1::-1][:order])
         if ex / (float(np.dot(e, e)) + 1.0) < 1e3:
             break
-        a *= 0.97 ** (np.arange(LPC_ORDER) + 1)
+        a *= 0.97 ** (np.arange(order) + 1)
     nlsf_tgt = _a2nlsf_q15(a)
 
     # ---- voicing / pitch / LTP analysis ----
     res_ext = np.concatenate([st.res_hist, e])
-    voiced, subf_lags = _pitch_analysis(res_ext)
+    voiced, subf_lags = _pitch_analysis(res_ext, bw)
     if voiced:
-        lag_index, contour_index, lags = _fit_contour(subf_lags)
-        per_index, ltp_index, b_q14, e_red = _select_ltp(res_ext, lags)
+        lag_index, contour_index, lags = _fit_contour(subf_lags, bw)
+        per_index, ltp_index, b_q14, e_red = _select_ltp(res_ext, lags,
+                                                         bw)
         # voiced only when LTP genuinely pays (the corr gate alone
         # passes glides the 5-tap filter can't track)
         if (float(np.dot(e_red, e_red))
@@ -483,7 +527,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
 
     # ---- NLSF quantization (needed by the trial loop; coded later) --
     nlsf_idx, nlsf_deq = _quant_nlsf(nlsf_tgt, cb, signal_type)
-    aq = np.asarray(S.nlsf2a(list(nlsf_deq), LPC_ORDER), np.float64)
+    aq = np.asarray(S.nlsf2a(list(nlsf_deq), order), np.float64)
     aqf = aq / 4096.0
 
     scale_index = 0
@@ -496,7 +540,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     # rings to saturation.  Double the gains until the quantizer fits
     # — the decoder-side cost is coarser excitation, not instability.
     rms0 = [float(np.sqrt(np.mean(
-        e_red[k * SUBFR_LEN:(k + 1) * SUBFR_LEN] ** 2)) + 1.0)
+        e_red[k * bw.subfr_len:(k + 1) * bw.subfr_len] ** 2)) + 1.0)
         for k in range(SUBFR)]
     boost = 1.0
     for attempt in range(6):
@@ -507,7 +551,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
         pulses, xq, slpc_out, prev_gain_out, miss = _quantize_frame(
             st, x, aq, aqf, gains_q16, signal_type, quant_offset_type,
             voiced, lags, b_q14 if voiced else None, ltp_scale_q14)
-        if miss <= FRAME_LEN // 32 or attempt == 5:
+        if miss <= bw.frame_len // 32 or attempt == 5:
             break
         boost *= 2.0
     st.last_gain_index = lgi
@@ -543,10 +587,10 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     enc.enc_icdf(4, t["NLSF_interp_iCDF"], 8)
 
     if voiced:
-        # absolute lag (independent coding): high part * 8 + low bits
-        enc.enc_icdf(lag_index >> 3, t["pitch_lag_iCDF"], 8)
-        enc.enc_icdf(lag_index & 7, t["uniform8_iCDF"], 8)
-        enc.enc_icdf(contour_index, t["pitch_contour_iCDF"], 8)
+        # absolute lag (independent coding): hi * (fs_khz/2) + low bits
+        enc.enc_icdf(lag_index // bw.lag_scale, t["pitch_lag_iCDF"], 8)
+        enc.enc_icdf(lag_index % bw.lag_scale, t[bw.lag_low_key], 8)
+        enc.enc_icdf(contour_index, t[bw.contour_key], 8)
         enc.enc_icdf(per_index, t["LTP_per_index_iCDF"], 8)
         for k in range(SUBFR):
             enc.enc_icdf(ltp_index[k],
@@ -557,10 +601,10 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
 
     _encode_pulses(enc, pulses, signal_type, quant_offset_type)
 
-    st.x_hist = x[-LPC_ORDER:].copy()
-    st.xq_hist = xq[-LPC_ORDER:].copy()
-    st.res_hist = np.concatenate([st.res_hist, e])[-LTP_MEM:]
-    st.out_buf = np.concatenate([st.out_buf, xq])[-LTP_MEM:]
+    st.x_hist = x[-order:].copy()
+    st.xq_hist = xq[-order:].copy()
+    st.res_hist = np.concatenate([st.res_hist, e])[-bw.ltp_mem:]
+    st.out_buf = np.concatenate([st.out_buf, xq])[-bw.ltp_mem:]
     st.slpc = slpc_out
     st.prev_gain_q16 = prev_gain_out
     st.last_xq = xq          # mirror output (tests compare vs decoder)
@@ -577,18 +621,20 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
     (pulses, xq, slpc_carry, prev_gain, miss) where miss counts
     samples the pulse grid could not track (escalation signal)."""
     t = ST.tables()
+    bw = st.bw
+    order = bw.lpc_order
     offset_q10 = int(t["Quantization_Offsets_Q10"][signal_type >> 1][
         quant_offset_type])
     adj16 = ST.QUANT_LEVEL_ADJUST_Q10 << 4
     off16 = offset_q10 << 4
-    pulses = np.zeros(FRAME_LEN, np.int64)
-    xq = np.empty(FRAME_LEN)
+    pulses = np.zeros(bw.frame_len, np.int64)
+    xq = np.empty(bw.frame_len)
     rand_seed = 0
     miss = 0
 
-    slpc = np.concatenate([st.slpc, np.zeros(SUBFR_LEN)])
-    sltp = np.zeros(LTP_MEM + FRAME_LEN)        # sLTP_Q15 mirror
-    buf_idx = LTP_MEM
+    slpc = np.concatenate([st.slpc, np.zeros(bw.subfr_len)])
+    sltp = np.zeros(bw.ltp_mem + bw.frame_len)  # sLTP_Q15 mirror
+    buf_idx = bw.ltp_mem
     prev_gain = st.prev_gain_q16
     budget = 0
     n = 0
@@ -609,13 +655,13 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
             if k == 0:
                 # whiten the reconstruction history with the frame's
                 # quantized LPC (decode_core k==0 branch)
-                start = LTP_MEM - lag - LPC_ORDER - LTP_ORDER // 2
+                start = bw.ltp_mem - lag - order - LTP_ORDER // 2
                 seg = st.out_buf[start:]
                 filt = np.zeros(len(seg))
-                for i2 in range(LPC_ORDER, len(seg)):
+                for i2 in range(order, len(seg)):
                     filt[i2] = np.clip(
                         seg[i2] - np.dot(
-                            aqf, seg[i2 - LPC_ORDER : i2][::-1]),
+                            aqf, seg[i2 - order : i2][::-1]),
                         -32768.0, 32767.0)
                 inv = inv_gain_q31 * ltp_scale_q14 / (1 << 16) * 4
                 for i2 in range(lag + LTP_ORDER // 2):
@@ -625,7 +671,7 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
                 for i2 in range(lag + LTP_ORDER // 2):
                     sltp[buf_idx - i2 - 1] *= gain_adj
 
-        for i in range(SUBFR_LEN):
+        for i in range(bw.subfr_len):
             if n % ST.SHELL_FRAME == 0:
                 budget = ST.MAX_PULSES
             c_ltp = 0.0
@@ -635,9 +681,9 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
                 for j in range(LTP_ORDER):
                     ltp_pred += sltp[p_ - j] * b_q14[k][j] / 65536.0
                 c_ltp = 2.0 * ltp_pred
-            pos = 16 + i
-            lpc_pred = LPC_ORDER / 2.0
-            for j in range(LPC_ORDER):
+            pos = MAX_LPC_ORDER + i
+            lpc_pred = order / 2.0
+            for j in range(order):
                 lpc_pred += slpc[pos - 1 - j] * aq[j] / 65536.0
             # v = exc + c_ltp + 16*lpc_pred; xq = v*gain_q10/2^24
             v_target = x[n] * (1 << 24) / max(gain_q10, 1)
@@ -674,39 +720,46 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
             xq[n] = float(np.clip(round(v * gain_q10 / (1 << 24)),
                                   -32768, 32767))
             n += 1
-        slpc = np.concatenate([slpc[SUBFR_LEN : SUBFR_LEN + 16],
-                               np.zeros(SUBFR_LEN)])
+        slpc = np.concatenate(
+            [slpc[bw.subfr_len : bw.subfr_len + MAX_LPC_ORDER],
+             np.zeros(bw.subfr_len)])
 
-    return pulses, xq, slpc[:16].copy(), prev_gain, miss
+    return pulses, xq, slpc[:MAX_LPC_ORDER].copy(), prev_gain, miss
 
 
-def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Encode mono float32 [-1, 1] PCM as SILK-only WB Ogg Opus
-    (TOC config 9: 20 ms wideband, one frame per packet)."""
+def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
+                         bandwidth: str = "wb") -> bytes:
+    """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus, one
+    20 ms frame per packet.  bandwidth picks the SILK internal rate:
+    "nb" (8 kHz, TOC config 1), "mb" (12 kHz, config 5) or "wb"
+    (16 kHz, config 9)."""
     from ..ogg import write_page  # noqa: F401  (via celt_encoder wrap)
     from .celt_encoder import PRESKIP, ogg_opus_wrap
     from ...ops.src import resample
 
+    bw = BANDWIDTHS[bandwidth]
+    fs_hz = bw.fs_khz * 1000
     x = np.asarray(samples, np.float64).reshape(-1)
     S48 = (len(x) if sample_rate == 48000
            else int(round(len(x) * 48000 / sample_rate)))
-    if sample_rate != 16000:
+    if sample_rate != fs_hz:
         x = np.asarray(resample(x.astype(np.float32), sample_rate,
-                                16000), np.float64)
+                                fs_hz), np.float64)
     # preskip priming (PRESKIP is in 48 kHz samples)
-    lead = np.zeros(PRESKIP // 3)
+    lead = np.zeros(PRESKIP * bw.fs_khz // 48)
     x = np.concatenate([lead, x]) * 32767.0
-    F = -(-len(x) // FRAME_LEN)
-    x = np.concatenate([x, np.zeros(F * FRAME_LEN - len(x))])
+    F = -(-len(x) // bw.frame_len)
+    x = np.concatenate([x, np.zeros(F * bw.frame_len - len(x))])
 
-    st = SilkEncoderState()
+    st = SilkEncoderState(bw)
     packets = []
-    toc = (9 << 3) | 0   # config 9 = SILK WB 20 ms, mono, code 0
+    toc = (bw.toc << 3) | 0   # SILK-only 20 ms, mono, code 0
     for k in range(F):
         enc = RangeEncoder(1275)
         enc.enc_bit_logp(1, 1)          # VAD flag: active
         enc.enc_bit_logp(0, 1)          # LBRR flag
-        _encode_frame(enc, st, x[k * FRAME_LEN:(k + 1) * FRAME_LEN])
+        _encode_frame(enc, st,
+                      x[k * bw.frame_len:(k + 1) * bw.frame_len])
         nbytes = ((enc.tell() + 7) >> 3) + 1   # VBR: shrink to used
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())

@@ -186,12 +186,61 @@ def test_silk_encode_roundtrip():
     assert snr > 17.0, f"SILK round-trip SNR {snr:.1f} dB"
 
 
+@pytest.mark.parametrize("bandwidth,config", [("nb", 1), ("mb", 5)])
+def test_silk_encode_nb_mb_roundtrip(bandwidth, config):
+    """SILK narrowband (8 kHz, order-10 LPC, CB_lags_stage2 contours,
+    uniform4 lag low bits) and mediumband (12 kHz, uniform6) streams:
+    correct TOC config, decode through our decoder with sane fidelity.
+    The same streams decode BIT-IDENTICALLY through the reference's
+    libopus (test_silk_encode_reference_oracle runs all three
+    bandwidths)."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sig = _speechish()
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk",
+        bandwidth=bandwidth)
+    # first audio packet's TOC carries the SILK-only 20 ms config
+    from libnyquist_tpu.formats.ogg import demux
+
+    st_ogg = next(iter(demux(buf).values()))
+    toc = st_ogg.packets[2].data[0]          # after OpusHead, OpusTags
+    assert (toc >> 3) == config
+    back = nq.load(buf, extension="opus")
+    assert back.sample_rate == 48000
+    ref = np.asarray(sig, np.float64)
+    out = np.asarray(back.samples, np.float64)[: len(ref)]
+    n = len(out)
+    best = (0, -1e18)
+    for lag in range(0, 200):
+        m = n - lag
+        c = float(np.dot(ref[:m], out[lag : lag + m]))
+        if c > best[1]:
+            best = (lag, c)
+    lag = best[0]
+    m = n - lag - 960
+    o = out[lag : lag + m]
+    r = ref[:m]
+    g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
+    err = r - g * o
+    snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
+    # in-band SNR floor: the comparison is against FULL-band input, so
+    # NB/MB carry less of the 48 kHz spectrum than WB's 17 dB bar
+    assert snr > 8.0, f"SILK {bandwidth} round-trip SNR {snr:.1f} dB"
+
+
 @pytest.mark.skipif(
     not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
     reason="reference oracle build not present")
-def test_silk_encode_reference_oracle(tmp_path):
+@pytest.mark.parametrize("bandwidth", ["wb", "mb", "nb"])
+def test_silk_encode_reference_oracle(tmp_path, bandwidth):
     """The reference's own libopus decodes our SILK streams to output
-    BIT-IDENTICAL to our decoder."""
+    BIT-IDENTICAL to our decoder — at every internal bandwidth."""
     import struct
     import subprocess
 
@@ -204,7 +253,8 @@ def test_silk_encode_reference_oracle(tmp_path):
     a.sample_rate = 48000
     a.source_format = PCMFormat.PCM_FLT
     buf = encode_opus_to_buffer(
-        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk")
+        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk",
+        bandwidth=bandwidth)
     p = tmp_path / "s.opus"
     p.write_bytes(buf)
     out = tmp_path / "s.raw"
