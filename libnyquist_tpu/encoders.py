@@ -243,11 +243,12 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     """Encode AudioData to Ogg Opus.
 
     mode="celt" (default): CELT-only fullband frames of 2.5/5/10/20 ms.
-    mode="silk": SILK-only 20 ms frames (mono) — the speech coding
-    half of Opus (reference: silk/enc_API.c); rate follows the signal
-    (closed-loop VBR), bitrate_kbps is ignored.  bandwidth picks the
-    SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb" (16 kHz,
-    default) — TOC configs 1/5/9.
+    mode="silk": SILK-only 20 ms frames (mono or stereo mid/side with
+    per-frame stereo prediction) — the speech coding half of Opus
+    (reference: silk/enc_API.c, stereo_LR_to_MS.c); rate follows the
+    signal (closed-loop VBR), bitrate_kbps is ignored.  bandwidth
+    picks the SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb"
+    (16 kHz, default) — TOC configs 1/5/9.
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono FB 20 ms, TOC config 15; reference:
     opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
@@ -286,9 +287,12 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
         per = np.asarray(resample(per, rate, 48000))
         samples = per.T.reshape(-1).astype(np.float32)
     if mode == "silk":
-        if ch != 1:
-            raise ValueError(
-                EncoderError.UnsupportedChannelConfiguration.name)
+        if ch == 2:
+            from .formats.opus.silk_encoder import (
+                encode_ogg_opus_silk_stereo)
+
+            return encode_ogg_opus_silk_stereo(samples, 48000,
+                                               bandwidth=bandwidth)
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
         return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth)

@@ -727,6 +727,154 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
     return pulses, xq, slpc[:MAX_LPC_ORDER].copy(), prev_gain, miss
 
 
+# ----------------------------------------------------------------------
+# Stereo (mid/side) layer — decode side: silk.stereo_decode_pred /
+# stereo_ms_to_lr (reference: stereo_LR_to_MS.c, stereo_encode_pred.c)
+# ----------------------------------------------------------------------
+
+def _stereo_quant_pred(target_q13):
+    """Nearest point on the decoder's stereo predictor grid
+    (stereo_pred_quant_Q13 anchors x 5 sub-steps, silk.py
+    stereo_decode_pred dequant math).  Returns ((ix0, ix1, ix2),
+    dequantized_q13)."""
+    t = ST.tables()
+    quant = t["stereo_pred_quant_Q13"]
+    best = None
+    for i in range(15):
+        low = int(quant[i])
+        step = S.smulwb(int(quant[i + 1]) - low, 6554)  # 0.5/5 Q16
+        for sub in range(5):
+            val = S.smlabb(low, step, 2 * sub + 1)
+            err = abs(val - target_q13)
+            if best is None or err < best[0]:
+                best = (err, i, sub, val)
+    _, i, sub, val = best
+    return (i % 3, sub, i // 3), val
+
+
+class _StereoState:
+    def __init__(self):
+        self.pred_prev_q13 = [0, 0]
+        self.mid_carry = np.zeros(2)     # last 2 decoded mid samples
+        self.side_carry = 0.0            # last coded side sample target
+
+
+def _stereo_fit_preds(mid, side, mid_prev2):
+    """Least-squares (w0, w1) for the decoder's side prediction
+    side2[j] = side[j] + lp_sum(j)*p0/2**15 + mid[j]*p1/2**13 with
+    lp_sum(j) = mid[j-1] + 2 mid[j] + mid[j+1]."""
+    m_ext = np.concatenate([mid_prev2, mid])
+    lp = m_ext[:-2] + 2.0 * m_ext[1:-1] + np.concatenate(
+        [m_ext[2:], mid[-1:]])[:len(mid)]
+    c0 = lp[:len(mid)] / 4.0
+    c1 = mid
+    A = np.stack([c0, c1], 1)
+    try:
+        w, *_ = np.linalg.lstsq(A, -side, rcond=None)
+    except np.linalg.LinAlgError:
+        w = np.zeros(2)
+    # w is in units of Q13/8192 with the /4 folded into c0
+    return float(np.clip(-w[0], -1.6, 1.6)), \
+        float(np.clip(-w[1], -1.6, 1.6))
+
+
+def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
+                                bandwidth: str = "wb") -> bytes:
+    """Encode interleaved stereo float32 [-1, 1] PCM as SILK-only Ogg
+    Opus (20 ms frames, one per packet, stereo TOC).  Mid/side coding
+    with per-frame stereo prediction: the side channel codes the
+    residual after the decoder's exact 3-tap + direct mid prediction
+    (silk.stereo_ms_to_lr mirror, including the 8 ms predictor
+    interpolation ramp), so both internal channels ride the mono frame
+    encoder unchanged."""
+    from .celt_encoder import PRESKIP, ogg_opus_wrap
+    from ...ops.src import resample
+
+    t = ST.tables()
+    bw = BANDWIDTHS[bandwidth]
+    fs_hz = bw.fs_khz * 1000
+    x = np.asarray(samples, np.float64).reshape(-1, 2)
+    S48 = (len(x) if sample_rate == 48000
+           else int(round(len(x) * 48000 / sample_rate)))
+    if sample_rate != fs_hz:
+        x = np.stack([
+            np.asarray(resample(x[:, c].astype(np.float32), sample_rate,
+                                fs_hz), np.float64) for c in range(2)], 1)
+    lead = np.zeros((PRESKIP * bw.fs_khz // 48, 2))
+    x = np.concatenate([lead, x]) * 32767.0
+    F = -(-len(x) // bw.frame_len)
+    x = np.concatenate([x, np.zeros((F * bw.frame_len - len(x), 2))])
+
+    # LR -> MS in the decoder's int domain (stereo_ms_to_lr inverse:
+    # L = mid + side2, R = mid - side2)
+    mid_all = np.round((x[:, 0] + x[:, 1]) / 2.0)
+    side_all = np.round((x[:, 0] - x[:, 1]) / 2.0)
+
+    st_mid = SilkEncoderState(bw)
+    st_side = SilkEncoderState(bw)
+    ss = _StereoState()
+    interp_len = ST.STEREO_INTERP_LEN_MS * bw.fs_khz
+    denom_q16 = (1 << 16) // interp_len
+    packets = []
+    toc = (bw.toc << 3) | (1 << 2)   # SILK-only 20 ms, stereo, code 0
+    for k in range(F):
+        lo = k * bw.frame_len
+        mid = mid_all[lo:lo + bw.frame_len]
+        side = side_all[lo:lo + bw.frame_len]
+
+        # fit + quantize the two predictors (decoder applies
+        # pred[0] -= pred[1] after dequant, so q0 targets w0 + q1)
+        w0, w1 = _stereo_fit_preds(mid, side, ss.mid_carry)
+        ix1, q1 = _stereo_quant_pred(int(round(w1 * 8192.0)))
+        ix0, q0 = _stereo_quant_pred(int(round(w0 * 8192.0)) + q1)
+        p0_eff, p1_eff = q0 - q1, q1
+
+        enc = RangeEncoder(1275)
+        enc.enc_bit_logp(1, 1)          # VAD ch0
+        enc.enc_bit_logp(0, 1)          # LBRR ch0
+        enc.enc_bit_logp(1, 1)          # VAD ch1 (side always coded)
+        enc.enc_bit_logp(0, 1)          # LBRR ch1
+        n_joint = ix0[2] * 5 + ix1[2]
+        enc.enc_icdf(n_joint, t["stereo_pred_joint_iCDF"], 8)
+        for ix in (ix0, ix1):
+            enc.enc_icdf(ix[0], t["uniform3_iCDF"], 8)
+            enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
+        # VAD ch1 set -> the decoder reads no only-mid symbol
+
+        _encode_frame(enc, st_mid, mid)
+        xq_mid = st_mid.last_xq
+
+        # side target: subtract the decoder's exact per-sample
+        # prediction from the DECODED mid, with the 8 ms ramp from the
+        # previous predictors (silk.stereo_ms_to_lr); side sample j is
+        # applied at decoder step n = j+1
+        m_ext = np.concatenate([ss.mid_carry, xq_mid, xq_mid[-1:]])
+        pv0, pv1 = ss.pred_prev_q13
+        d0 = S.rshift_round(S.smulbb(p0_eff - pv0, denom_q16), 16)
+        d1 = S.rshift_round(S.smulbb(p1_eff - pv1, denom_q16), 16)
+        side_tgt = np.empty(bw.frame_len)
+        for j in range(bw.frame_len):
+            nstep = j + 1
+            if nstep < interp_len:
+                c0 = pv0 + d0 * (nstep + 1)
+                c1 = pv1 + d1 * (nstep + 1)
+            else:
+                c0, c1 = p0_eff, p1_eff
+            lp = m_ext[j] + 2.0 * m_ext[j + 1] + m_ext[j + 2]
+            pred = lp * c0 / 32768.0 + m_ext[j + 1] * c1 / 8192.0
+            side_tgt[j] = np.clip(np.round(side[j] - pred),
+                                  -32768, 32767)
+        _encode_frame(enc, st_side, side_tgt)
+
+        ss.pred_prev_q13 = [p0_eff, p1_eff]
+        ss.mid_carry = xq_mid[-2:].copy()
+
+        nbytes = ((enc.tell() + 7) >> 3) + 1
+        enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
+        packets.append(bytes([toc]) + enc.done())
+    return ogg_opus_wrap(packets, 2, S48, 960, PRESKIP)
+
+
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                          bandwidth: str = "wb") -> bytes:
     """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus, one

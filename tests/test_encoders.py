@@ -596,3 +596,88 @@ def test_opus_encode_intensity_stereo_valid():
     e = out - ref
     snr = 10 * np.log10(np.dot(ref, ref) / max(np.dot(e, e), 1e-12))
     assert snr > 20.0, snr
+
+
+def test_silk_encode_stereo_roundtrip():
+    """SILK stereo: mid/side with per-frame stereo prediction
+    (decoder side silk.stereo_decode_pred / stereo_ms_to_lr).  Decodes
+    as 2 channels with sane fidelity and channel separation; the same
+    streams decode BIT-IDENTICALLY through libopus
+    (test_silk_encode_stereo_reference_oracle)."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sr = 48000
+    tt = np.arange(sr) / sr
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 3 * tt)
+    L = 0.5 * np.sin(2 * np.pi * 220 * tt) * am
+    R = (0.45 * np.sin(2 * np.pi * 220 * tt + 0.4) * am
+         + 0.1 * np.sin(2 * np.pi * 330 * tt))
+    sig = np.stack([L, R], 1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 2
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(2, PCMFormat.PCM_FLT), a, mode="silk")
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == 2
+    out = np.asarray(back.samples, np.float64).reshape(-1, 2)
+    ref = np.stack([L, R], 1)
+    n = min(len(out), len(ref))
+    best = (0, -1e18)
+    for lag in range(0, 200):
+        m = n - lag
+        c = float((ref[:m] * out[lag : lag + m]).sum())
+        if c > best[1]:
+            best = (lag, c)
+    lag = best[0]
+    m = n - lag - 960
+    o = out[lag : lag + m]
+    r = ref[:m]
+    for c in range(2):
+        g = float(np.dot(r[:, c], o[:, c])
+                  / max(np.dot(o[:, c], o[:, c]), 1e-12))
+        err = r[:, c] - g * o[:, c]
+        snr = 10 * np.log10(np.dot(r[:, c], r[:, c])
+                            / max(np.dot(err, err), 1e-12))
+        assert snr > 15.0, f"ch{c} SNR {snr:.1f} dB"
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+def test_silk_encode_stereo_reference_oracle(tmp_path):
+    """libopus decodes our stereo SILK streams bit-identically to our
+    decoder (stereo pred + MS->LR reconstruction both match)."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sr = 48000
+    tt = np.arange(sr) / sr
+    am = 0.55 + 0.45 * np.sin(2 * np.pi * 3 * tt)
+    sig = np.stack([
+        0.5 * np.sin(2 * np.pi * 220 * tt) * am,
+        0.45 * np.sin(2 * np.pi * 220 * tt + 0.4) * am,
+    ], 1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 2
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(2, PCMFormat.PCM_FLT), a, mode="silk")
+    p = tmp_path / "st.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "st.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
+    m = min(len(ref), len(ours))
+    assert m > 0
+    np.testing.assert_array_equal(ref[:m], ours[:m])
