@@ -248,7 +248,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     (reference: silk/enc_API.c, stereo_LR_to_MS.c); rate follows the
     signal (closed-loop VBR), bitrate_kbps is ignored.  bandwidth
     picks the SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb"
-    (16 kHz, default) — TOC configs 1/5/9.
+    (16 kHz, default); frame_ms 20 (TOC configs 1/5/9) or 10
+    (2-subframe frames, configs 0/4/8).
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono FB 20 ms, TOC config 15; reference:
     opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
@@ -292,10 +293,12 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                 encode_ogg_opus_silk_stereo)
 
             return encode_ogg_opus_silk_stereo(samples, 48000,
-                                               bandwidth=bandwidth)
+                                               bandwidth=bandwidth,
+                                               frame_ms=int(frame_ms))
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
-        return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth)
+        return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth,
+                                    frame_ms=int(frame_ms))
     if mode == "hybrid":
         if ch != 1:
             raise ValueError(

@@ -53,13 +53,15 @@ TYPE_VOICED = 2
 
 
 class _Bw:
-    """Per-bandwidth constants (decoder side: silk.py set_fs)."""
+    """Per-bandwidth + frame-duration constants (decoder side:
+    silk.py set_fs)."""
 
-    def __init__(self, fs_khz: int, toc_config: int):
+    def __init__(self, fs_khz: int, toc_config: int, nb_subfr: int = 4):
         self.fs_khz = fs_khz
-        self.toc = toc_config            # RFC 6716 TOC config (20 ms)
+        self.toc = toc_config            # RFC 6716 TOC config
+        self.nb_subfr = nb_subfr         # 4 = 20 ms, 2 = 10 ms
         self.subfr_len = 5 * fs_khz      # SUB_FRAME_LENGTH_MS
-        self.frame_len = SUBFR * self.subfr_len
+        self.frame_len = nb_subfr * self.subfr_len
         self.ltp_mem = 20 * fs_khz       # LTP_MEM_LENGTH_MS
         self.min_lag = 2 * fs_khz        # PITCH_EST_MIN_LAG_MS
         self.max_lag = 18 * fs_khz       # PITCH_EST_MAX_LAG_MS
@@ -67,8 +69,13 @@ class _Bw:
         self.lpc_order = 16 if fs_khz == 16 else 10
         self.lag_low_key = {16: "uniform8_iCDF", 12: "uniform6_iCDF",
                             8: "uniform4_iCDF"}[fs_khz]
-        self.contour_key = ("pitch_contour_NB_iCDF" if fs_khz == 8
-                            else "pitch_contour_iCDF")
+        if nb_subfr == 4:
+            self.contour_key = ("pitch_contour_NB_iCDF" if fs_khz == 8
+                                else "pitch_contour_iCDF")
+        else:
+            self.contour_key = ("pitch_contour_10ms_NB_iCDF"
+                                if fs_khz == 8
+                                else "pitch_contour_10ms_iCDF")
 
     @property
     def nlsf_cb(self):
@@ -78,12 +85,18 @@ class _Bw:
     @property
     def contour_cb(self):
         t = ST.tables()
-        return (np.asarray(t["CB_lags_stage2"]).reshape(SUBFR, 11)
+        if self.nb_subfr == 4:
+            return (np.asarray(t["CB_lags_stage2"]).reshape(4, 11)
+                    if self.fs_khz == 8
+                    else np.asarray(t["CB_lags_stage3"]).reshape(4, 34))
+        return (np.asarray(t["CB_lags_stage2_10ms"]).reshape(2, 3)
                 if self.fs_khz == 8
-                else np.asarray(t["CB_lags_stage3"]).reshape(SUBFR, 34))
+                else np.asarray(t["CB_lags_stage3_10ms"]).reshape(2, 12))
 
 
 BANDWIDTHS = {"nb": _Bw(8, 1), "mb": _Bw(12, 5), "wb": _Bw(16, 9)}
+BANDWIDTHS_10MS = {"nb": _Bw(8, 0, 2), "mb": _Bw(12, 4, 2),
+                   "wb": _Bw(16, 8, 2)}
 
 # module-level WB aliases kept for the original single-bandwidth API
 _WB = BANDWIDTHS["wb"]
@@ -165,7 +178,7 @@ def _gain_table_q16():
 _GAINS_Q16 = None
 
 
-def _quant_gains(targets_q16, prev_ind, conditional):
+def _quant_gains(targets_q16, prev_ind, conditional, nb_subfr=SUBFR):
     """Choose GainsIndices so the decoder's gains_dequant lands nearest
     each per-subframe target gain (log-domain distance)."""
     global _GAINS_Q16
@@ -199,7 +212,8 @@ def _quant_gains(targets_q16, prev_ind, conditional):
             pi = keep
         pi = S.limit(pi, 0, ST.N_LEVELS_QGAIN - 1)
         inds.append(ind)
-    gains, last = S.gains_dequant(inds, prev_ind, conditional, SUBFR)
+    gains, last = S.gains_dequant(inds, prev_ind, conditional,
+                                  nb_subfr)
     return inds, gains, last
 
 
@@ -377,7 +391,7 @@ def _pitch_analysis(res_ext, bw: _Bw):
         return False, None
     # per-subframe refinement around the global lag
     lags = []
-    for k in range(SUBFR):
+    for k in range(bw.nb_subfr):
         seg = res_ext[bw.ltp_mem + k * bw.subfr_len : bw.ltp_mem
                       + (k + 1) * bw.subfr_len]
         bl, bc = best_lag, -1.0
@@ -413,7 +427,8 @@ def _fit_contour(lags, bw: _Bw):
     # lagIndex is coded hi*scale + lo with hi < 32 (pitch_lag_iCDF)
     lag_index = int(np.clip(base - bw.min_lag, 0, 32 * bw.lag_scale - 1))
     coded = [int(np.clip(bw.min_lag + lag_index + int(cbl[k, idx]),
-                         bw.min_lag, bw.max_lag)) for k in range(SUBFR)]
+                         bw.min_lag, bw.max_lag))
+             for k in range(bw.nb_subfr)]
     return lag_index, idx, coded
 
 
@@ -432,7 +447,7 @@ def _select_ltp(res_ext, lags, bw: _Bw):
     totals = []
     for p, tab in enumerate(tables):
         tot = 0.0
-        for k in range(SUBFR):
+        for k in range(bw.nb_subfr):
             s0 = bw.ltp_mem + k * bw.subfr_len
             r = res_ext[s0 : s0 + bw.subfr_len]
             L = lags[k]
@@ -446,7 +461,7 @@ def _select_ltp(res_ext, lags, bw: _Bw):
     tab = tables[per]
     ltp_index = []
     b_q14 = []
-    for k in range(SUBFR):
+    for k in range(bw.nb_subfr):
         s0 = bw.ltp_mem + k * bw.subfr_len
         r = res_ext[s0 : s0 + bw.subfr_len]
         L = lags[k]
@@ -541,13 +556,14 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     # — the decoder-side cost is coarser excitation, not instability.
     rms0 = [float(np.sqrt(np.mean(
         e_red[k * bw.subfr_len:(k + 1) * bw.subfr_len] ** 2)) + 1.0)
-        for k in range(SUBFR)]
+        for k in range(bw.nb_subfr)]
     boost = 1.0
     for attempt in range(6):
         tg = [int(min(r_ * 1.7 * boost * 65536.0, 2.0 ** 38))
               for r_ in rms0]
         g_inds, gains_q16, lgi = _quant_gains(
-            tg, st.last_gain_index, conditional=False)
+            tg, st.last_gain_index, conditional=False,
+            nb_subfr=bw.nb_subfr)
         pulses, xq, slpc_out, prev_gain_out, miss = _quantize_frame(
             st, x, aq, aqf, gains_q16, signal_type, quant_offset_type,
             voiced, lags, b_q14 if voiced else None, ltp_scale_q14)
@@ -564,7 +580,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     # absolute form, with LastGainIndex still carried across packets.
     enc.enc_icdf(g_inds[0] >> 3, t["gain_iCDF"][signal_type], 8)
     enc.enc_icdf(g_inds[0] & 7, t["uniform8_iCDF"], 8)
-    for k in range(1, SUBFR):
+    for k in range(1, bw.nb_subfr):
         enc.enc_icdf(g_inds[k], t["delta_gain_iCDF"], 8)
 
     enc.enc_icdf(nlsf_idx[0], cb.CB1_iCDF[signal_type >> 1], 8)
@@ -583,8 +599,9 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
                          t["NLSF_EXT_iCDF"], 8)
         else:
             enc.enc_icdf(sym, tbl, 8)
-    # 20 ms frame: NLSF interpolation coef (4 = no interpolation)
-    enc.enc_icdf(4, t["NLSF_interp_iCDF"], 8)
+    if bw.nb_subfr == 4:
+        # 20 ms frame: NLSF interpolation coef (4 = no interpolation)
+        enc.enc_icdf(4, t["NLSF_interp_iCDF"], 8)
 
     if voiced:
         # absolute lag (independent coding): hi * (fs_khz/2) + low bits
@@ -592,7 +609,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
         enc.enc_icdf(lag_index % bw.lag_scale, t[bw.lag_low_key], 8)
         enc.enc_icdf(contour_index, t[bw.contour_key], 8)
         enc.enc_icdf(per_index, t["LTP_per_index_iCDF"], 8)
-        for k in range(SUBFR):
+        for k in range(bw.nb_subfr):
             enc.enc_icdf(ltp_index[k],
                          t[f"LTP_gain_iCDF_{per_index}"], 8)
         enc.enc_icdf(scale_index, t["LTPscale_iCDF"], 8)
@@ -639,7 +656,7 @@ def _quantize_frame(st, x, aq, aqf, gains_q16, signal_type,
     budget = 0
     n = 0
     lag = 0
-    for k in range(SUBFR):
+    for k in range(bw.nb_subfr):
         gq16 = gains_q16[k]
         gain_q10 = gq16 >> 6
         inv_gain_q31 = (1 << 47) / max(gq16, 1)
@@ -779,7 +796,8 @@ def _stereo_fit_preds(mid, side, mid_prev2):
 
 
 def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
-                                bandwidth: str = "wb") -> bytes:
+                                bandwidth: str = "wb",
+                                frame_ms: int = 20) -> bytes:
     """Encode interleaved stereo float32 [-1, 1] PCM as SILK-only Ogg
     Opus (20 ms frames, one per packet, stereo TOC).  Mid/side coding
     with per-frame stereo prediction: the side channel codes the
@@ -791,7 +809,9 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
     from ...ops.src import resample
 
     t = ST.tables()
-    bw = BANDWIDTHS[bandwidth]
+    if frame_ms not in (10, 20):
+        raise ValueError("SILK frames are 10 or 20 ms")
+    bw = (BANDWIDTHS if frame_ms == 20 else BANDWIDTHS_10MS)[bandwidth]
     fs_hz = bw.fs_khz * 1000
     x = np.asarray(samples, np.float64).reshape(-1, 2)
     S48 = (len(x) if sample_rate == 48000
@@ -872,20 +892,24 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
         nbytes = ((enc.tell() + 7) >> 3) + 1
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())
-    return ogg_opus_wrap(packets, 2, S48, 960, PRESKIP)
+    return ogg_opus_wrap(packets, 2, S48, frame_ms * 48, PRESKIP)
 
 
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
-                         bandwidth: str = "wb") -> bytes:
+                         bandwidth: str = "wb",
+                         frame_ms: int = 20) -> bytes:
     """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus, one
-    20 ms frame per packet.  bandwidth picks the SILK internal rate:
-    "nb" (8 kHz, TOC config 1), "mb" (12 kHz, config 5) or "wb"
-    (16 kHz, config 9)."""
+    frame per packet.  bandwidth picks the SILK internal rate: "nb"
+    (8 kHz), "mb" (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs
+    1/5/9) or 10 (2 subframes, the 10 ms pitch contour codebooks —
+    configs 0/4/8)."""
     from ..ogg import write_page  # noqa: F401  (via celt_encoder wrap)
     from .celt_encoder import PRESKIP, ogg_opus_wrap
     from ...ops.src import resample
 
-    bw = BANDWIDTHS[bandwidth]
+    if frame_ms not in (10, 20):
+        raise ValueError("SILK frames are 10 or 20 ms")
+    bw = (BANDWIDTHS if frame_ms == 20 else BANDWIDTHS_10MS)[bandwidth]
     fs_hz = bw.fs_khz * 1000
     x = np.asarray(samples, np.float64).reshape(-1)
     S48 = (len(x) if sample_rate == 48000
@@ -911,4 +935,4 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
         nbytes = ((enc.tell() + 7) >> 3) + 1   # VBR: shrink to used
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())
-    return ogg_opus_wrap(packets, 1, S48, 960, PRESKIP)
+    return ogg_opus_wrap(packets, 1, S48, frame_ms * 48, PRESKIP)

@@ -681,3 +681,42 @@ def test_silk_encode_stereo_reference_oracle(tmp_path):
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+@pytest.mark.parametrize("bandwidth,config", [("wb", 8), ("nb", 0)])
+def test_silk_encode_10ms_reference_oracle(tmp_path, bandwidth, config):
+    """10 ms SILK frames (2 subframes, the 10 ms pitch-contour
+    codebooks, no NLSF interpolation symbol): correct TOC config and
+    bit-identical libopus decode."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+
+    sig = _speechish(seconds=1.0)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk",
+        bandwidth=bandwidth, frame_ms=10)
+    st_ogg = next(iter(demux(buf).values()))
+    assert (st_ogg.packets[2].data[0] >> 3) == config
+    p = tmp_path / "s.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "s.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
+    m = min(len(ref), len(ours))
+    assert m > 0
+    np.testing.assert_array_equal(ref[:m], ours[:m])
