@@ -248,8 +248,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     (reference: silk/enc_API.c, stereo_LR_to_MS.c); rate follows the
     signal (closed-loop VBR), bitrate_kbps is ignored.  bandwidth
     picks the SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb"
-    (16 kHz, default); frame_ms 20 (TOC configs 1/5/9) or 10
-    (2-subframe frames, configs 0/4/8).
+    (16 kHz, default); frame_ms 10/20/40/60 — 40/60 ms packets carry
+    2/3 conditionally-coded SILK frames (TOC configs 0-3/4-7/8-11).
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono FB 20 ms, TOC config 15; reference:
     opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,

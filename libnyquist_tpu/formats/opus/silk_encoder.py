@@ -351,6 +351,7 @@ class SilkEncoderState:
     def __init__(self, bw: _Bw = _WB):
         self.bw = bw
         self.last_gain_index = 10
+        self.prev_signal_type = 0        # ec_prevSignalType mirror
         self.x_hist = np.zeros(bw.lpc_order)    # input history (int16 dom)
         self.xq_hist = np.zeros(bw.lpc_order)   # reconstruction history
         self.res_hist = np.zeros(bw.ltp_mem)    # input LPC residual hist
@@ -476,8 +477,12 @@ def _select_ltp(res_ext, lags, bw: _Bw):
     return per, ltp_index, b_q14, red
 
 
-def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
-    """One 20 ms mono frame (int16 domain floats; NB/MB/WB via st.bw).
+def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x,
+                  conditional=False):
+    """One mono frame (int16 domain floats; NB/MB/WB via st.bw).
+    conditional=True codes the decoder's CODE_CONDITIONALLY form
+    (frames after the first in 40/60 ms packets): delta first gain,
+    optional pitch-lag delta, no LTP-scale symbol.
 
     Voiced frames (pitch detected in the input LPC residual) carry the
     full LTP layer — lag/contour, 5-tap codebook gains, LTP scale —
@@ -545,6 +550,8 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     aq = np.asarray(S.nlsf2a(list(nlsf_deq), order), np.float64)
     aqf = aq / 4096.0
 
+    # CODE_CONDITIONALLY carries no LTP-scale symbol; the decoder
+    # uses index 0 there, the same value we pick independently
     scale_index = 0
     ltp_scale_q14 = (int(t["LTPScales_table_Q14"][scale_index])
                      if voiced else 0)
@@ -562,7 +569,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
         tg = [int(min(r_ * 1.7 * boost * 65536.0, 2.0 ** 38))
               for r_ in rms0]
         g_inds, gains_q16, lgi = _quant_gains(
-            tg, st.last_gain_index, conditional=False,
+            tg, st.last_gain_index, conditional=conditional,
             nb_subfr=bw.nb_subfr)
         pulses, xq, slpc_out, prev_gain_out, miss = _quantize_frame(
             st, x, aq, aqf, gains_q16, signal_type, quant_offset_type,
@@ -575,11 +582,11 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     # ---- emission (decoder read order: silk.decode_indices) ----
     ix = (signal_type << 1) + quant_offset_type
     enc.enc_icdf(ix - 2, t["type_offset_VAD_iCDF"], 8)
-    # One frame per packet means every frame is CODE_INDEPENDENTLY in
-    # the decoder (nFramesDecoded resets per packet): gains use the
-    # absolute form, with LastGainIndex still carried across packets.
-    enc.enc_icdf(g_inds[0] >> 3, t["gain_iCDF"][signal_type], 8)
-    enc.enc_icdf(g_inds[0] & 7, t["uniform8_iCDF"], 8)
+    if conditional:
+        enc.enc_icdf(g_inds[0], t["delta_gain_iCDF"], 8)
+    else:
+        enc.enc_icdf(g_inds[0] >> 3, t["gain_iCDF"][signal_type], 8)
+        enc.enc_icdf(g_inds[0] & 7, t["uniform8_iCDF"], 8)
     for k in range(1, bw.nb_subfr):
         enc.enc_icdf(g_inds[k], t["delta_gain_iCDF"], 8)
 
@@ -604,7 +611,10 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
         enc.enc_icdf(4, t["NLSF_interp_iCDF"], 8)
 
     if voiced:
-        # absolute lag (independent coding): hi * (fs_khz/2) + low bits
+        if conditional and st.prev_signal_type == TYPE_VOICED:
+            # delta symbol 0 = "absolute lag follows"
+            enc.enc_icdf(0, t["pitch_delta_iCDF"], 8)
+        # absolute lag: hi * (fs_khz/2) + low bits
         enc.enc_icdf(lag_index // bw.lag_scale, t["pitch_lag_iCDF"], 8)
         enc.enc_icdf(lag_index % bw.lag_scale, t[bw.lag_low_key], 8)
         enc.enc_icdf(contour_index, t[bw.contour_key], 8)
@@ -612,7 +622,8 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
         for k in range(bw.nb_subfr):
             enc.enc_icdf(ltp_index[k],
                          t[f"LTP_gain_iCDF_{per_index}"], 8)
-        enc.enc_icdf(scale_index, t["LTPscale_iCDF"], 8)
+        if not conditional:
+            enc.enc_icdf(scale_index, t["LTPscale_iCDF"], 8)
 
     enc.enc_icdf(0, t["uniform4_iCDF"], 8)      # seed
 
@@ -625,6 +636,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x):
     st.slpc = slpc_out
     st.prev_gain_q16 = prev_gain_out
     st.last_xq = xq          # mirror output (tests compare vs decoder)
+    st.prev_signal_type = signal_type
     st.first = False
 
 
@@ -799,7 +811,7 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
                                 bandwidth: str = "wb",
                                 frame_ms: int = 20) -> bytes:
     """Encode interleaved stereo float32 [-1, 1] PCM as SILK-only Ogg
-    Opus (20 ms frames, one per packet, stereo TOC).  Mid/side coding
+    Opus (10/20/40/60 ms packets, stereo TOC).  Mid/side coding
     with per-frame stereo prediction: the side channel codes the
     residual after the decoder's exact 3-tap + direct mid prediction
     (silk.stereo_ms_to_lr mirror, including the 8 ms predictor
@@ -809,9 +821,12 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
     from ...ops.src import resample
 
     t = ST.tables()
-    if frame_ms not in (10, 20):
-        raise ValueError("SILK frames are 10 or 20 ms")
-    bw = (BANDWIDTHS if frame_ms == 20 else BANDWIDTHS_10MS)[bandwidth]
+    if frame_ms not in (10, 20, 40, 60):
+        raise ValueError("SILK packets are 10/20/40/60 ms")
+    bw = (BANDWIDTHS_10MS if frame_ms == 10 else BANDWIDTHS)[bandwidth]
+    fpp = max(1, frame_ms // 20)    # 20 ms SILK frames per packet
+    toc_cfg = ({"nb": 0, "mb": 4, "wb": 8}[bandwidth]
+               + {10: 0, 20: 1, 40: 2, 60: 3}[frame_ms])
     fs_hz = bw.fs_khz * 1000
     x = np.asarray(samples, np.float64).reshape(-1, 2)
     S48 = (len(x) if sample_rate == 48000
@@ -835,59 +850,68 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
     ss = _StereoState()
     interp_len = ST.STEREO_INTERP_LEN_MS * bw.fs_khz
     denom_q16 = (1 << 16) // interp_len
+    P = -(-F // fpp)
+    pad = P * fpp * bw.frame_len - len(mid_all)
+    mid_all = np.concatenate([mid_all, np.zeros(pad)])
+    side_all = np.concatenate([side_all, np.zeros(pad)])
     packets = []
-    toc = (bw.toc << 3) | (1 << 2)   # SILK-only 20 ms, stereo, code 0
-    for k in range(F):
-        lo = k * bw.frame_len
-        mid = mid_all[lo:lo + bw.frame_len]
-        side = side_all[lo:lo + bw.frame_len]
-
-        # fit + quantize the two predictors (decoder applies
-        # pred[0] -= pred[1] after dequant, so q0 targets w0 + q1)
-        w0, w1 = _stereo_fit_preds(mid, side, ss.mid_carry)
-        ix1, q1 = _stereo_quant_pred(int(round(w1 * 8192.0)))
-        ix0, q0 = _stereo_quant_pred(int(round(w0 * 8192.0)) + q1)
-        p0_eff, p1_eff = q0 - q1, q1
-
+    toc = (toc_cfg << 3) | (1 << 2)   # SILK-only, stereo, code 0
+    for k in range(P):
         enc = RangeEncoder(1275)
-        enc.enc_bit_logp(1, 1)          # VAD ch0
-        enc.enc_bit_logp(0, 1)          # LBRR ch0
-        enc.enc_bit_logp(1, 1)          # VAD ch1 (side always coded)
-        enc.enc_bit_logp(0, 1)          # LBRR ch1
-        n_joint = ix0[2] * 5 + ix1[2]
-        enc.enc_icdf(n_joint, t["stereo_pred_joint_iCDF"], 8)
-        for ix in (ix0, ix1):
-            enc.enc_icdf(ix[0], t["uniform3_iCDF"], 8)
-            enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
-        # VAD ch1 set -> the decoder reads no only-mid symbol
+        for ch in range(2):
+            for _ in range(fpp):
+                enc.enc_bit_logp(1, 1)  # VAD per frame (side coded)
+            enc.enc_bit_logp(0, 1)      # LBRR
+        for i in range(fpp):
+            lo = (k * fpp + i) * bw.frame_len
+            mid = mid_all[lo:lo + bw.frame_len]
+            side = side_all[lo:lo + bw.frame_len]
 
-        _encode_frame(enc, st_mid, mid)
-        xq_mid = st_mid.last_xq
+            # fit + quantize the two predictors (decoder applies
+            # pred[0] -= pred[1] after dequant: q0 targets w0 + q1)
+            w0, w1 = _stereo_fit_preds(mid, side, ss.mid_carry)
+            ix1, q1 = _stereo_quant_pred(int(round(w1 * 8192.0)))
+            ix0, q0 = _stereo_quant_pred(int(round(w0 * 8192.0)) + q1)
+            p0_eff, p1_eff = q0 - q1, q1
 
-        # side target: subtract the decoder's exact per-sample
-        # prediction from the DECODED mid, with the 8 ms ramp from the
-        # previous predictors (silk.stereo_ms_to_lr); side sample j is
-        # applied at decoder step n = j+1
-        m_ext = np.concatenate([ss.mid_carry, xq_mid, xq_mid[-1:]])
-        pv0, pv1 = ss.pred_prev_q13
-        d0 = S.rshift_round(S.smulbb(p0_eff - pv0, denom_q16), 16)
-        d1 = S.rshift_round(S.smulbb(p1_eff - pv1, denom_q16), 16)
-        side_tgt = np.empty(bw.frame_len)
-        for j in range(bw.frame_len):
-            nstep = j + 1
-            if nstep < interp_len:
-                c0 = pv0 + d0 * (nstep + 1)
-                c1 = pv1 + d1 * (nstep + 1)
-            else:
-                c0, c1 = p0_eff, p1_eff
-            lp = m_ext[j] + 2.0 * m_ext[j + 1] + m_ext[j + 2]
-            pred = lp * c0 / 32768.0 + m_ext[j + 1] * c1 / 8192.0
-            side_tgt[j] = np.clip(np.round(side[j] - pred),
-                                  -32768, 32767)
-        _encode_frame(enc, st_side, side_tgt)
+            n_joint = ix0[2] * 5 + ix1[2]
+            enc.enc_icdf(n_joint, t["stereo_pred_joint_iCDF"], 8)
+            for ix in (ix0, ix1):
+                enc.enc_icdf(ix[0], t["uniform3_iCDF"], 8)
+                enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
+            # VAD ch1 set -> the decoder reads no only-mid symbol
 
-        ss.pred_prev_q13 = [p0_eff, p1_eff]
-        ss.mid_carry = xq_mid[-2:].copy()
+            _encode_frame(enc, st_mid, mid, conditional=(i > 0))
+            xq_mid = st_mid.last_xq
+
+            # side target: subtract the decoder's exact per-sample
+            # prediction from the DECODED mid, with the 8 ms ramp from
+            # the previous predictors (silk.stereo_ms_to_lr); side
+            # sample j is applied at decoder step n = j+1
+            m_ext = np.concatenate([ss.mid_carry, xq_mid, xq_mid[-1:]])
+            pv0, pv1 = ss.pred_prev_q13
+            d0 = S.rshift_round(S.smulbb(p0_eff - pv0, denom_q16), 16)
+            d1 = S.rshift_round(S.smulbb(p1_eff - pv1, denom_q16), 16)
+            side_tgt = np.empty(bw.frame_len)
+            for j in range(bw.frame_len):
+                nstep = j + 1
+                if nstep < interp_len:
+                    c0 = pv0 + d0 * (nstep + 1)
+                    c1 = pv1 + d1 * (nstep + 1)
+                else:
+                    c0, c1 = p0_eff, p1_eff
+                lp = m_ext[j] + 2.0 * m_ext[j + 1] + m_ext[j + 2]
+                pred = lp * c0 / 32768.0 + m_ext[j + 1] * c1 / 8192.0
+                side_tgt[j] = np.clip(np.round(side[j] - pred),
+                                      -32768, 32767)
+            # the decoder increments the mid channel's frame
+            # counter before reading the side frame, so the side
+            # conditional boundary is the same as mid's (verified
+            # bit-exact against libopus)
+            _encode_frame(enc, st_side, side_tgt, conditional=(i > 0))
+
+            ss.pred_prev_q13 = [p0_eff, p1_eff]
+            ss.mid_carry = xq_mid[-2:].copy()
 
         nbytes = ((enc.tell() + 7) >> 3) + 1
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
@@ -898,18 +922,22 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                          bandwidth: str = "wb",
                          frame_ms: int = 20) -> bytes:
-    """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus, one
-    frame per packet.  bandwidth picks the SILK internal rate: "nb"
-    (8 kHz), "mb" (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs
-    1/5/9) or 10 (2 subframes, the 10 ms pitch contour codebooks —
-    configs 0/4/8)."""
+    """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus.
+    bandwidth picks the SILK internal rate: "nb" (8 kHz), "mb"
+    (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs 1/5/9), 10
+    (2 subframes, the 10 ms pitch contour codebooks — configs 0/4/8),
+    or 40/60 (multi-frame packets, frames after the first coded
+    CODE_CONDITIONALLY — configs 2-3/6-7/10-11)."""
     from ..ogg import write_page  # noqa: F401  (via celt_encoder wrap)
     from .celt_encoder import PRESKIP, ogg_opus_wrap
     from ...ops.src import resample
 
-    if frame_ms not in (10, 20):
-        raise ValueError("SILK frames are 10 or 20 ms")
-    bw = (BANDWIDTHS if frame_ms == 20 else BANDWIDTHS_10MS)[bandwidth]
+    if frame_ms not in (10, 20, 40, 60):
+        raise ValueError("SILK packets are 10/20/40/60 ms")
+    bw = (BANDWIDTHS_10MS if frame_ms == 10 else BANDWIDTHS)[bandwidth]
+    fpp = max(1, frame_ms // 20)    # 20 ms SILK frames per packet
+    toc_cfg = ({"nb": 0, "mb": 4, "wb": 8}[bandwidth]
+               + {10: 0, 20: 1, 40: 2, 60: 3}[frame_ms])
     fs_hz = bw.fs_khz * 1000
     x = np.asarray(samples, np.float64).reshape(-1)
     S48 = (len(x) if sample_rate == 48000
@@ -923,15 +951,22 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
     F = -(-len(x) // bw.frame_len)
     x = np.concatenate([x, np.zeros(F * bw.frame_len - len(x))])
 
+    # pad to whole packets
+    P = -(-F // fpp)
+    x = np.concatenate([x, np.zeros(P * fpp * bw.frame_len - len(x))])
+
     st = SilkEncoderState(bw)
     packets = []
-    toc = (bw.toc << 3) | 0   # SILK-only 20 ms, mono, code 0
-    for k in range(F):
+    toc = (toc_cfg << 3) | 0   # SILK-only, mono, code 0
+    for k in range(P):
         enc = RangeEncoder(1275)
-        enc.enc_bit_logp(1, 1)          # VAD flag: active
+        for _ in range(fpp):
+            enc.enc_bit_logp(1, 1)      # VAD flag per frame: active
         enc.enc_bit_logp(0, 1)          # LBRR flag
-        _encode_frame(enc, st,
-                      x[k * bw.frame_len:(k + 1) * bw.frame_len])
+        for i in range(fpp):
+            lo = (k * fpp + i) * bw.frame_len
+            _encode_frame(enc, st, x[lo:lo + bw.frame_len],
+                          conditional=(i > 0))
         nbytes = ((enc.tell() + 7) >> 3) + 1   # VBR: shrink to used
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())

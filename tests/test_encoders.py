@@ -720,3 +720,43 @@ def test_silk_encode_10ms_reference_oracle(tmp_path, bandwidth, config):
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+@pytest.mark.parametrize("frame_ms,ch", [(40, 1), (60, 1), (40, 2)])
+def test_silk_encode_multiframe_reference_oracle(tmp_path, frame_ms, ch):
+    """40/60 ms SILK packets: 2/3 frames per packet, frames after the
+    first coded CODE_CONDITIONALLY (delta first gain, pitch-delta
+    symbol before an absolute lag, no LTP-scale symbol; the side
+    channel turns conditional at the same frame as mid).  Bit-identical
+    libopus decode, mono and stereo."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sig = _speechish(seconds=1.2)
+    if ch == 2:
+        sig = np.stack([sig, np.roll(sig, 240) * 0.9], 1).reshape(-1)
+    a = AudioData()
+    a.samples = sig.astype(np.float32)
+    a.channel_count = ch
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(ch, PCMFormat.PCM_FLT), a, mode="silk",
+        frame_ms=frame_ms)
+    p = tmp_path / "s.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "s.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
+    m = min(len(ref), len(ours))
+    assert m > 0
+    np.testing.assert_array_equal(ref[:m], ours[:m])
