@@ -543,7 +543,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x,
         lags = None
         e_red = e
         signal_type = TYPE_UNVOICED
-    quant_offset_type = 0
+    quant_offset_type = 0        # low offset first; RD trial below
 
     # ---- NLSF quantization (needed by the trial loop; coded later) --
     nlsf_idx, nlsf_deq = _quant_nlsf(nlsf_tgt, cb, signal_type)
@@ -577,6 +577,20 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x,
         if miss <= bw.frame_len // 32 or attempt == 5:
             break
         boost *= 2.0
+
+    # quantOffsetType: one closed-loop trial of the high offset at the
+    # chosen gains — the offset shifts every reconstruction level
+    # (Quantization_Offsets_Q10), which suits dense excitation;
+    # keep whichever tracks the input better (reference idea:
+    # silk/float/noise_shape_analysis find of quantOffsetType)
+    err0 = float(np.dot(xq - x, xq - x))
+    trial = _quantize_frame(
+        st, x, aq, aqf, gains_q16, signal_type, 1,
+        voiced, lags, b_q14 if voiced else None, ltp_scale_q14)
+    err1 = float(np.dot(trial[1] - x, trial[1] - x))
+    if err1 < err0:
+        quant_offset_type = 1
+        pulses, xq, slpc_out, prev_gain_out, miss = trial
     st.last_gain_index = lgi
 
     # ---- emission (decoder read order: silk.decode_indices) ----
