@@ -1,0 +1,103 @@
+"""Multi-chip scaling table for the fused CELT device program.
+
+Runs the full SPMD decode step (__graft_entry__.sharded_decode_step:
+IMDCT synthesis matmuls + TDAC + comb postfilter + deemphasis, sharded
+(dp, sp, tp) with psum/ppermute collectives) at mesh sizes 1/2/4/8 and
+reports, per device: compiled FLOPs and bytes from XLA cost_analysis,
+the collective ops in the optimized HLO, and wall-clock per step on
+this host.
+
+Each mesh size needs its own backend (xla_force_host_platform_
+device_count is fixed at init), so the script re-execs itself per row.
+On the virtual CPU mesh all "devices" share host cores — wall-clock is
+a smoke signal only; the per-device FLOP/byte columns are the
+structural scaling proof (they are what lands on each real TPU chip).
+
+Usage:  python tools/mesh_scaling.py [--json]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SIZES = (1, 2, 4, 8)
+ROWS, F = 8, 16
+
+
+def _one(n: int) -> dict:
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n}"
+    ).strip()
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as g
+
+    fn, args, (dp, sp, tp) = g.sharded_decode_step(
+        n, rows=ROWS, F=F, return_fn=True)
+    compiled = fn.lower(*args).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0))
+    byts = float(cost.get("bytes accessed", 0.0))
+    hlo = compiled.as_text()
+    coll = {}
+    for op in ("all-reduce", "collective-permute", "all-gather",
+               "reduce-scatter", "all-to-all"):
+        c = hlo.count(f" {op}(") + hlo.count(f" {op}-start(")
+        if c:
+            coll[op] = c
+    out = fn(*args)
+    out.block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        fn(*args).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return dict(n=n, dp=dp, sp=sp, tp=tp, gflops_per_dev=flops / 1e9,
+                gb_per_dev=byts / 1e9, collectives=coll,
+                step_ms=times[len(times) // 2] * 1e3)
+
+
+def main():
+    if len(sys.argv) > 1 and sys.argv[1].isdigit():
+        print(json.dumps(_one(int(sys.argv[1]))))
+        return
+    rows = []
+    for nn in SIZES:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), str(nn)],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        if r.returncode:
+            sys.stderr.write(r.stderr)
+            raise SystemExit(1)
+        rows.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    if "--json" in sys.argv:
+        print(json.dumps(rows, indent=1))
+        return
+    base = rows[0]["gflops_per_dev"]
+    print(f"fused CELT device step, rows={ROWS} streams x F={F} frames"
+          " (global shapes fixed):")
+    print("| devices | mesh (dp,sp,tp) | GFLOP/device | GB/device |"
+          " collectives | step ms (virtual CPU) |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        cl = ", ".join(f"{k} x{v}" for k, v in r["collectives"].items()) \
+            or "none"
+        print(f"| {r['n']} | ({r['dp']},{r['sp']},{r['tp']}) |"
+              f" {r['gflops_per_dev']:.2f} ({base / r['gflops_per_dev']:.1f}x"
+              f" less) | {r['gb_per_dev']:.3f} | {cl} |"
+              f" {r['step_ms']:.0f} |")
+
+
+if __name__ == "__main__":
+    main()
