@@ -1190,6 +1190,14 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     b.read(96)
     bs0 = 1 << b.read(4)
     bs1 = 1 << b.read(4)
+    # info.c:217-219 vorbis_unpack_info bounds; without the 8192 cap a
+    # corrupt 4-bit exponent (up to 2^15) makes the dense IMDCT matrix
+    # multi-GB and turns one packet into ~minutes of float64 matmul
+    # (CPU-burn found by the round-3 soak fuzzer)
+    if rate < 1 or channels < 1:
+        raise DecodeError("vorbis: bad ID header")
+    if bs0 < 64 or bs1 < bs0 or bs1 > 8192:
+        raise DecodeError("vorbis: invalid blocksizes")
 
     setup = packets[2].data
     setup_key = (hash(setup), channels)
