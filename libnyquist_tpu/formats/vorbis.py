@@ -1459,4 +1459,10 @@ def _decode_stream_packets(st, return_entropy: bool = False):
     pcm = np.concatenate(chunks, axis=0)
     if end_granule >= 0:
         pcm = pcm[: int(end_granule)]
+    # corrupt streams can blow the float64 residue/floor product past
+    # float32 range; an unclamped cast would turn that into +-inf
+    # (libvorbis computes in float32 throughout, so it saturates
+    # instead).  Legit output is O(1) — the clamp is inert for it.
+    np.clip(pcm, np.finfo(np.float32).min, np.finfo(np.float32).max,
+            out=pcm)
     return pcm.astype(np.float32), channels, rate
