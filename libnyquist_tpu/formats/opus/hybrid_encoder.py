@@ -1,17 +1,18 @@
-"""Hybrid (SILK+CELT) Opus encoder: mono fullband 20 ms frames.
+"""Hybrid (SILK+CELT) Opus encoder: fullband 20 ms frames, mono or
+stereo.
 
 The hybrid mode codes the low band with SILK (WB, internal 16 kHz) and
 everything from 8 kHz up with CELT starting at band 17, both halves
 sharing one range coder per packet (reference:
 libopus/src/opus_encoder.c — SILK first via silk_Encode, then
 celt_encode_with_ec on the same ec; RFC 6716 §2 "Hybrid mode", TOC
-config 15 = FB hybrid 20 ms).  Mono only (our SILK encoder codes mono
-WB); callers wanting stereo use CELT mode.
+config 15 = FB hybrid 20 ms).
 
 Packet layout produced here, mirrored from our own decoder's read
 order (formats/opus/decoder.py decode_packet):
-  VAD flag, LBRR flag, SILK WB frame, redundancy flag (0, logp 12),
-  then the CELT frame with start band 17 on the same coder.
+  VAD flag(s), LBRR flag per channel, [stereo predictors,] SILK WB
+  mid frame [+ side frame], redundancy flag (0, logp 12), then the
+  CELT frame (start band 17, C channels) on the same coder.
 
 Rate: SILK runs closed-loop VBR (the bits are what they are); the
 CELT half gets the remaining bytes of a per-frame budget derived from
@@ -36,75 +37,103 @@ from .celt_encoder import (
     ogg_opus_wrap,
 )
 from .range_coder import RangeEncoder
-from .silk_encoder import FRAME_LEN, SilkEncoderState, _encode_frame
+from .silk_encoder import (
+    FRAME_LEN,
+    SilkEncoderState,
+    _encode_frame,
+    _StereoState,
+    silk_stereo_frame,
+)
 
 TOC_HYBRID_FB_20MS = (15 << 3) | 0      # config 15, mono, code 0
 
 
 def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
-                           bitrate_kbps: int = 40) -> bytes:
-    """Encode mono float32 [-1, 1] PCM as hybrid fullband Ogg Opus."""
+                           bitrate_kbps: int = 40,
+                           channels: int = 1) -> bytes:
+    """Encode float32 [-1, 1] PCM (interleaved when channels=2) as
+    hybrid fullband Ogg Opus."""
     from ...ops.src import resample
 
-    x = np.asarray(samples, np.float64).reshape(-1)
+    ch = channels
+    x = np.asarray(samples, np.float64).reshape(-1, ch)
     if sample_rate != 48000:
-        x = np.asarray(resample(x.astype(np.float32), sample_rate,
-                                48000), np.float64)
+        x = np.stack([
+            np.asarray(resample(x[:, c].astype(np.float32),
+                                sample_rate, 48000), np.float64)
+            for c in range(ch)], 1)
     S48 = len(x)
 
     # 48 kHz plane for CELT: preskip priming + frame padding + preemph
     mode = mode48000()
-    lead = np.zeros(PRESKIP)
+    lead = np.zeros((PRESKIP, ch))
     x48 = np.concatenate([lead, x])
     F = -(-len(x48) // FRAME)
     pad = F * FRAME + mode.overlap - len(x48)
-    x48 = np.concatenate([x48, np.zeros(pad)])
+    x48 = np.concatenate([x48, np.zeros((pad, ch))]).T  # [ch, T]
     pre = np.empty_like(x48)
-    pre[0] = 32768.0 * x48[0]
-    pre[1:] = 32768.0 * (x48[1:] - PREEMPH_COEF * x48[:-1])
+    pre[:, 0] = 32768.0 * x48[:, 0]
+    pre[:, 1:] = 32768.0 * (x48[:, 1:] - PREEMPH_COEF * x48[:, :-1])
 
     # 16 kHz plane for SILK: same preskip convention as the SILK-only
     # path (PRESKIP is 48 kHz samples; 16 kHz sees a third of them)
-    x16 = np.asarray(resample(np.asarray(x, np.float32), 48000, 16000),
-                     np.float64)
-    x16 = np.concatenate([np.zeros(PRESKIP // 3), x16]) * 32767.0
-    x16 = np.concatenate([x16, np.zeros(F * FRAME_LEN - len(x16))])
+    x16 = np.stack([
+        np.asarray(resample(np.asarray(x[:, c], np.float32), 48000,
+                            16000), np.float64) for c in range(ch)], 1)
+    x16 = np.concatenate([np.zeros((PRESKIP // 3, ch)), x16]) * 32767.0
+    x16 = np.concatenate(
+        [x16, np.zeros((F * FRAME_LEN - len(x16), ch))])
 
     base_total = max(20, int(bitrate_kbps * 1000 * (FRAME / 48000.0) / 8))
     # Our SILK half is closed-loop VBR with no rate control (the bits
     # are what they are, ~40-50 kbps on busy speech), so the high band
     # gets max(total-target minus SILK, this floor) — the actual total
     # rate can exceed bitrate_kbps when SILK overruns it (documented).
-    MIN_CELT = 30                       # bytes the high band always gets
+    MIN_CELT = 30 * ch                  # bytes the high band always gets
 
     silk_st = SilkEncoderState()
-    celt_st = CeltEncoderState(1)
+    silk_side = SilkEncoderState() if ch == 2 else None
+    sstate = _StereoState() if ch == 2 else None
+    celt_st = CeltEncoderState(ch)
     celt_st.start = 17                  # hybrid: CELT codes 8 kHz up
+    if ch == 2:
+        mid_all = np.round((x16[:, 0] + x16[:, 1]) / 2.0)
+        side_all = np.round((x16[:, 0] - x16[:, 1]) / 2.0)
     packets = []
-    for k in range(F):
-        xf = x16[k * FRAME_LEN : (k + 1) * FRAME_LEN]
+    toc = TOC_HYBRID_FB_20MS | ((1 << 2) if ch == 2 else 0)
 
+    def silk_half(enc, states):
+        st_m, st_s, ss = states
+        lo = k * FRAME_LEN
+        enc.enc_bit_logp(1, 1)          # VAD ch0: active
+        enc.enc_bit_logp(0, 1)          # LBRR ch0
+        if ch == 1:
+            _encode_frame(enc, st_m, x16[lo:lo + FRAME_LEN, 0])
+            return
+        enc.enc_bit_logp(1, 1)          # VAD ch1 (side always coded)
+        enc.enc_bit_logp(0, 1)          # LBRR ch1
+        silk_stereo_frame(enc, st_m, st_s, ss,
+                          mid_all[lo:lo + FRAME_LEN],
+                          side_all[lo:lo + FRAME_LEN])
+
+    for k in range(F):
         # probe pass: SILK bit count on a state copy (deterministic)
         probe = RangeEncoder(1275)
-        probe.enc_bit_logp(1, 1)
-        probe.enc_bit_logp(0, 1)
-        _encode_frame(probe, copy.deepcopy(silk_st), xf)
+        silk_half(probe, copy.deepcopy((silk_st, silk_side, sstate)))
         silk_bytes = (probe.tell() + 12 + 7) >> 3
 
         total = min(max(base_total, silk_bytes + MIN_CELT), 1275)
 
         enc = RangeEncoder(total)
-        enc.enc_bit_logp(1, 1)          # VAD: active
-        enc.enc_bit_logp(0, 1)          # LBRR
-        _encode_frame(enc, silk_st, xf)
+        silk_half(enc, (silk_st, silk_side, sstate))
         # redundancy flag (decoder reads it when 37 bits fit)
         if enc.tell() + 37 <= 8 * total:
             enc.enc_bit_logp(0, 12)
-        win = pre[k * FRAME : k * FRAME + FRAME + mode.overlap]
-        celt_encode_frame(celt_st, win[None, :], total, 3, enc=enc)
+        win = pre[:, k * FRAME : k * FRAME + FRAME + mode.overlap]
+        celt_encode_frame(celt_st, win, total, 3, enc=enc)
         payload = enc.done()
         if enc.error:
             raise RuntimeError("hybrid range encoder overflow")
-        packets.append(bytes([TOC_HYBRID_FB_20MS]) + payload)
+        packets.append(bytes([toc]) + payload)
 
-    return ogg_opus_wrap(packets, 1, S48, FRAME, PRESKIP)
+    return ogg_opus_wrap(packets, ch, S48, FRAME, PRESKIP)

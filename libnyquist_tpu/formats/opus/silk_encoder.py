@@ -878,59 +878,73 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
             enc.enc_bit_logp(0, 1)      # LBRR
         for i in range(fpp):
             lo = (k * fpp + i) * bw.frame_len
-            mid = mid_all[lo:lo + bw.frame_len]
-            side = side_all[lo:lo + bw.frame_len]
-
-            # fit + quantize the two predictors (decoder applies
-            # pred[0] -= pred[1] after dequant: q0 targets w0 + q1)
-            w0, w1 = _stereo_fit_preds(mid, side, ss.mid_carry)
-            ix1, q1 = _stereo_quant_pred(int(round(w1 * 8192.0)))
-            ix0, q0 = _stereo_quant_pred(int(round(w0 * 8192.0)) + q1)
-            p0_eff, p1_eff = q0 - q1, q1
-
-            n_joint = ix0[2] * 5 + ix1[2]
-            enc.enc_icdf(n_joint, t["stereo_pred_joint_iCDF"], 8)
-            for ix in (ix0, ix1):
-                enc.enc_icdf(ix[0], t["uniform3_iCDF"], 8)
-                enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
-            # VAD ch1 set -> the decoder reads no only-mid symbol
-
-            _encode_frame(enc, st_mid, mid, conditional=(i > 0))
-            xq_mid = st_mid.last_xq
-
-            # side target: subtract the decoder's exact per-sample
-            # prediction from the DECODED mid, with the 8 ms ramp from
-            # the previous predictors (silk.stereo_ms_to_lr); side
-            # sample j is applied at decoder step n = j+1
-            m_ext = np.concatenate([ss.mid_carry, xq_mid, xq_mid[-1:]])
-            pv0, pv1 = ss.pred_prev_q13
-            d0 = S.rshift_round(S.smulbb(p0_eff - pv0, denom_q16), 16)
-            d1 = S.rshift_round(S.smulbb(p1_eff - pv1, denom_q16), 16)
-            side_tgt = np.empty(bw.frame_len)
-            for j in range(bw.frame_len):
-                nstep = j + 1
-                if nstep < interp_len:
-                    c0 = pv0 + d0 * (nstep + 1)
-                    c1 = pv1 + d1 * (nstep + 1)
-                else:
-                    c0, c1 = p0_eff, p1_eff
-                lp = m_ext[j] + 2.0 * m_ext[j + 1] + m_ext[j + 2]
-                pred = lp * c0 / 32768.0 + m_ext[j + 1] * c1 / 8192.0
-                side_tgt[j] = np.clip(np.round(side[j] - pred),
-                                      -32768, 32767)
-            # the decoder increments the mid channel's frame
-            # counter before reading the side frame, so the side
-            # conditional boundary is the same as mid's (verified
-            # bit-exact against libopus)
-            _encode_frame(enc, st_side, side_tgt, conditional=(i > 0))
-
-            ss.pred_prev_q13 = [p0_eff, p1_eff]
-            ss.mid_carry = xq_mid[-2:].copy()
-
+            silk_stereo_frame(
+                enc, st_mid, st_side, ss,
+                mid_all[lo:lo + bw.frame_len],
+                side_all[lo:lo + bw.frame_len],
+                conditional=(i > 0))
         nbytes = ((enc.tell() + 7) >> 3) + 1
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())
     return ogg_opus_wrap(packets, 2, S48, frame_ms * 48, PRESKIP)
+
+
+def silk_stereo_frame(enc, st_mid: SilkEncoderState,
+                      st_side: SilkEncoderState, ss: _StereoState,
+                      mid, side, conditional=False) -> None:
+    """One stereo SILK frame onto a (possibly shared) range coder:
+    stereo predictors, mid frame, prediction-compensated side frame.
+    Used by the SILK-only stereo packetizer above and the stereo
+    hybrid encoder (the caller emits VAD/LBRR header flags first)."""
+    t = ST.tables()
+    bw = st_mid.bw
+    interp_len = ST.STEREO_INTERP_LEN_MS * bw.fs_khz
+    denom_q16 = (1 << 16) // interp_len
+
+    # fit + quantize the two predictors (decoder applies
+    # pred[0] -= pred[1] after dequant: q0 targets w0 + q1)
+    w0, w1 = _stereo_fit_preds(mid, side, ss.mid_carry)
+    ix1, q1 = _stereo_quant_pred(int(round(w1 * 8192.0)))
+    ix0, q0 = _stereo_quant_pred(int(round(w0 * 8192.0)) + q1)
+    p0_eff, p1_eff = q0 - q1, q1
+
+    n_joint = ix0[2] * 5 + ix1[2]
+    enc.enc_icdf(n_joint, t["stereo_pred_joint_iCDF"], 8)
+    for ix in (ix0, ix1):
+        enc.enc_icdf(ix[0], t["uniform3_iCDF"], 8)
+        enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
+    # VAD ch1 set -> the decoder reads no only-mid symbol
+
+    _encode_frame(enc, st_mid, mid, conditional=conditional)
+    xq_mid = st_mid.last_xq
+
+    # side target: subtract the decoder's exact per-sample
+    # prediction from the DECODED mid, with the 8 ms ramp from
+    # the previous predictors (silk.stereo_ms_to_lr); side
+    # sample j is applied at decoder step n = j+1
+    m_ext = np.concatenate([ss.mid_carry, xq_mid, xq_mid[-1:]])
+    pv0, pv1 = ss.pred_prev_q13
+    d0 = S.rshift_round(S.smulbb(p0_eff - pv0, denom_q16), 16)
+    d1 = S.rshift_round(S.smulbb(p1_eff - pv1, denom_q16), 16)
+    side_tgt = np.empty(bw.frame_len)
+    for j in range(bw.frame_len):
+        nstep = j + 1
+        if nstep < interp_len:
+            c0 = pv0 + d0 * (nstep + 1)
+            c1 = pv1 + d1 * (nstep + 1)
+        else:
+            c0, c1 = p0_eff, p1_eff
+        lp = m_ext[j] + 2.0 * m_ext[j + 1] + m_ext[j + 2]
+        pred = lp * c0 / 32768.0 + m_ext[j + 1] * c1 / 8192.0
+        side_tgt[j] = np.clip(np.round(side[j] - pred),
+                              -32768, 32767)
+    # the decoder increments the mid channel's frame counter before
+    # reading the side frame, so the side conditional boundary is the
+    # same as mid's (verified bit-exact against libopus)
+    _encode_frame(enc, st_side, side_tgt, conditional=conditional)
+
+    ss.pred_prev_q13 = [p0_eff, p1_eff]
+    ss.mid_carry = xq_mid[-2:].copy()
 
 
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,

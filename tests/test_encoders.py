@@ -760,3 +760,53 @@ def test_silk_encode_multiframe_reference_oracle(tmp_path, frame_ms, ch):
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+def test_hybrid_encode_stereo_reference_oracle(tmp_path):
+    """Stereo hybrid (TOC config 15 + stereo flag): SILK stereo
+    mid/side low band + stereo CELT from band 17 on one shared range
+    coder.  libopus decodes it to within float32 rounding of our
+    decoder (the CELT half runs float64 here vs float32 there)."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    sr = 48000
+    low = _speechish(seconds=1.0)
+    t = np.arange(len(low)) / sr
+    high = (0.08 * np.sin(2 * np.pi * 10500 * t)).astype(np.float32)
+    L = low + high
+    R = np.roll(low, 31) * 0.85 + (0.05 * np.sin(
+        2 * np.pi * 9000 * t)).astype(np.float32)
+    sig = np.stack([L, R], 1).reshape(-1).astype(np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 2
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(2, PCMFormat.PCM_FLT), a, 64, mode="hybrid")
+    back = nq.load(buf, extension="opus")
+    assert back.channel_count == 2
+    p = tmp_path / "h.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "h.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(back.samples, np.float32)
+    m = min(len(ref), len(ours))
+    assert m > 40000
+    assert np.abs(ref[:m] - ours[:m]).max() < 1e-6
+    # the high band must survive in both channels (the half SILK drops)
+    y = np.asarray(back.samples, np.float64).reshape(-1, 2)
+    spec = np.abs(np.fft.rfft(y[:, 0] * np.hanning(len(y))))
+    freqs = np.fft.rfftfreq(len(y), 1 / sr)
+    band = spec[(freqs > 10000) & (freqs < 11000)]
+    assert band.max() > 0.05 * spec.max()
