@@ -251,7 +251,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     (16 kHz, default); frame_ms 10/20/40/60 — 40/60 ms packets carry
     2/3 conditionally-coded SILK frames (TOC configs 0-3/4-7/8-11).
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
-    range coder per packet (mono or stereo FB 20 ms, TOC config 15;
+    range coder per packet (mono or stereo, frame_ms 10/20,
+    bandwidth "swb"/"fb" — the four hybrid TOC configs 12-15;
     reference: opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
     so the total rate may exceed bitrate_kbps on busy content.
 
@@ -302,8 +303,10 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     if mode == "hybrid":
         from .formats.opus.hybrid_encoder import encode_ogg_opus_hybrid
 
-        return encode_ogg_opus_hybrid(samples, 48000, bitrate_kbps,
-                                      channels=ch)
+        return encode_ogg_opus_hybrid(
+            samples, 48000, bitrate_kbps, channels=ch,
+            frame_ms=int(frame_ms),
+            bandwidth=bandwidth if bandwidth in ("swb", "fb") else "fb")
     from .formats.opus.celt_encoder import encode_ogg_opus
 
     return encode_ogg_opus(samples, ch, 48000, bitrate_kbps,

@@ -38,7 +38,8 @@ from .celt_encoder import (
 )
 from .range_coder import RangeEncoder
 from .silk_encoder import (
-    FRAME_LEN,
+    BANDWIDTHS,
+    BANDWIDTHS_10MS,
     SilkEncoderState,
     _encode_frame,
     _StereoState,
@@ -50,10 +51,24 @@ TOC_HYBRID_FB_20MS = (15 << 3) | 0      # config 15, mono, code 0
 
 def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
                            bitrate_kbps: int = 40,
-                           channels: int = 1) -> bytes:
+                           channels: int = 1,
+                           frame_ms: int = 20,
+                           bandwidth: str = "fb") -> bytes:
     """Encode float32 [-1, 1] PCM (interleaved when channels=2) as
-    hybrid fullband Ogg Opus."""
+    hybrid Ogg Opus.  frame_ms 10/20 and bandwidth "swb"/"fb" span
+    the four hybrid TOC configs 12-15 (SWB caps the CELT half at band
+    19, matching the decoder's _endband_for_bandwidth)."""
     from ...ops.src import resample
+
+    if frame_ms not in (10, 20):
+        raise ValueError("hybrid frames are 10 or 20 ms")
+    if bandwidth not in ("swb", "fb"):
+        raise ValueError("hybrid bandwidth is swb or fb")
+    lm = 3 if frame_ms == 20 else 2
+    n_celt = FRAME >> (3 - lm)          # 960 / 480 samples @48 kHz
+    silk_bw = (BANDWIDTHS if frame_ms == 20 else BANDWIDTHS_10MS)["wb"]
+    silk_len = silk_bw.frame_len
+    toc_cfg = 12 + 2 * (bandwidth == "fb") + (frame_ms == 20)
 
     ch = channels
     x = np.asarray(samples, np.float64).reshape(-1, ch)
@@ -68,8 +83,8 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
     mode = mode48000()
     lead = np.zeros((PRESKIP, ch))
     x48 = np.concatenate([lead, x])
-    F = -(-len(x48) // FRAME)
-    pad = F * FRAME + mode.overlap - len(x48)
+    F = -(-len(x48) // n_celt)
+    pad = F * n_celt + mode.overlap - len(x48)
     x48 = np.concatenate([x48, np.zeros((pad, ch))]).T  # [ch, T]
     pre = np.empty_like(x48)
     pre[:, 0] = 32768.0 * x48[:, 0]
@@ -82,39 +97,41 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
                             16000), np.float64) for c in range(ch)], 1)
     x16 = np.concatenate([np.zeros((PRESKIP // 3, ch)), x16]) * 32767.0
     x16 = np.concatenate(
-        [x16, np.zeros((F * FRAME_LEN - len(x16), ch))])
+        [x16, np.zeros((F * silk_len - len(x16), ch))])
 
-    base_total = max(20, int(bitrate_kbps * 1000 * (FRAME / 48000.0) / 8))
+    base_total = max(
+        20, int(bitrate_kbps * 1000 * (n_celt / 48000.0) / 8))
     # Our SILK half is closed-loop VBR with no rate control (the bits
     # are what they are, ~40-50 kbps on busy speech), so the high band
     # gets max(total-target minus SILK, this floor) — the actual total
     # rate can exceed bitrate_kbps when SILK overruns it (documented).
     MIN_CELT = 30 * ch                  # bytes the high band always gets
 
-    silk_st = SilkEncoderState()
-    silk_side = SilkEncoderState() if ch == 2 else None
+    silk_st = SilkEncoderState(silk_bw)
+    silk_side = SilkEncoderState(silk_bw) if ch == 2 else None
     sstate = _StereoState() if ch == 2 else None
     celt_st = CeltEncoderState(ch)
     celt_st.start = 17                  # hybrid: CELT codes 8 kHz up
+    celt_st.end = 21 if bandwidth == "fb" else 19
     if ch == 2:
         mid_all = np.round((x16[:, 0] + x16[:, 1]) / 2.0)
         side_all = np.round((x16[:, 0] - x16[:, 1]) / 2.0)
     packets = []
-    toc = TOC_HYBRID_FB_20MS | ((1 << 2) if ch == 2 else 0)
+    toc = (toc_cfg << 3) | ((1 << 2) if ch == 2 else 0)
 
     def silk_half(enc, states):
         st_m, st_s, ss = states
-        lo = k * FRAME_LEN
+        lo = k * silk_len
         enc.enc_bit_logp(1, 1)          # VAD ch0: active
         enc.enc_bit_logp(0, 1)          # LBRR ch0
         if ch == 1:
-            _encode_frame(enc, st_m, x16[lo:lo + FRAME_LEN, 0])
+            _encode_frame(enc, st_m, x16[lo:lo + silk_len, 0])
             return
         enc.enc_bit_logp(1, 1)          # VAD ch1 (side always coded)
         enc.enc_bit_logp(0, 1)          # LBRR ch1
         silk_stereo_frame(enc, st_m, st_s, ss,
-                          mid_all[lo:lo + FRAME_LEN],
-                          side_all[lo:lo + FRAME_LEN])
+                          mid_all[lo:lo + silk_len],
+                          side_all[lo:lo + silk_len])
 
     for k in range(F):
         # probe pass: SILK bit count on a state copy (deterministic)
@@ -129,11 +146,11 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
         # redundancy flag (decoder reads it when 37 bits fit)
         if enc.tell() + 37 <= 8 * total:
             enc.enc_bit_logp(0, 12)
-        win = pre[:, k * FRAME : k * FRAME + FRAME + mode.overlap]
-        celt_encode_frame(celt_st, win, total, 3, enc=enc)
+        win = pre[:, k * n_celt : k * n_celt + n_celt + mode.overlap]
+        celt_encode_frame(celt_st, win, total, lm, enc=enc)
         payload = enc.done()
         if enc.error:
             raise RuntimeError("hybrid range encoder overflow")
         packets.append(bytes([toc]) + payload)
 
-    return ogg_opus_wrap(packets, ch, S48, FRAME, PRESKIP)
+    return ogg_opus_wrap(packets, ch, S48, n_celt, PRESKIP)

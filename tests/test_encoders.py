@@ -810,3 +810,47 @@ def test_hybrid_encode_stereo_reference_oracle(tmp_path):
     freqs = np.fft.rfftfreq(len(y), 1 / sr)
     band = spec[(freqs > 10000) & (freqs < 11000)]
     assert band.max() > 0.05 * spec.max()
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
+    reason="reference oracle build not present")
+@pytest.mark.parametrize("frame_ms,hbw,config", [
+    (10, "swb", 12), (20, "swb", 13), (10, "fb", 14)])
+def test_hybrid_encode_configs(tmp_path, frame_ms, hbw, config):
+    """The other three hybrid TOC configs (SWB 10/20 ms, FB 10 ms):
+    SILK WB frames of the right duration + CELT LM=2/3 capped at band
+    19 for SWB (decoder _endband_for_bandwidth).  libopus decodes all
+    of them to float32 rounding of our decoder."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+
+    sig = _speechish(seconds=0.6)
+    t = np.arange(len(sig)) / 48000
+    sig = sig + (0.08 * np.sin(2 * np.pi * 10500 * t)).astype(
+        np.float32)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, 48, mode="hybrid",
+        frame_ms=frame_ms, bandwidth=hbw)
+    st_ogg = next(iter(demux(buf).values()))
+    assert (st_ogg.packets[2].data[0] >> 3) == config
+    p = tmp_path / "h.opus"
+    p.write_bytes(buf)
+    out = tmp_path / "h.raw"
+    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
+    m = min(len(ref), len(ours))
+    assert m > 20000
+    assert np.abs(ref[:m] - ours[:m]).max() < 1e-6
