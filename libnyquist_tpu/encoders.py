@@ -239,7 +239,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                           bitrate_kbps: int = 96,
                           frame_ms: float = 20,
                           mode: str = "celt",
-                          bandwidth: str = "wb") -> bytes:
+                          bandwidth: str = "wb",
+                          dtx: bool = False) -> bytes:
     """Encode AudioData to Ogg Opus.
 
     mode="celt" (default): CELT-only fullband frames of 2.5/5/10/20 ms.
@@ -250,6 +251,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     picks the SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb"
     (16 kHz, default); frame_ms 10/20/40/60 — 40/60 ms packets carry
     2/3 conditionally-coded SILK frames (TOC configs 0-3/4-7/8-11).
+    dtx=True (mono) emits TOC-only packets through silent stretches
+    with a ~400 ms refresh (OPUS_SET_DTX).
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono or stereo, frame_ms 10/20,
     bandwidth "swb"/"fb" — the four hybrid TOC configs 12-15;
@@ -299,7 +302,7 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
         return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth,
-                                    frame_ms=int(frame_ms))
+                                    frame_ms=int(frame_ms), dtx=dtx)
     if mode == "hybrid":
         from .formats.opus.hybrid_encoder import encode_ogg_opus_hybrid
 

@@ -947,15 +947,28 @@ def silk_stereo_frame(enc, st_mid: SilkEncoderState,
     ss.mid_carry = xq_mid[-2:].copy()
 
 
+DTX_REFRESH = 20          # packets; ~400 ms at 20 ms (opus_encoder.c)
+DTX_RMS_THRESH = 40.0     # int16 domain, ~-58 dBFS
+
+
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                          bandwidth: str = "wb",
-                         frame_ms: int = 20) -> bytes:
+                         frame_ms: int = 20,
+                         dtx: bool = False) -> bytes:
     """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus.
     bandwidth picks the SILK internal rate: "nb" (8 kHz), "mb"
     (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs 1/5/9), 10
     (2 subframes, the 10 ms pitch contour codebooks — configs 0/4/8),
     or 40/60 (multi-frame packets, frames after the first coded
-    CODE_CONDITIONALLY — configs 2-3/6-7/10-11)."""
+    CODE_CONDITIONALLY — configs 2-3/6-7/10-11).
+
+    dtx=True replaces packets whose input falls below ~-58 dBFS with
+    TOC-only (1 byte) packets after a one-packet hangover, refreshing
+    with a real packet every ~400 ms (OPUS_SET_DTX semantics; the
+    decoder treats the empty frames as DTX comfort-noise holds).
+    Like libopus, encoder and decoder state drift across a DTX gap;
+    the first packets after reactivation are coded independently and
+    re-converge."""
     from ..ogg import write_page  # noqa: F401  (via celt_encoder wrap)
     from .celt_encoder import PRESKIP, ogg_opus_wrap
     from ...ops.src import resample
@@ -986,7 +999,17 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
     st = SilkEncoderState(bw)
     packets = []
     toc = (toc_cfg << 3) | 0   # SILK-only, mono, code 0
+    silent_run = 0
     for k in range(P):
+        if dtx:
+            seg = x[k * fpp * bw.frame_len:(k + 1) * fpp * bw.frame_len]
+            if np.sqrt(np.mean(seg * seg)) < DTX_RMS_THRESH:
+                silent_run += 1
+                if silent_run > 1 and silent_run % DTX_REFRESH:
+                    packets.append(bytes([toc]))   # TOC-only: DTX
+                    continue
+            else:
+                silent_run = 0
         enc = RangeEncoder(1275)
         for _ in range(fpp):
             enc.enc_bit_logp(1, 1)      # VAD flag per frame: active

