@@ -314,3 +314,44 @@ def test_mpc_sv8_seek_io_bounded():
     # header scan + ST + the last two AP block bodies; the first/bulk
     # AP blocks (~58 KB of the 70 KB file) stay untouched
     assert src.bytes_read < src.size * 0.45, src.bytes_read
+
+
+def test_seek_reader_fuzz():
+    """Byte-mutation fuzz over every lazy reader type (Ogg bisection,
+    FLAC frame probe, MP3 index, MPC SV7/SV8 incl. the golomb ST
+    parse): open + random seeks + reads must produce output or typed
+    errors, never foreign exceptions or hangs."""
+    import random
+    import time
+
+    from libnyquist_tpu.errors import NyquistError
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    targets = [
+        REF / "ad_hoc" / "detodos.opus",
+        REF / "ad_hoc" / "KittyPurr16_Stereo.flac",
+        REF / "ad_hoc" / "acetylene.mp3",
+        REF / "ad_hoc" / "44_16_stereo.mpc",
+        fixtures / "sv7_stereo.mpc",
+    ]
+    rng = random.Random(5)
+    for path in targets:
+        if not path.exists():
+            continue
+        data = path.read_bytes()
+        for _ in range(12):
+            mut = bytearray(data)
+            region = rng.choice([len(data), min(2048, len(data))])
+            for _ in range(rng.randint(1, 10)):
+                mut[rng.randrange(region)] = rng.randrange(256)
+            t0 = time.monotonic()
+            try:
+                r = seek_reader(bytes(mut))
+                total = r.pcm_total()
+                for _ in range(4):
+                    if total > 1:
+                        r.pcm_seek(rng.randrange(max(total, 2)))
+                    r.read(rng.randrange(1, 4000))
+            except (NyquistError, MemoryError):
+                pass
+            assert time.monotonic() - t0 < 30.0, path.name
