@@ -983,8 +983,49 @@ def _opus_with_escalation(K, use_iy):
     return result
 
 
+def _device_watchdog(timeout_s=180.0):
+    """Fail fast with a parseable JSON line if device init hangs.
+
+    The axon debug tunnel has died mid-round before: jax.devices()
+    then blocks forever and the driver's bench run times out with NO
+    recorded line.  Probe device init on a daemon thread; on timeout
+    print an explicit error result (value 0) and exit cleanly so the
+    failure mode is recorded instead of silent."""
+    import threading
+
+    got = []
+
+    def probe():
+        try:
+            import os
+
+            jax = _jax_setup()
+            if os.environ.get("JAX_PLATFORMS"):
+                # the axon sitecustomize presets override plain env;
+                # the config API wins (lets CPU smoke runs through)
+                jax.config.update("jax_platforms",
+                                  os.environ["JAX_PLATFORMS"])
+            got.append(len(jax.devices()))
+        except Exception as e:  # init error is as terminal as a hang
+            got.append(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not got or isinstance(got[0], Exception):
+        why = ("device init timeout (tunnel down?)" if not got
+               else f"device init failed: {got[0]}")
+        print(json.dumps({
+            "metric": "opus_e2e_decode_realtime_x", "value": 0,
+            "unit": "audio_seconds_per_second_per_chip",
+            "vs_baseline": 0.0, "error": why,
+        }))
+        raise SystemExit(0)
+
+
 def main():
     argv = sys.argv[1:]
+    _device_watchdog()
     K = 8
     if "--streams" in argv:
         K = int(argv[argv.index("--streams") + 1])
