@@ -194,13 +194,15 @@ def _scan_page(buf: bytes, base: int, serial=None, header_only=False):
 
 
 class OggSeekReader:
-    """opusfile/vorbisfile-style positioned reader over one Ogg Opus or
-    Ogg Vorbis link: pcm_total from the tail page, pcm_seek by O(log)
-    granule bisection, reads decode a bounded window with pre-roll.
+    """opusfile/vorbisfile-style positioned reader over one Ogg Opus,
+    Ogg Vorbis or Ogg FLAC link: pcm_total from the tail page,
+    pcm_seek by O(log) granule bisection, reads decode a bounded
+    window with pre-roll.
 
     Output matches the full decode to float tolerance (Vorbis exactly;
     Opus after the >= 1 s pre-roll the decoder state has converged far
-    below f32 resolution — opusfile itself guarantees only 80 ms)."""
+    below f32 resolution — opusfile itself guarantees only 80 ms;
+    FLAC frames are independent, so windows are bit-exact)."""
 
     PREROLL_OPUS = 48000          # 1 s @48 kHz (>> opusfile's 80 ms)
 
@@ -237,6 +239,13 @@ class OggSeekReader:
             off = end
             if pkts and pkts[0][:8] == b"OpusHead":
                 need = 2
+            elif pkts and pkts[0][:5] == b"\x7fFLAC":
+                # Ogg FLAC mapping: u16 trailing-header count at 7:9
+                nhdr = struct.unpack_from(">H", pkts[0], 7)[0]
+                if nhdr == 0:
+                    raise DecodeError(
+                        "Ogg FLAC with unknown header count")
+                need = 1 + nhdr
         first = pkts[0]
         if first[:8] == b"OpusHead":
             self.codec = "opus"
@@ -250,8 +259,21 @@ class OggSeekReader:
             self.sample_rate = struct.unpack_from("<I", first, 12)[0]
             self.preskip = 0
             self.headers = pkts[:3]
+        elif first[:5] == b"\x7fFLAC" and first[9:13] == b"fLaC":
+            self.codec = "flac"
+            info = first[17:51]                 # STREAMINFO body
+            self.block_nominal = int.from_bytes(info[2:4], "big")
+            self.sample_rate = int.from_bytes(info[10:13], "big") >> 4
+            self.channel_count = ((info[12] >> 1) & 0x7) + 1
+            self.preskip = 0
+            # native-FLAC prefix for windowed decode: fLaC +
+            # STREAMINFO with the last-metadata flag set
+            self._meta = (b"fLaC" + bytes([first[13] | 0x80])
+                          + first[14:51])
+            self.headers = []
         else:
-            raise DecodeError("lazy reader supports Ogg Opus/Vorbis")
+            raise DecodeError(
+                "lazy reader supports Ogg Opus/Vorbis/FLAC")
         self.data_off = off
         # tail granule -> total
         tail = self.src.pread(max(0, self.src.size - _WIN), _WIN)
@@ -401,6 +423,22 @@ class OggSeekReader:
         end_needed = min(pos + n + self.preskip, self.end_gran)
         pkts, first_gran, k0 = self._collect_packets(
             start_off, end_needed)
+        if self.codec == "flac":
+            from .audio_data import AudioData
+            from .formats import flac as Fl
+
+            body = [pk for pk in pkts if pk and pk[0] == 0xFF]
+            a = AudioData()
+            Fl.decode_flac_buffer(self._meta + b"".join(body), a)
+            self._buf = np.asarray(a.samples, np.float32).reshape(
+                -1, self.channel_count)
+            # FLAC frames self-describe their position: anchor on the
+            # first frame's coded sample/frame number
+            got = _flac_parse_header(body[0], 0, self.block_nominal)
+            if got is None:
+                raise DecodeError("bad FLAC frame in Ogg window")
+            self._buf_start = got[0]
+            return
         if self.codec == "opus":
             from .formats.opus.decoder import OpusDecoder
             from .formats.opus.packet import parse_packet
@@ -624,6 +662,49 @@ def _flac_crc8(buf: bytes) -> int:
     return c
 
 
+def _flac_parse_header(buf, i, block_nominal):
+    """Validated FLAC frame header at buf[i] -> (sample_pos, i) or
+    None (CRC-8 gates false syncs)."""
+    if i + 16 > len(buf):
+        return None
+    if not (buf[i] == 0xFF and (buf[i + 1] & 0xFC) == 0xF8):
+        return None
+    variable = buf[i + 1] & 1
+    j = i + 4
+    b0 = buf[j]
+    if b0 < 0x80:
+        nb, num = 1, b0
+    else:
+        nb, t = 0, b0
+        while t & 0x80:
+            nb += 1
+            t = (t << 1) & 0xFF
+        if nb < 2 or nb > 7 or j + nb > len(buf):
+            return None
+        num = b0 & (0x7F >> nb)
+        for k in range(1, nb):
+            if (buf[j + k] & 0xC0) != 0x80:
+                return None
+            num = (num << 6) | (buf[j + k] & 0x3F)
+    j += nb
+    bs_code = buf[i + 2] >> 4
+    if bs_code == 6:
+        j += 1
+    elif bs_code == 7:
+        j += 2
+    sr_code = buf[i + 2] & 0xF
+    if sr_code == 12:
+        j += 1
+    elif sr_code in (13, 14):
+        j += 2
+    if j >= len(buf):
+        return None
+    if _flac_crc8(buf[i : j]) != buf[j]:
+        return None
+    sample = num if variable else num * block_nominal
+    return sample, i
+
+
 class FlacSeekReader:
     """Positioned reader over native FLAC: O(log) byte bisection on
     frame headers (each header carries its coded frame/sample number
@@ -664,46 +745,7 @@ class FlacSeekReader:
 
     # -- frame probe ---------------------------------------------------
     def _parse_header(self, buf, i):
-        """Validated frame header at buf[i] -> (sample_pos, hdr_len)
-        or None (CRC-8 gates false syncs)."""
-        if i + 16 > len(buf):
-            return None
-        if not (buf[i] == 0xFF and (buf[i + 1] & 0xFC) == 0xF8):
-            return None
-        variable = buf[i + 1] & 1
-        j = i + 4
-        b0 = buf[j]
-        if b0 < 0x80:
-            nb, num = 1, b0
-        else:
-            nb, t = 0, b0
-            while t & 0x80:
-                nb += 1
-                t = (t << 1) & 0xFF
-            if nb < 2 or nb > 7 or j + nb > len(buf):
-                return None
-            num = b0 & (0x7F >> nb)
-            for k in range(1, nb):
-                if (buf[j + k] & 0xC0) != 0x80:
-                    return None
-                num = (num << 6) | (buf[j + k] & 0x3F)
-        j += nb
-        bs_code = buf[i + 2] >> 4
-        if bs_code == 6:
-            j += 1
-        elif bs_code == 7:
-            j += 2
-        sr_code = buf[i + 2] & 0xF
-        if sr_code == 12:
-            j += 1
-        elif sr_code in (13, 14):
-            j += 2
-        if j >= len(buf):
-            return None
-        if _flac_crc8(buf[i : j]) != buf[j]:
-            return None
-        sample = num if variable else num * self.block_nominal
-        return sample, i
+        return _flac_parse_header(buf, i, self.block_nominal)
 
     def _first_frame_after(self, off):
         """(sample_pos, file_off) of the first valid frame header at or

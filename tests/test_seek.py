@@ -355,3 +355,28 @@ def test_seek_reader_fuzz():
             except (NyquistError, MemoryError):
                 pass
             assert time.monotonic() - t0 < 30.0, path.name
+
+
+def test_ogg_flac_lazy_reader():
+    """Ogg FLAC link through the granule-bisection reader: FLAC frames
+    are independent and self-describe their sample position, so
+    windows are bit-exact with zero pre-roll.  (The reference cannot
+    even decode Ogg FLAC — its loader only wires vorbisfile/opusfile;
+    ours decodes and lazy-seeks it.)"""
+    path = pathlib.Path(__file__).parent / "fixtures" / \
+        "kitty8_dithered.oga"
+    full = StreamReader(str(path))
+    src = CountingSource(str(path))
+    r = seek_reader(src)
+    assert isinstance(r, OggSeekReader) and r.codec == "flac"
+    assert r.pcm_total() == full.pcm_total()
+    assert r.channel_count == full.channel_count
+    total = r.pcm_total()
+    for pos in (0, 100, total // 2, total - 600):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(500)
+        b = full.read(500)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos     # bit-exact
+    assert src.reads < 40                          # windows, not O(file)
