@@ -34,7 +34,7 @@ from .io import load
 
 __all__ = ["StreamReader", "OggSeekReader", "ChainedOggSeekReader",
            "Mp3SeekReader", "FlacSeekReader", "MpcSeekReader",
-           "CountingSource", "seek_reader"]
+           "WavSeekReader", "CountingSource", "seek_reader"]
 
 
 class StreamReader:
@@ -1359,10 +1359,109 @@ class MpcSeekReader:
         self._buf_start = first * M.FRAME_LENGTH - M.SYNTH_DELAY
 
 
+class WavSeekReader:
+    """Lazy positioned reader over RIFF WAV PCM/IEEE-float: sample
+    positions map linearly onto the data chunk, so every seek is an
+    O(1) pread with no decoder state.  Block-coded WAV (IMA-ADPCM)
+    falls back to the decode-backed StreamReader in seek_reader()."""
+
+    def __init__(self, source):
+        from .audio_data import PCMFormat
+        from .formats import wav as W
+
+        self.src = (source if isinstance(source, CountingSource)
+                    else CountingSource(source))
+        head = self.src.pread(0, 12)
+        if head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise DecodeError("not a RIFF WAV stream")
+        # lazy chunk walk: 8-byte headers only
+        off = 12
+        fmt = None
+        self.data_off = self.data_size = 0
+        while off + 8 <= self.src.size:
+            hdr = self.src.pread(off, 8)
+            cid = hdr[:4]
+            size = struct.unpack_from("<I", hdr, 4)[0]
+            if cid == b"fmt ":
+                fmt = self.src.pread(off + 8, min(size, 40))
+            elif cid == b"data":
+                self.data_off = off + 8
+                self.data_size = min(size, self.src.size - off - 8)
+                if fmt is not None:
+                    break
+            off += 8 + size + (size & 1)
+        if fmt is None or len(fmt) < 16 or not self.data_off:
+            raise DecodeError("WAV fmt/data chunk missing")
+        (wformat, ch, rate, _dr, frame_size, bits) = struct.unpack_from(
+            "<HHIIHH", fmt, 0)
+        if wformat == W.FORMAT_EXT and len(fmt) >= 26:
+            wformat = struct.unpack_from("<H", fmt, 24)[0]
+        if wformat not in (W.FORMAT_PCM, W.FORMAT_IEEE):
+            raise DecodeError("lazy WAV reader handles PCM/float only")
+        if ch < 1 or frame_size < 1 or rate < 1:
+            raise DecodeError("bad WAV fmt chunk")
+        self.channel_count = ch
+        self.sample_rate = rate
+        self.frame_size = frame_size
+        ieee = wformat == W.FORMAT_IEEE
+        self.fmt = {
+            8: PCMFormat.PCM_U8, 16: PCMFormat.PCM_16,
+            24: PCMFormat.PCM_24,
+            32: PCMFormat.PCM_FLT if ieee else PCMFormat.PCM_32,
+            64: PCMFormat.PCM_DBL if ieee else PCMFormat.PCM_64,
+        }.get(bits)
+        if self.fmt is None or frame_size != ch * (bits // 8):
+            raise DecodeError("unsupported WAV sample layout")
+        self._pos = 0
+
+    def pcm_total(self) -> int:
+        return self.data_size // self.frame_size
+
+    def pcm_tell(self) -> int:
+        return self._pos
+
+    def pcm_seek(self, offset: int) -> None:
+        if offset < 0 or offset > self.pcm_total():
+            raise DecodeError("seek out of range")
+        self._pos = int(offset)
+
+    def time_tell(self) -> float:
+        return self._pos / self.sample_rate
+
+    def time_seek(self, seconds: float) -> None:
+        self.pcm_seek(int(round(seconds * self.sample_rate)))
+
+    def read(self, n: int) -> np.ndarray:
+        from .ops import pcm as pcm_ops
+
+        if n < 0:
+            raise DecodeError("negative read size")
+        n = min(n, self.pcm_total() - self._pos)
+        if n <= 0:
+            return np.zeros((0, self.channel_count), np.float32)
+        raw = self.src.pread(self.data_off + self._pos * self.frame_size,
+                             n * self.frame_size)
+        out = np.asarray(pcm_ops.convert_buffer_to_float32(
+            raw, self.fmt), np.float32).reshape(-1, self.channel_count)
+        self._pos += out.shape[0]
+        return out
+
+    def __iter__(self):
+        step = max(1, self.sample_rate // 50)
+        while True:
+            chunk = self.read(step)
+            if chunk.shape[0] == 0:
+                return
+            yield chunk
+
+
 def seek_reader(source):
     """Factory: the right lazy seek reader for the content (Ogg
-    Opus/Vorbis bisection incl. chained links, FLAC frame bisection,
-    MP3 frame index, Musepack seek-table blocks)."""
+    Opus/Vorbis/FLAC bisection incl. chained links, FLAC frame
+    bisection, MP3 frame index, Musepack seek-table blocks, WAV O(1)
+    preads).  Content without a lazy path (IMA-ADPCM WAV, AIFF/CAF,
+    WavPack) falls back to the decode-backed StreamReader — same
+    surface, O(file) startup."""
     src = source if isinstance(source, CountingSource) \
         else CountingSource(source)
     head = src.pread(0, 16)
@@ -1373,4 +1472,13 @@ def seek_reader(source):
         return FlacSeekReader(src)
     if head[:4] == b"MPCK" or head[:3] == b"MP+":
         return MpcSeekReader(src)
+    if head[:4] == b"RIFF":
+        try:
+            return WavSeekReader(src)
+        except DecodeError:
+            return StreamReader(src.pread(0, src.size), extension="wav")
+    if head[:4] in (b"FORM", b"caff") or head[:4] == b"wvpk":
+        ext = {b"FORM": "aiff", b"caff": "caf",
+               b"wvpk": "wv"}[head[:4]]
+        return StreamReader(src.pread(0, src.size), extension=ext)
     return Mp3SeekReader(src)

@@ -380,3 +380,41 @@ def test_ogg_flac_lazy_reader():
         assert a.shape == b.shape
         assert np.abs(a - b).max() == 0.0, pos     # bit-exact
     assert src.reads < 40                          # windows, not O(file)
+
+
+def test_wav_lazy_reader_and_fallbacks():
+    """WAV PCM/float seeks are O(1) preads (WavSeekReader, bit-exact
+    vs the decode-backed reader); content without a lazy path
+    (IMA-ADPCM WAV, AIFF, WavPack) falls back to the decode-backed
+    StreamReader so seek_reader() is total over every supported
+    container."""
+    from libnyquist_tpu.streaming import WavSeekReader
+
+    p = REF / "ad_hoc" / "Sequence44k_24b.wav"
+    if not p.exists():
+        pytest.skip("reference corpus absent")
+    full = StreamReader(str(p))
+    src = CountingSource(str(p))
+    r = seek_reader(src)
+    assert isinstance(r, WavSeekReader)
+    assert r.pcm_total() == full.pcm_total()
+    for pos in (0, 1000, full.pcm_total() - 50):
+        r.pcm_seek(pos)
+        full.pcm_seek(pos)
+        a = r.read(40)
+        b = full.read(40)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0
+    assert src.bytes_read < src.size // 4      # windows, not O(file)
+
+    adpcm = REF / "ad_hoc" / "TestBeat_44_16_stereo-ima4-reaper.wav"
+    if adpcm.exists():
+        r = seek_reader(str(adpcm))
+        assert isinstance(r, StreamReader)
+        r.time_seek(0.5)
+        assert r.read(100).shape[0] == 100
+    wv = REF / "ad_hoc" / "TestBeat_Int16.wv"
+    if wv.exists():
+        r = seek_reader(str(wv))
+        assert isinstance(r, StreamReader)
+        assert r.read(100).shape == (100, 2)
