@@ -418,3 +418,48 @@ def test_wav_lazy_reader_and_fallbacks():
         r = seek_reader(str(wv))
         assert isinstance(r, StreamReader)
         assert r.read(100).shape == (100, 2)
+
+
+def test_chained_ogg_flac_lazy_reader():
+    """Chained Ogg FLAC links (distinct serials) stitch through the
+    chain reader bit-exactly — including a seek landing across the
+    link boundary.  (Beyond the reference: its loader has no Ogg FLAC
+    path at all.)"""
+    import struct
+
+    from libnyquist_tpu.formats.ogg import _ogg_crc
+    from libnyquist_tpu.streaming import ChainedOggSeekReader
+
+    def reserial(data, new_serial):
+        out = bytearray(data)
+        pos = 0
+        while pos + 27 <= len(out):
+            idx = out.find(b"OggS", pos)
+            if idx < 0:
+                break
+            nseg = out[idx + 26]
+            end = (idx + 27 + nseg
+                   + sum(out[idx + 27 : idx + 27 + nseg]))
+            struct.pack_into("<I", out, idx + 14, new_serial)
+            struct.pack_into("<I", out, idx + 22, 0)
+            struct.pack_into("<I", out, idx + 22,
+                             _ogg_crc(bytes(out[idx:end])))
+            pos = end
+        return bytes(out)
+
+    fl = (pathlib.Path(__file__).parent / "fixtures"
+          / "kitty8_dithered.oga").read_bytes()
+    chained = fl + reserial(fl, 0x7777)
+    solo = StreamReader(fl, extension="ogg")
+    r = seek_reader(chained)
+    assert isinstance(r, ChainedOggSeekReader) and len(r.links) == 2
+    l0 = r.links[0].pcm_total()
+    assert r.pcm_total() == 2 * solo.pcm_total()
+    for pos, ref_pos in ((100, 100), (l0 + 100, 100),
+                         (2 * l0 - 500, l0 - 500)):
+        r.pcm_seek(pos)
+        solo.pcm_seek(ref_pos)
+        a = r.read(150)
+        b = solo.read(150)
+        assert a.shape == b.shape
+        assert np.abs(a - b).max() == 0.0, pos
