@@ -251,8 +251,10 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     picks the SILK internal rate: "nb" (8 kHz), "mb" (12 kHz) or "wb"
     (16 kHz, default); frame_ms 10/20/40/60 — 40/60 ms packets carry
     2/3 conditionally-coded SILK frames (TOC configs 0-3/4-7/8-11).
-    dtx=True (mono) emits TOC-only packets through silent stretches
-    with a ~400 ms refresh (OPUS_SET_DTX).
+    dtx=True emits TOC-only packets through silent stretches with a
+    ~400 ms refresh (OPUS_SET_DTX) — SILK mono and CELT mode; CELT
+    reactivation frames are forced intra so the energy prediction
+    resyncs exactly.
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono or stereo, frame_ms 10/20,
     bandwidth "swb"/"fb" — the four hybrid TOC configs 12-15;
@@ -313,7 +315,7 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     from .formats.opus.celt_encoder import encode_ogg_opus
 
     return encode_ogg_opus(samples, ch, 48000, bitrate_kbps,
-                           frame_ms=frame_ms)
+                           frame_ms=frame_ms, dtx=dtx)
 
 
 def encode_opus_multistream_to_buffer(p: EncoderParams, d: AudioData,

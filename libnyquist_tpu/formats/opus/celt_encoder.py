@@ -691,15 +691,22 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         st.oldEBands[0, :] = np.maximum(st.oldEBands[0],
                                         st.oldEBands[1])
     if tell + 3 <= total_bits:
-        cost = {}
-        for trial_intra in (True, False):
-            sc = RangeEncoder(nbytes)
-            quant_coarse_energy(
-                mode, st.start, st.end, bandLogE,
-                st.oldEBands.copy(), sc, C, LM, total_bits,
-                intra=trial_intra)
-            cost[trial_intra] = sc.tell_frac()
-        intra = cost[True] + (3 << 3) <= cost[False] + 2
+        if getattr(st, "force_intra", False):
+            # first coded frame after a DTX gap: the decoder's energy
+            # memory drifted through its comfort-noise hold, so inter
+            # prediction would desync — intra is self-contained
+            intra = True
+            st.force_intra = False
+        else:
+            cost = {}
+            for trial_intra in (True, False):
+                sc = RangeEncoder(nbytes)
+                quant_coarse_energy(
+                    mode, st.start, st.end, bandLogE,
+                    st.oldEBands.copy(), sc, C, LM, total_bits,
+                    intra=trial_intra)
+                cost[trial_intra] = sc.tell_frac()
+            intra = cost[True] + (3 << 3) <= cost[False] + 2
         enc.enc_bit_logp(1 if intra else 0, 3)
     else:
         intra = False
@@ -833,7 +840,7 @@ PRESKIP = 312
 
 def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
                     bitrate_kbps: int = 96, vbr: bool = True,
-                    frame_ms: float = 20) -> bytes:
+                    frame_ms: float = 20, dtx: bool = False) -> bytes:
     """Encode interleaved float32 [-1, 1] PCM to an Ogg Opus byte string.
 
     CELT-only fullband frames of 2.5/5/10/20 ms (TOC configs 28-31,
@@ -848,7 +855,8 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
     port).  vbr=False keeps the old CBR behavior.
     """
     packets, S = celt_encode_packets(samples, channels, sample_rate,
-                                     bitrate_kbps, vbr, frame_ms)
+                                     bitrate_kbps, vbr, frame_ms,
+                                     dtx=dtx)
     frame = 120 << {2.5: 0, 5: 1, 10: 2, 20: 3}[frame_ms]
     return ogg_opus_wrap(packets, channels, S, frame, PRESKIP)
 
@@ -856,7 +864,8 @@ def encode_ogg_opus(samples: np.ndarray, channels: int, sample_rate: int,
 def celt_encode_packets(samples: np.ndarray, channels: int,
                         sample_rate: int, bitrate_kbps: int = 96,
                         vbr: bool = True,
-                        frame_ms: float = 20) -> tuple[list, int]:
+                        frame_ms: float = 20,
+                        dtx: bool = False) -> tuple[list, int]:
     """Encode PCM to a list of finished Opus packets (TOC included).
     Returns (packets, input_samples).  The container-free form both
     the single-stream Ogg writer and the multistream combiner build
@@ -905,7 +914,22 @@ def celt_encode_packets(samples: np.ndarray, channels: int,
     cap = init_caps(mode, LM, channels)
     reservoir = 2.0 * base          # banked bytes (bounded credit)
     loud_avg = None
+    silent_run = 0
     for k in range(F):
+        if dtx:
+            seg = pcm[:, k * frame : (k + 1) * frame]
+            if np.sqrt(np.mean(seg * seg)) * 32768.0 < 40.0:
+                silent_run += 1
+                if silent_run > 1 and silent_run % 20:
+                    # TOC-only DTX hold; the next coded frame is
+                    # forced intra (self-contained energies) since the
+                    # decoder's energy memory decays through its PLC
+                    packets.append(bytes([toc]))
+                    st.force_intra = True
+                    reservoir = min(reservoir + base - 1, 8.0 * base)
+                    continue
+            else:
+                silent_run = 0
         win = pre[:, k * frame : k * frame + frame + overlap]
         nbytes = base
         if vbr:

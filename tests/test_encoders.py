@@ -894,3 +894,43 @@ def test_silk_encode_dtx():
     err = r - g * o
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
     assert snr > 10.0, snr
+
+
+def test_celt_encode_dtx():
+    """CELT-mode DTX: TOC-only packets through silence, and the first
+    coded frame after a gap is forced INTRA so the decoder's energy
+    prediction resyncs exactly.  Validated against our decoder only:
+    the reference fork's clean CELT path deliberately dropped
+    celt_decode_lost (SURVEY §2.3), so it cannot decode ANY stream
+    with CELT holes — stock libopus can."""
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+
+    sr = 48000
+    t = np.arange(3 * sr) / sr
+    x = np.zeros(3 * sr, np.float32)
+    x[: int(0.8 * sr)] = (0.5 * np.sin(
+        2 * np.pi * 440 * t[: int(0.8 * sr)])).astype(np.float32)
+    x[int(2.2 * sr):] = (0.5 * np.sin(
+        2 * np.pi * 523 * t[int(2.2 * sr):])).astype(np.float32)
+    a = AudioData()
+    a.samples = x
+    a.channel_count = 1
+    a.sample_rate = sr
+    a.source_format = PCMFormat.PCM_FLT
+    p = EncoderParams(1, PCMFormat.PCM_FLT)
+    buf_dtx = encode_opus_to_buffer(p, a, 96, dtx=True)
+    buf = encode_opus_to_buffer(p, a, 96)
+    assert len(buf_dtx) < len(buf) * 0.75
+    st_ogg = next(iter(demux(buf_dtx).values()))
+    sizes = [len(q.data) for q in st_ogg.packets[2:]]
+    assert sizes.count(1) > 40
+    back = nq.load(buf_dtx, extension="opus")
+    out = np.asarray(back.samples, np.float64)
+    # reactivated tail tone must survive cleanly (forced-intra resync)
+    o = out[int(2.3 * sr) : int(2.9 * sr)]
+    r = np.asarray(x, np.float64)[int(2.3 * sr) : int(2.9 * sr)]
+    g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
+    err = r - g * o
+    snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
+    assert snr > 30.0, snr
