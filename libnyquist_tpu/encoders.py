@@ -240,7 +240,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
                           frame_ms: float = 20,
                           mode: str = "celt",
                           bandwidth: str = "wb",
-                          dtx: bool = False) -> bytes:
+                          dtx: bool = False,
+                          fec: bool = False) -> bytes:
     """Encode AudioData to Ogg Opus.
 
     mode="celt" (default): CELT-only fullband frames of 2.5/5/10/20 ms.
@@ -254,7 +255,10 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     dtx=True emits TOC-only packets through silent stretches with a
     ~400 ms refresh (OPUS_SET_DTX) — SILK mono and CELT mode; CELT
     reactivation frames are forced intra so the energy prediction
-    resyncs exactly.
+    resyncs exactly.  fec=True (SILK mono 20 ms) adds in-band LBRR:
+    each packet re-encodes the previous frame at coarser gains so a
+    lost packet recovers from the next one
+    (decode_packet(next, fec=True) or libopus decode_fec=1).
     mode="hybrid": SILK low band + CELT from 8 kHz up in one shared
     range coder per packet (mono or stereo, frame_ms 10/20,
     bandwidth "swb"/"fb" — the four hybrid TOC configs 12-15;
@@ -304,7 +308,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
         return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth,
-                                    frame_ms=int(frame_ms), dtx=dtx)
+                                    frame_ms=int(frame_ms), dtx=dtx,
+                                    lbrr=fec)
     if mode == "hybrid":
         from .formats.opus.hybrid_encoder import encode_ogg_opus_hybrid
 

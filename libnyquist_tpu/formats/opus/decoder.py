@@ -80,10 +80,20 @@ class OpusDecoder:
         self._last_pcm = None      # last decoded frame (for SILK PLC)
 
     # -- public API ---------------------------------------------------------
-    def decode_packet(self, data: Optional[bytes]) -> np.ndarray:
+    def decode_packet(self, data: Optional[bytes],
+                      fec: bool = False) -> np.ndarray:
         """Decode one packet -> [samples, channels] float64 at 48 kHz.
         data=None (or empty) requests packet-loss concealment for one
-        packet duration (reference: opus_decode with data==NULL)."""
+        packet duration (reference: opus_decode with data==NULL).
+
+        fec=True recovers the PREVIOUS (lost) frame from this packet's
+        in-band LBRR data (opus_decode(..., decode_fec=1)); SILK-only
+        packets carrying LBRR, one 20 ms frame.  Requires the Python
+        SILK decoder (set LIBNYQUIST_NO_NATIVE_SILK=1 or build the
+        decoder with it); raises the typed error when the packet has
+        no LBRR."""
+        if fec:
+            return self._decode_fec(data)
         if data is None or len(data) == 0:
             out = self._conceal_packet(self.frame_size or 960)
             self.loss_count += 1
@@ -98,6 +108,39 @@ class OpusDecoder:
         self.loss_count = 0
         out = np.concatenate(outs, axis=0)
         self._last_pcm = out
+        return out
+
+    def _decode_fec(self, data: Optional[bytes]) -> np.ndarray:
+        from . import silk as silk_mod
+        from .range_coder import RangeDecoder
+
+        if not data:
+            raise DecodeError("FEC recovery needs the next packet")
+        pkt = parse_packet(data)
+        if pkt.mode != MODE_SILK_ONLY:
+            raise DecodeError("in-band FEC lives in SILK packets")
+        if self.silk is None or not isinstance(self.silk,
+                                               silk_mod.SilkDecoder):
+            # FEC runs on the Python decoder's channel state; start a
+            # fresh one when the native plane (opaque state) is active
+            self.silk = silk_mod.SilkDecoder(self.channels)
+        if self.bandwidth == BW_NARROWBAND:
+            internal_rate = 8000
+        elif self.bandwidth == BW_MEDIUMBAND:
+            internal_rate = 12000
+        else:
+            internal_rate = 16000
+        payload_ms = max(10, 1000 * pkt.frame_size // self.Fs)
+        dec = RangeDecoder(pkt.frames[0])
+        out = self.silk.decode(
+            dec, n_channels_internal=self.stream_channels or 1,
+            internal_rate=internal_rate, payload_ms=payload_ms,
+            total_ms=1000 * pkt.frame_size // self.Fs, fec=True)
+        out = np.asarray(out, np.float64) / 32768.0
+        if out.shape[1] != self.channels:
+            out = np.repeat(out[:, :1], self.channels, axis=1)
+        self._last_pcm = out
+        self.loss_count = 0
         return out
 
     def _conceal_packet(self, frame_size: int) -> np.ndarray:

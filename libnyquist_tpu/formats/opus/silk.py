@@ -1125,10 +1125,15 @@ class SilkDecoder:
         self.prev_decode_only_middle = 0
 
     def decode(self, dec: RangeDecoder, n_channels_internal, internal_rate,
-               payload_ms, total_ms):
+               payload_ms, total_ms, fec=False):
         """Decode all SILK frames of one Opus frame; returns float array
         [samples@48k, nChannelsAPI] scaled like int16 (caller divides by
-        32768, matching opus_decoder_clean.c:519)."""
+        32768, matching opus_decoder_clean.c:519).
+
+        fec=True decodes the packet's LBRR frame instead (the
+        low-bitrate re-encode of the PREVIOUS frame — dec_API.c
+        lostFlag=FLAG_DECODE_LBRR): used to recover a lost packet from
+        the one after it."""
         out_chunks = []
         remaining_ms = payload_ms
         first = True
@@ -1136,15 +1141,17 @@ class SilkDecoder:
             chunk_ms = 20 if payload_ms >= 20 else payload_ms
             out = self._decode_one(
                 dec, n_channels_internal, internal_rate,
-                payload_ms, first,
+                payload_ms, first, fec=fec,
             )
             out_chunks.append(out)
             remaining_ms -= chunk_ms
             first = False
+            if fec:
+                break               # one LBRR frame per recovery call
         return np.concatenate(out_chunks, axis=0)
 
     def _decode_one(self, dec, n_channels_internal, internal_rate,
-                    payload_ms, new_packet):
+                    payload_ms, new_packet, fec=False):
         cs = self.channel_state
         ms_pred_q13 = [0, 0]
         decode_only_middle = 0
@@ -1202,7 +1209,10 @@ class SilkDecoder:
                         sym = dec.dec_icdf(t[key], 8) + 1
                         for i in range(cs[n].nFramesPerPacket):
                             cs[n].LBRR_flags[i] = (sym >> i) & 1
-            # Skip LBRR data
+            # LBRR data: skipped on the normal path; on an FEC
+            # recovery call the first LBRR frame is decoded fully
+            # (dec_API.c FLAG_DECODE_LBRR) and returned below
+            fec_xq = None
             for i in range(cs[0].nFramesPerPacket):
                 for n in range(n_channels_internal):
                     if cs[n].LBRR_flags[i]:
@@ -1219,11 +1229,42 @@ class SilkDecoder:
                         )
                         decode_indices(st=cs[n], dec=dec, frame_index=i,
                                        decode_lbrr=1, cond_coding=cond)
-                        decode_pulses(
+                        pulses = decode_pulses(
                             dec, cs[n].indices.signalType,
                             cs[n].indices.quantOffsetType,
                             cs[n].frame_length,
                         )
+                        if fec and i == 0 and n == 0 and fec_xq is None:
+                            params = decode_parameters(cs[n], cond)
+                            fec_xq = decode_core(cs[n], params, pulses)
+                            cs[n].lossCnt = 0
+                            cs[n].prevSignalType = \
+                                cs[n].indices.signalType
+                            cs[n].first_frame_after_reset = 0
+                            mv = (cs[n].ltp_mem_length
+                                  - cs[n].frame_length)
+                            cs[n].outBuf[:mv] = cs[n].outBuf[
+                                cs[n].frame_length:cs[n].ltp_mem_length]
+                            cs[n].outBuf[mv:mv + cs[n].frame_length] = \
+                                fec_xq
+                            cs[n].lagPrev = params["pitchL"][
+                                cs[n].nb_subfr - 1]
+            if fec:
+                if fec_xq is None:
+                    raise DecodeError("packet carries no LBRR data")
+                frame_len = cs[0].frame_length
+                n_out = frame_len * 48 // cs[0].fs_kHz
+                # mirror the regular mono path's one-sample sMid delay
+                # (samples1[0][1:1+frame_len] with the 2-sample carry)
+                seq = [self.stereo["sMid"][1]] + list(fec_xq[:-1])
+                self.stereo["sMid"] = [
+                    fec_xq[frame_len - 2], fec_xq[frame_len - 1]]
+                result = np.zeros((n_out, self.nChannelsAPI))
+                res = cs[0].resampler.process(seq)
+                for c in range(self.nChannelsAPI):
+                    result[:, c] = res[:n_out]
+                cs[0].nFramesDecoded += 1
+                return result
 
         if n_channels_internal == 2:
             ms_pred_q13 = stereo_decode_pred(dec)

@@ -478,7 +478,7 @@ def _select_ltp(res_ext, lags, bw: _Bw):
 
 
 def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x,
-                  conditional=False):
+                  conditional=False, gain_boost=1.0):
     """One mono frame (int16 domain floats; NB/MB/WB via st.bw).
     conditional=True codes the decoder's CODE_CONDITIONALLY form
     (frames after the first in 40/60 ms packets): delta first gain,
@@ -564,7 +564,7 @@ def _encode_frame(enc: RangeEncoder, st: SilkEncoderState, x,
     rms0 = [float(np.sqrt(np.mean(
         e_red[k * bw.subfr_len:(k + 1) * bw.subfr_len] ** 2)) + 1.0)
         for k in range(bw.nb_subfr)]
-    boost = 1.0
+    boost = float(gain_boost)
     for attempt in range(6):
         tg = [int(min(r_ * 1.7 * boost * 65536.0, 2.0 ** 38))
               for r_ in rms0]
@@ -954,7 +954,8 @@ DTX_RMS_THRESH = 40.0     # int16 domain, ~-58 dBFS
 def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                          bandwidth: str = "wb",
                          frame_ms: int = 20,
-                         dtx: bool = False) -> bytes:
+                         dtx: bool = False,
+                         lbrr: bool = False) -> bytes:
     """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus.
     bandwidth picks the SILK internal rate: "nb" (8 kHz), "mb"
     (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs 1/5/9), 10
@@ -968,13 +969,21 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
     decoder treats the empty frames as DTX comfort-noise holds).
     Like libopus, encoder and decoder state drift across a DTX gap;
     the first packets after reactivation are coded independently and
-    re-converge."""
+    re-converge.
+
+    lbrr=True (20 ms packets) adds in-band FEC: each packet carries a
+    low-bitrate re-encode of the PREVIOUS frame (coarser gains) in
+    the LBRR slot (OPUS_SET_INBAND_FEC; decode side: our
+    decode_packet(fec=True) or libopus opus_decode(..., decode_fec=1)
+    recovers a lost frame from the next packet)."""
     from ..ogg import write_page  # noqa: F401  (via celt_encoder wrap)
     from .celt_encoder import PRESKIP, ogg_opus_wrap
     from ...ops.src import resample
 
     if frame_ms not in (10, 20, 40, 60):
         raise ValueError("SILK packets are 10/20/40/60 ms")
+    if lbrr and frame_ms != 20:
+        raise ValueError("LBRR is implemented for 20 ms packets")
     bw = (BANDWIDTHS_10MS if frame_ms == 10 else BANDWIDTHS)[bandwidth]
     fpp = max(1, frame_ms // 20)    # 20 ms SILK frames per packet
     toc_cfg = ({"nb": 0, "mb": 4, "wb": 8}[bandwidth]
@@ -996,10 +1005,13 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
     P = -(-F // fpp)
     x = np.concatenate([x, np.zeros(P * fpp * bw.frame_len - len(x))])
 
+    import copy as _copy
+
     st = SilkEncoderState(bw)
     packets = []
     toc = (toc_cfg << 3) | 0   # SILK-only, mono, code 0
     silent_run = 0
+    prev_state = None          # (state before frame k-1, its input)
     for k in range(P):
         if dtx:
             seg = x[k * fpp * bw.frame_len:(k + 1) * fpp * bw.frame_len]
@@ -1007,13 +1019,24 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                 silent_run += 1
                 if silent_run > 1 and silent_run % DTX_REFRESH:
                     packets.append(bytes([toc]))   # TOC-only: DTX
+                    prev_state = None
                     continue
             else:
                 silent_run = 0
         enc = RangeEncoder(1275)
         for _ in range(fpp):
             enc.enc_bit_logp(1, 1)      # VAD flag per frame: active
-        enc.enc_bit_logp(0, 1)          # LBRR flag
+        has_lbrr = lbrr and prev_state is not None
+        enc.enc_bit_logp(1 if has_lbrr else 0, 1)   # LBRR flag
+        if has_lbrr:
+            # one frame/packet: LBRR_flags[0]=1 is implicit; the LBRR
+            # slot re-encodes the PREVIOUS frame independently against
+            # the state it was originally coded from, at coarser gains
+            lb_st, lb_x = prev_state
+            _encode_frame(enc, lb_st, lb_x, gain_boost=2.0)
+        if lbrr:
+            prev_state = (_copy.deepcopy(st),
+                          x[k * bw.frame_len:(k + 1) * bw.frame_len])
         for i in range(fpp):
             lo = (k * fpp + i) * bw.frame_len
             _encode_frame(enc, st, x[lo:lo + bw.frame_len],

@@ -934,3 +934,75 @@ def test_celt_encode_dtx():
     err = r - g * o
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
     assert snr > 30.0, snr
+
+
+def test_silk_encode_fec_lbrr(tmp_path, monkeypatch):
+    """In-band FEC: fec=True packets carry an LBRR re-encode of the
+    previous frame; a dropped packet recovers from the next one via
+    decode_packet(fec=True) at vastly better quality than PLC.  When
+    the reference probe is built, libopus's own decode_fec=1 accepts
+    our LBRR and its recovered frame matches ours BIT-EXACTLY."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.encoders import encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+    from libnyquist_tpu.formats.opus import silk as silk_mod
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+    sig = _speechish(seconds=2.0)
+    a = AudioData()
+    a.samples = sig
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(
+        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk", fec=True)
+    # stream still decodes normally (LBRR skipped)
+    assert nq.load(buf, extension="opus").channel_count == 1
+
+    st_ogg = next(iter(demux(buf).values()))
+    pkts = [q.data for q in st_ogg.packets[2:]]
+    LOST = 40
+    # FEC runs on the Python SILK decoder's channel state
+    monkeypatch.setattr(silk_mod, "_native_silk", lambda: None)
+    d1 = OpusDecoder(1)
+    clean = [np.asarray(d1.decode_packet(q)) for q in pkts]
+    d2 = OpusDecoder(1)
+    for q in pkts[:LOST]:
+        d2.decode_packet(q)
+    rec = np.asarray(d2.decode_packet(pkts[LOST + 1], fec=True))
+    ref = clean[LOST]
+    n = min(len(rec), len(ref))
+
+    def snr(y):
+        g = float((ref[:n] * y[:n]).sum() / max((y[:n] ** 2).sum(),
+                                                1e-12))
+        err = ref[:n] - g * y[:n]
+        return 10 * np.log10(float((ref[:n] ** 2).sum())
+                             / max(float((err ** 2).sum()), 1e-9))
+
+    # the coarser-gain LBRR re-encode recovers ~18 dB of the lost
+    # frame (a fresh PLC decoder extrapolating the prior waveform
+    # lands near or below 0 dB on this signal)
+    assert snr(rec) > 12.0, snr(rec)
+
+    probe = pathlib.Path("/tmp/opus_fec_ref")
+    if probe.exists():
+        pf = tmp_path / "pkts.bin"
+        with open(pf, "wb") as f:
+            f.write(struct.pack("<I", len(pkts)))
+            for q in pkts:
+                f.write(struct.pack("<I", len(q)))
+                f.write(q)
+        out = tmp_path / "fec.bin"
+        subprocess.run(["/tmp/opus_fec_ref", str(pf), str(LOST),
+                        str(out)], check=True, capture_output=True,
+                       timeout=120)
+        raw = out.read_bytes()
+        (cn,) = struct.unpack_from("<I", raw, 0)
+        (rn,) = struct.unpack_from("<I", raw, 4 + 4 * cn)
+        lib_rec = np.frombuffer(raw, np.float32, rn, 8 + 4 * cn)
+        ours = np.asarray(rec, np.float32).reshape(-1)
+        m = min(len(ours), rn)
+        np.testing.assert_array_equal(ours[:m], lib_rec[:m])
