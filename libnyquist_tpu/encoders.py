@@ -255,7 +255,7 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     dtx=True emits TOC-only packets through silent stretches with a
     ~400 ms refresh (OPUS_SET_DTX) — SILK mono and CELT mode; CELT
     reactivation frames are forced intra so the energy prediction
-    resyncs exactly.  fec=True (SILK mono 20 ms) adds in-band LBRR:
+    resyncs exactly.  fec=True (SILK 20 ms, mono or stereo) adds in-band LBRR:
     each packet re-encodes the previous frame at coarser gains so a
     lost packet recovers from the next one
     (decode_packet(next, fec=True) or libopus decode_fec=1).
@@ -304,7 +304,8 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
 
             return encode_ogg_opus_silk_stereo(samples, 48000,
                                                bandwidth=bandwidth,
-                                               frame_ms=int(frame_ms))
+                                               frame_ms=int(frame_ms),
+                                               lbrr=fec)
         from .formats.opus.silk_encoder import encode_ogg_opus_silk
 
         return encode_ogg_opus_silk(samples, 48000, bandwidth=bandwidth,

@@ -138,7 +138,9 @@ class OpusDecoder:
             total_ms=1000 * pkt.frame_size // self.Fs, fec=True)
         out = np.asarray(out, np.float64) / 32768.0
         if out.shape[1] != self.channels:
-            out = np.repeat(out[:, :1], self.channels, axis=1)
+            out = (np.repeat(out[:, :1], self.channels, axis=1)
+                   if out.shape[1] < self.channels else
+                   out[:, : self.channels])
         self._last_pcm = out
         self.loss_count = 0
         return out

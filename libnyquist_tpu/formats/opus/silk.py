@@ -1212,12 +1212,15 @@ class SilkDecoder:
             # LBRR data: skipped on the normal path; on an FEC
             # recovery call the first LBRR frame is decoded fully
             # (dec_API.c FLAG_DECODE_LBRR) and returned below
-            fec_xq = None
+            fec_xq = [None, None]
+            fec_pred_q13 = [0, 0]
             for i in range(cs[0].nFramesPerPacket):
                 for n in range(n_channels_internal):
                     if cs[n].LBRR_flags[i]:
                         if n_channels_internal == 2 and n == 0:
-                            stereo_decode_pred(dec)
+                            pred = stereo_decode_pred(dec)
+                            if i == 0:
+                                fec_pred_q13 = pred
                             if cs[1].LBRR_flags[i] == 0:
                                 dec.dec_icdf(
                                     t["stereo_only_code_mid_iCDF"], 8
@@ -1234,9 +1237,10 @@ class SilkDecoder:
                             cs[n].indices.quantOffsetType,
                             cs[n].frame_length,
                         )
-                        if fec and i == 0 and n == 0 and fec_xq is None:
+                        if fec and i == 0 and fec_xq[n] is None:
                             params = decode_parameters(cs[n], cond)
-                            fec_xq = decode_core(cs[n], params, pulses)
+                            fec_xq[n] = decode_core(cs[n], params,
+                                                    pulses)
                             cs[n].lossCnt = 0
                             cs[n].prevSignalType = \
                                 cs[n].indices.signalType
@@ -1246,20 +1250,35 @@ class SilkDecoder:
                             cs[n].outBuf[:mv] = cs[n].outBuf[
                                 cs[n].frame_length:cs[n].ltp_mem_length]
                             cs[n].outBuf[mv:mv + cs[n].frame_length] = \
-                                fec_xq
+                                fec_xq[n]
                             cs[n].lagPrev = params["pitchL"][
                                 cs[n].nb_subfr - 1]
             if fec:
-                if fec_xq is None:
+                if fec_xq[0] is None:
                     raise DecodeError("packet carries no LBRR data")
                 frame_len = cs[0].frame_length
                 n_out = frame_len * 48 // cs[0].fs_kHz
-                # mirror the regular mono path's one-sample sMid delay
-                # (samples1[0][1:1+frame_len] with the 2-sample carry)
-                seq = [self.stereo["sMid"][1]] + list(fec_xq[:-1])
-                self.stereo["sMid"] = [
-                    fec_xq[frame_len - 2], fec_xq[frame_len - 1]]
                 result = np.zeros((n_out, self.nChannelsAPI))
+                if (self.nChannelsAPI == 2 and n_channels_internal == 2
+                        and fec_xq[1] is not None):
+                    samples1 = [[0] * (frame_len + 2) for _ in range(2)]
+                    samples1[0][2:2 + frame_len] = fec_xq[0]
+                    samples1[1][2:2 + frame_len] = fec_xq[1]
+                    stereo_ms_to_lr(self.stereo, samples1[0],
+                                    samples1[1], fec_pred_q13,
+                                    cs[0].fs_kHz, frame_len)
+                    for n in range(2):
+                        res = cs[n].resampler.process(
+                            samples1[n][1:1 + frame_len])
+                        result[:, n] = res[:n_out]
+                        cs[n].nFramesDecoded += 1
+                    return result
+                # mono: mirror the regular path's one-sample sMid
+                # delay (samples1[0][1:1+frame_len], 2-sample carry)
+                xq = fec_xq[0]
+                seq = [self.stereo["sMid"][1]] + list(xq[:-1])
+                self.stereo["sMid"] = [
+                    xq[frame_len - 2], xq[frame_len - 1]]
                 res = cs[0].resampler.process(seq)
                 for c in range(self.nChannelsAPI):
                     result[:, c] = res[:n_out]

@@ -823,7 +823,8 @@ def _stereo_fit_preds(mid, side, mid_prev2):
 
 def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
                                 bandwidth: str = "wb",
-                                frame_ms: int = 20) -> bytes:
+                                frame_ms: int = 20,
+                                lbrr: bool = False) -> bytes:
     """Encode interleaved stereo float32 [-1, 1] PCM as SILK-only Ogg
     Opus (10/20/40/60 ms packets, stereo TOC).  Mid/side coding
     with per-frame stereo prediction: the side channel codes the
@@ -837,6 +838,8 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
     t = ST.tables()
     if frame_ms not in (10, 20, 40, 60):
         raise ValueError("SILK packets are 10/20/40/60 ms")
+    if lbrr and frame_ms != 20:
+        raise ValueError("LBRR is implemented for 20 ms packets")
     bw = (BANDWIDTHS_10MS if frame_ms == 10 else BANDWIDTHS)[bandwidth]
     fpp = max(1, frame_ms // 20)    # 20 ms SILK frames per packet
     toc_cfg = ({"nb": 0, "mb": 4, "wb": 8}[bandwidth]
@@ -868,14 +871,30 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
     pad = P * fpp * bw.frame_len - len(mid_all)
     mid_all = np.concatenate([mid_all, np.zeros(pad)])
     side_all = np.concatenate([side_all, np.zeros(pad)])
+    import copy as _copy
+
     packets = []
     toc = (toc_cfg << 3) | (1 << 2)   # SILK-only, stereo, code 0
+    prev_state = None
     for k in range(P):
         enc = RangeEncoder(1275)
+        has_lbrr = lbrr and prev_state is not None
         for ch in range(2):
             for _ in range(fpp):
                 enc.enc_bit_logp(1, 1)  # VAD per frame (side coded)
-            enc.enc_bit_logp(0, 1)      # LBRR
+            enc.enc_bit_logp(1 if has_lbrr else 0, 1)   # LBRR
+        if has_lbrr:
+            # LBRR slot: stereo pred + mid + side of the PREVIOUS
+            # frame at coarser gains, from its original state copy
+            lb_m, lb_s, lb_ss, lb_mid, lb_side = prev_state
+            silk_stereo_frame(enc, lb_m, lb_s, lb_ss, lb_mid, lb_side,
+                              gain_boost=2.0)
+        if lbrr:
+            lo = k * bw.frame_len
+            prev_state = (_copy.deepcopy(st_mid),
+                          _copy.deepcopy(st_side), _copy.deepcopy(ss),
+                          mid_all[lo:lo + bw.frame_len],
+                          side_all[lo:lo + bw.frame_len])
         for i in range(fpp):
             lo = (k * fpp + i) * bw.frame_len
             silk_stereo_frame(
@@ -891,7 +910,8 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
 
 def silk_stereo_frame(enc, st_mid: SilkEncoderState,
                       st_side: SilkEncoderState, ss: _StereoState,
-                      mid, side, conditional=False) -> None:
+                      mid, side, conditional=False,
+                      gain_boost=1.0) -> None:
     """One stereo SILK frame onto a (possibly shared) range coder:
     stereo predictors, mid frame, prediction-compensated side frame.
     Used by the SILK-only stereo packetizer above and the stereo
@@ -915,7 +935,8 @@ def silk_stereo_frame(enc, st_mid: SilkEncoderState,
         enc.enc_icdf(ix[1], t["uniform5_iCDF"], 8)
     # VAD ch1 set -> the decoder reads no only-mid symbol
 
-    _encode_frame(enc, st_mid, mid, conditional=conditional)
+    _encode_frame(enc, st_mid, mid, conditional=conditional,
+                  gain_boost=gain_boost)
     xq_mid = st_mid.last_xq
 
     # side target: subtract the decoder's exact per-sample
@@ -941,7 +962,8 @@ def silk_stereo_frame(enc, st_mid: SilkEncoderState,
     # the decoder increments the mid channel's frame counter before
     # reading the side frame, so the side conditional boundary is the
     # same as mid's (verified bit-exact against libopus)
-    _encode_frame(enc, st_side, side_tgt, conditional=conditional)
+    _encode_frame(enc, st_side, side_tgt, conditional=conditional,
+                  gain_boost=gain_boost)
 
     ss.pred_prev_q13 = [p0_eff, p1_eff]
     ss.mid_carry = xq_mid[-2:].copy()

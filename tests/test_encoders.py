@@ -936,7 +936,8 @@ def test_celt_encode_dtx():
     assert snr > 30.0, snr
 
 
-def test_silk_encode_fec_lbrr(tmp_path, monkeypatch):
+@pytest.mark.parametrize("ch", [1, 2])
+def test_silk_encode_fec_lbrr(tmp_path, monkeypatch, ch):
     """In-band FEC: fec=True packets carry an LBRR re-encode of the
     previous frame; a dropped packet recovers from the next one via
     decode_packet(fec=True) at vastly better quality than PLC.  When
@@ -951,24 +952,26 @@ def test_silk_encode_fec_lbrr(tmp_path, monkeypatch):
     from libnyquist_tpu.formats.opus.decoder import OpusDecoder
 
     sig = _speechish(seconds=2.0)
+    if ch == 2:
+        sig = np.stack([sig, np.roll(sig, 240) * 0.9], 1).reshape(-1)
     a = AudioData()
     a.samples = sig
-    a.channel_count = 1
+    a.channel_count = ch
     a.sample_rate = 48000
     a.source_format = PCMFormat.PCM_FLT
     buf = encode_opus_to_buffer(
-        EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk", fec=True)
+        EncoderParams(ch, PCMFormat.PCM_FLT), a, mode="silk", fec=True)
     # stream still decodes normally (LBRR skipped)
-    assert nq.load(buf, extension="opus").channel_count == 1
+    assert nq.load(buf, extension="opus").channel_count == ch
 
     st_ogg = next(iter(demux(buf).values()))
     pkts = [q.data for q in st_ogg.packets[2:]]
     LOST = 40
     # FEC runs on the Python SILK decoder's channel state
     monkeypatch.setattr(silk_mod, "_native_silk", lambda: None)
-    d1 = OpusDecoder(1)
+    d1 = OpusDecoder(ch)
     clean = [np.asarray(d1.decode_packet(q)) for q in pkts]
-    d2 = OpusDecoder(1)
+    d2 = OpusDecoder(ch)
     for q in pkts[:LOST]:
         d2.decode_packet(q)
     rec = np.asarray(d2.decode_packet(pkts[LOST + 1], fec=True))
@@ -997,12 +1000,13 @@ def test_silk_encode_fec_lbrr(tmp_path, monkeypatch):
                 f.write(q)
         out = tmp_path / "fec.bin"
         subprocess.run(["/tmp/opus_fec_ref", str(pf), str(LOST),
-                        str(out)], check=True, capture_output=True,
-                       timeout=120)
+                        str(out), str(ch)], check=True,
+                       capture_output=True, timeout=120)
         raw = out.read_bytes()
         (cn,) = struct.unpack_from("<I", raw, 0)
-        (rn,) = struct.unpack_from("<I", raw, 4 + 4 * cn)
-        lib_rec = np.frombuffer(raw, np.float32, rn, 8 + 4 * cn)
+        (rn,) = struct.unpack_from("<I", raw, 4 + 4 * cn * ch)
+        lib_rec = np.frombuffer(raw, np.float32, rn * ch,
+                                8 + 4 * cn * ch)
         ours = np.asarray(rec, np.float32).reshape(-1)
-        m = min(len(ours), rn)
+        m = min(len(ours), rn * ch)
         np.testing.assert_array_equal(ours[:m], lib_rec[:m])

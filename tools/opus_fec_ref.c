@@ -10,7 +10,7 @@
  *       tools/opus_fec_ref.c /tmp/refbuild/lib/liblibnyquist.a -lm \
  *       -o /tmp/opus_fec_ref
  *
- * Usage: opus_fec_ref packets.bin LOST out.f32
+ * Usage: opus_fec_ref packets.bin LOST out.f32 [channels]
  */
 #include <opus.h>
 #include <stdio.h>
@@ -24,7 +24,8 @@ static unsigned read_u32(FILE *f) {
 }
 
 int main(int argc, char **argv) {
-    if (argc < 4) { fprintf(stderr, "usage: %s pkts.bin LOST out.f32\n", argv[0]); return 1; }
+    if (argc < 4) { fprintf(stderr, "usage: %s pkts.bin LOST out.f32 [ch]\n", argv[0]); return 1; }
+    int chans = argc > 4 ? atoi(argv[4]) : 1;
     FILE *f = fopen(argv[1], "rb");
     if (!f) { perror("open"); return 1; }
     unsigned n = read_u32(f);
@@ -41,7 +42,7 @@ int main(int argc, char **argv) {
     int err = 0;
     float *pcm = malloc(sizeof(float) * 5760 * 2);
     /* clean pass: capture frame `lost` */
-    OpusDecoder *d1 = opus_decoder_create(48000, 1, &err);
+    OpusDecoder *d1 = opus_decoder_create(48000, chans, &err);
     if (err) { fprintf(stderr, "create: %d\n", err); return 1; }
     float *clean = NULL; int clean_n = 0;
     for (unsigned i = 0; i < n; i++) {
@@ -49,12 +50,12 @@ int main(int argc, char **argv) {
         if (got < 0) { fprintf(stderr, "clean decode %u: %d\n", i, got); return 1; }
         if ((int)i == lost) {
             clean_n = got;
-            clean = malloc(sizeof(float) * got);
-            memcpy(clean, pcm, sizeof(float) * got);
+            clean = malloc(sizeof(float) * got * chans);
+            memcpy(clean, pcm, sizeof(float) * got * chans);
         }
     }
     /* lossy pass: drop `lost`, recover via FEC from the next packet */
-    OpusDecoder *d2 = opus_decoder_create(48000, 1, &err);
+    OpusDecoder *d2 = opus_decoder_create(48000, chans, &err);
     float *rec = NULL; int rec_n = 0;
     for (unsigned i = 0; i < n; i++) {
         if ((int)i == lost) continue;
@@ -62,8 +63,8 @@ int main(int argc, char **argv) {
             int got = opus_decode_float(d2, pk[i], ln[i], pcm, 960, 1);
             if (got < 0) { fprintf(stderr, "fec decode: %d\n", got); return 1; }
             rec_n = got;
-            rec = malloc(sizeof(float) * got);
-            memcpy(rec, pcm, sizeof(float) * got);
+            rec = malloc(sizeof(float) * got * chans);
+            memcpy(rec, pcm, sizeof(float) * got * chans);
         }
         int got = opus_decode_float(d2, pk[i], ln[i], pcm, 5760, 0);
         if (got < 0) { fprintf(stderr, "decode %u: %d\n", i, got); return 1; }
@@ -72,9 +73,9 @@ int main(int argc, char **argv) {
     FILE *o = fopen(argv[3], "wb");
     unsigned cn = (unsigned)clean_n, rn = (unsigned)rec_n;
     fwrite(&cn, 4, 1, o);
-    fwrite(clean, sizeof(float), clean_n, o);
+    fwrite(clean, sizeof(float), (size_t)clean_n * chans, o);
     fwrite(&rn, 4, 1, o);
-    fwrite(rec, sizeof(float), rec_n, o);
+    fwrite(rec, sizeof(float), (size_t)rec_n * chans, o);
     fclose(o);
     return 0;
 }
