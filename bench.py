@@ -39,6 +39,7 @@ Flags: --synth (legacy dense-half-only metric), --mp3/--vorbis/--mpc
 """
 
 import json
+import os
 import pathlib
 import struct
 import sys
@@ -50,6 +51,13 @@ from libnyquist_tpu.utils import profiling
 
 HERE = pathlib.Path(__file__).parent
 sys.path.insert(0, str(HERE))
+
+# Set (to the failure reason) when the TPU tunnel is down and the run
+# re-exec'd itself onto the XLA CPU backend so a real number is still
+# recorded (VERDICT r3 item 1: "a zero with an error string carries no
+# information about the code").
+CPU_FALLBACK = os.environ.get("LIBNYQUIST_BENCH_CPU_FALLBACK")
+N_TRIALS = 1 if CPU_FALLBACK else 3
 
 REF_OPUS = pathlib.Path("/root/reference/test_data/sb-reverie.opus")
 REF_MP3 = pathlib.Path("/root/reference/test_data/ad_hoc/acetylene.mp3")
@@ -469,14 +477,15 @@ def bench_e2e_opus_iy(K):
     acc_h = np.asarray(stream_fn(d_iy, d_synth))  # compile + warm
 
     # ---------- host half: K real streams, timed (median of 3) ----------
-    passes = sorted(_timed_host_pass_iy(data, K) for _ in range(3))
-    t_host, host_workers = passes[1]
+    passes = sorted(_timed_host_pass_iy(data, K)
+                    for _ in range(N_TRIALS))
+    t_host, host_workers = passes[len(passes) // 2]
 
     # ---------- device half: one batched fused program ----------
     # completion barrier = a real (tiny) D2H fetch of the result:
     # block_until_ready alone under-reports on this tunnel runtime
     dev_samples = []
-    for _ in range(3):
+    for _ in range(N_TRIALS):
         t0 = time.perf_counter()
         acc_h = np.asarray(stream_fn(d_iy, d_synth))
         dev_samples.append(time.perf_counter() - t0)
@@ -488,7 +497,7 @@ def bench_e2e_opus_iy(K):
     # host(batch k+1); one iteration = dispatch batch, host-decode the
     # next batch's K streams, fetch the batch result.
     pipe_samples = []
-    for _ in range(2):
+    for _ in range(min(2, N_TRIALS)):
         t0 = time.perf_counter()
         acc = stream_fn(d_iy, d_synth)            # device batch (async)
         _timed_host_pass_iy(data, K)              # host batch k+1
@@ -515,18 +524,27 @@ def bench_e2e_opus_iy(K):
     # other's dispatch/compile in one runtime instance (measured:
     # ~3s/dispatch for the fused program after the comb programs run,
     # and vice-versa minutes-long comb compiles) — isolate them.
-    import subprocess
+    if CPU_FALLBACK:
+        # The parity guard compares the Pallas TPU comb kernel against
+        # the scan formulation; on the XLA CPU backend Pallas runs in
+        # interpret mode (minutes per dispatch) — the TPU-path guard is
+        # meaningless here and the suite's CPU comb tests already cover
+        # the scan path.
+        print("# comb pallas-vs-scan parity: skipped (cpu-fallback)",
+              file=sys.stderr)
+    else:
+        import subprocess
 
-    rc = subprocess.run(
-        [sys.executable, "-c",
-         "import sys; sys.path.insert(0, %r); import bench, jax, "
-         "jax.numpy as jnp; bench._jax_setup(); "
-         "bench._comb_parity_check(jax, jnp)" % str(HERE)],
-        capture_output=True, text=True, timeout=1200)
-    sys.stderr.write(rc.stderr.split("WARNING")[0]
-                     if "WARNING" in rc.stderr else rc.stderr)
-    if rc.returncode != 0:
-        raise SystemExit("comb parity check failed")
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); import bench, jax, "
+             "jax.numpy as jnp; bench._jax_setup(); "
+             "bench._comb_parity_check(jax, jnp)" % str(HERE)],
+            capture_output=True, text=True, timeout=1200)
+        sys.stderr.write(rc.stderr.split("WARNING")[0]
+                         if "WARNING" in rc.stderr else rc.stderr)
+        if rc.returncode != 0:
+            raise SystemExit("comb parity check failed")
 
     total_audio = K * audio_s
     host_x = total_audio / t_host
@@ -547,6 +565,9 @@ def bench_e2e_opus_iy(K):
           f"overlaps device k): {pipe_x:.0f}x realtime per chip "
           f"(trials {[round(x, 2) for x in pipe_samples]}s, spread "
           f"{100 * spread:.0f}%)", file=sys.stderr)
+    peak_env = os.environ.get("LIBNYQUIST_TPU_PEAK_TFLOPS")
+    mfu = (round(100.0 * dev_flops / t_dev / (float(peak_env) * 1e12), 3)
+           if (dev_flops and peak_env) else None)
     return {
         "metric": "opus_e2e_decode_realtime_x",
         "value": round(pipe_x, 1),
@@ -556,6 +577,10 @@ def bench_e2e_opus_iy(K):
                    "serial_x": round(serial_x, 1),
                    "host_x_per_core": round(host_1core_x, 1),
                    "host_s": round(t_host, 2), "dev_s": round(t_dev, 2),
+                   "staging_s": round(t_stage, 2),
+                   "device_gflops": (round(dev_flops / 1e9, 2)
+                                     if dev_flops else None),
+                   "mfu_pct": mfu,
                    "trial_spread_pct": round(100 * spread, 1)},
     }
 
@@ -612,7 +637,7 @@ def bench_mp3(K):
 
     # pipelined steady state: device(batch k) overlaps host(batch k+1)
     pipe_samples = []
-    for _ in range(2):
+    for _ in range(min(2, N_TRIALS)):
         t0 = time.perf_counter()
         pcm = synth(Xd, Kd)                    # device batch (async)
         for _ in range(K):                     # host batch k+1
@@ -720,7 +745,7 @@ def bench_vorbis(K):
 
     # pipelined steady state: device(batch k) overlaps host(batch k+1)
     pipe_samples = []
-    for _ in range(2):
+    for _ in range(min(2, N_TRIALS)):
         t0 = time.perf_counter()
         out = run(d)                           # device batch (async)
         for _ in range(K):                     # host batch k+1
@@ -816,7 +841,7 @@ def bench_mpc(K):
 
     # pipelined steady state: device(batch k) overlaps host(batch k+1)
     pipe_samples = []
-    for _ in range(2):
+    for _ in range(min(2, N_TRIALS)):
         t0 = time.perf_counter()
         out = run(d)                           # device batch (async)
         for _ in range(K):                     # host batch k+1
@@ -971,6 +996,8 @@ def _opus_with_escalation(K, use_iy):
     result = bench_e2e_opus_iy(K) if use_iy else bench_e2e_opus(K)
     for _ in range(3):
         cfg = (result or {}).get("config", {})
+        if CPU_FALLBACK:  # CPU "device" half: escalation is meaningless
+            break
         if not (use_iy and result and result["value"] < TARGET
                 and cfg.get("dev_s", 0) > cfg.get("host_s", 1e9)):
             break
@@ -1021,12 +1048,25 @@ def _device_watchdog(timeout_s=180.0):
     if not got or isinstance(got[0], Exception):
         why = ("device init timeout (tunnel down?)" if not got
                else f"device init failed: {got[0]}")
-        print(json.dumps({
-            "metric": "opus_e2e_decode_realtime_x", "value": 0,
-            "unit": "audio_seconds_per_second_per_chip",
-            "vs_baseline": 0.0, "error": why,
-        }))
-        raise SystemExit(0)
+        if CPU_FALLBACK or os.environ.get("JAX_PLATFORMS") == "cpu":
+            # already on the CPU backend and still failing: terminal
+            print(json.dumps({
+                "metric": "opus_e2e_decode_realtime_x", "value": 0,
+                "unit": "audio_seconds_per_second_per_chip",
+                "vs_baseline": 0.0, "error": why,
+            }))
+            raise SystemExit(0)
+        # Tunnel down: re-exec this process onto the XLA CPU backend so
+        # the run still records the real host half + a measured (CPU)
+        # device half, tagged "device": "cpu-fallback".  exec replaces
+        # the process image, so the hung backend-init thread dies too.
+        print(f"# {why} -- re-exec with JAX_PLATFORMS=cpu fallback",
+              file=sys.stderr, flush=True)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   LIBNYQUIST_BENCH_CPU_FALLBACK=why)
+        os.execve(sys.executable,
+                  [sys.executable, str(HERE / "bench.py")] + sys.argv[1:],
+                  env)
 
 
 def main():
@@ -1065,6 +1105,12 @@ def main():
                 print(f"# {extra.__name__} failed: {e}", file=sys.stderr)
     if result is None:
         raise SystemExit(1)
+    if CPU_FALLBACK:
+        # The TPU tunnel was down; the "device" half ran on the host
+        # CPU via the XLA CPU backend.  The host half is the real
+        # measurement; the composition is a lower bound for a chip run.
+        result["device"] = "cpu-fallback"
+        result["device_note"] = CPU_FALLBACK
     print(json.dumps(result))
 
 

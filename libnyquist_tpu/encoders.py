@@ -264,6 +264,11 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
     bandwidth "swb"/"fb" — the four hybrid TOC configs 12-15;
     reference: opus_encoder.c hybrid path).  The SILK half is VBR-uncontrolled,
     so the total rate may exceed bitrate_kbps on busy content.
+    mode="auto": per-segment automatic celt/silk/hybrid selection from
+    an original speech/music analysis (formats/opus/analysis.py — the
+    reference's analysis.c + mode machinery surface, re-designed; its
+    trained MLP weights are data we must not copy).  20 ms frames;
+    frame_ms/bandwidth are ignored.
 
     The reference declares this API but ships no implementation
     (Encoders.h:40); both modes are working encoders validated against
@@ -297,6 +302,17 @@ def encode_opus_to_buffer(p: EncoderParams, d: AudioData,
 
         per = np.asarray(resample(per, rate, 48000))
         samples = per.T.reshape(-1).astype(np.float32)
+    if mode == "auto":
+        # Automatic per-segment celt/silk/hybrid selection — the
+        # analysis.c + opus_encoder.c mode machinery, original design
+        # (reference: third_party/opus/libopus/src/analysis.c;
+        # src/OpusDependencies.c:246-256 compiles it).  Segments are
+        # runs of equal mode on a 20 ms grid with hysteresis + dwell.
+        from .formats.opus.analysis import encode_ogg_opus_auto
+
+        return encode_ogg_opus_auto(samples, ch,
+                                    bitrate_kbps=bitrate_kbps,
+                                    dtx=dtx, fec=fec)
     if mode == "silk":
         if ch == 2:
             from .formats.opus.silk_encoder import (

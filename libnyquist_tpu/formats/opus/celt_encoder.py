@@ -865,7 +865,8 @@ def celt_encode_packets(samples: np.ndarray, channels: int,
                         sample_rate: int, bitrate_kbps: int = 96,
                         vbr: bool = True,
                         frame_ms: float = 20,
-                        dtx: bool = False) -> tuple[list, int]:
+                        dtx: bool = False,
+                        preskip: int | None = None) -> tuple[list, int]:
     """Encode PCM to a list of finished Opus packets (TOC included).
     Returns (packets, input_samples).  The container-free form both
     the single-stream Ogg writer and the multistream combiner build
@@ -883,8 +884,11 @@ def celt_encode_packets(samples: np.ndarray, channels: int,
 
     pcm = np.asarray(samples, np.float64).reshape(-1, channels).T  # [C, S]
     S = pcm.shape[1]
-    # preskip priming + frame padding
-    lead = np.zeros((channels, PRESKIP), np.float64)
+    # preskip priming + frame padding (preskip=0: mid-stream segment
+    # of a mixed-mode auto encode — no lead, fresh state)
+    if preskip is None:
+        preskip = PRESKIP
+    lead = np.zeros((channels, preskip), np.float64)
     pcm = np.concatenate([lead, pcm], axis=1)
     F = -(-pcm.shape[1] // frame)
     pad = F * frame + mode48000().overlap - pcm.shape[1]

@@ -214,6 +214,19 @@ class OpusDecoder:
                     audiosize = F10
                 elif mode != MODE_SILK_ONLY and F5 < audiosize < F10:
                     audiosize = F5
+            if mode == MODE_CELT_ONLY:
+                # CELT PLC (reference opus_decoder.c:528
+                # celt_decode_with_ec(celt_dec, NULL, ...) ->
+                # celt_decode_lost) — also the CELT->SILK/hybrid
+                # transition frame (opus_decoder.c:471-476); an empty
+                # range-decoder stream would decode silence instead of
+                # extrapolating.
+                from .celt import celt_decode_lost
+
+                out = celt_decode_lost(self.celt, audiosize,
+                                       self.loss_count)
+                self.prev_mode = mode
+                return out
             dec = RangeDecoder(b"")
 
         transition = False
@@ -330,12 +343,18 @@ class OpusDecoder:
                 self.celt.end = endband
                 self.celt.stream_channels = self.stream_channels
                 self.celt.start = start_band
-            pcm = celt_decode_frame(
-                self.celt,
-                data[:length] if data is not None else b"",
-                celt_frame_size,
-                dec=dec if data is not None else None,
-            )
+            if data is None:
+                # hybrid PLC: the MDCT half extrapolates too
+                # (reference opus_decoder.c:528 passes NULL through to
+                # celt_decode_lost)
+                from .celt import celt_decode_lost
+
+                pcm = celt_decode_lost(self.celt, celt_frame_size,
+                                       self.loss_count)
+            else:
+                pcm = celt_decode_frame(
+                    self.celt, data[:length], celt_frame_size, dec=dec,
+                )
             if celt_frame_size < frame_size:
                 pcm = np.vstack(
                     [pcm, np.zeros((frame_size - celt_frame_size, channels))]

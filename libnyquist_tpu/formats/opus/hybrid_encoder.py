@@ -40,6 +40,7 @@ from .range_coder import RangeEncoder
 from .silk_encoder import (
     BANDWIDTHS,
     BANDWIDTHS_10MS,
+    DELAY_COMP_48K,
     SilkEncoderState,
     _encode_frame,
     _StereoState,
@@ -53,7 +54,9 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
                            bitrate_kbps: int = 40,
                            channels: int = 1,
                            frame_ms: int = 20,
-                           bandwidth: str = "fb") -> bytes:
+                           bandwidth: str = "fb",
+                           preskip: int | None = None,
+                           return_packets: bool = False):
     """Encode float32 [-1, 1] PCM (interleaved when channels=2) as
     hybrid Ogg Opus.  frame_ms 10/20 and bandwidth "swb"/"fb" span
     the four hybrid TOC configs 12-15 (SWB caps the CELT half at band
@@ -79,12 +82,29 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
             for c in range(ch)], 1)
     S48 = len(x)
 
-    # 48 kHz plane for CELT: preskip priming + frame padding + preemph
+    # 48 kHz plane for CELT: preskip priming + frame padding + preemph.
+    # The CELT half is delayed by DELAY_COMP_48K so it lands where the
+    # decoder's SILK resampler puts the low band (the reference encoder
+    # does the same buffering: opus_encoder.c delay_compensation); the
+    # standalone wrap below then absorbs preskip+delay in OpusHead.
     mode = mode48000()
-    lead = np.zeros((PRESKIP, ch))
+    if preskip is None:
+        preskip = PRESKIP
+    d48 = DELAY_COMP_48K["wb"]
+    lead = np.zeros((preskip + d48, ch))
     x48 = np.concatenate([lead, x])
-    F = -(-len(x48) // n_celt)
+    # Frame count: packet mode (the auto-mode mixer) must emit exactly
+    # the segment's frame count — the caller advances the input window
+    # by d48; standalone extends coverage so the granule budget
+    # preskip+d48+S48 exists.  The last d48 high-band samples falling
+    # off the packet-mode grid belong to the next segment's boundary
+    # crossfade.
+    n_cover = (preskip + len(x)) if return_packets else len(x48)
+    F = -(-n_cover // n_celt)
     pad = F * n_celt + mode.overlap - len(x48)
+    if pad < 0:
+        x48 = x48[:F * n_celt + mode.overlap]
+        pad = 0
     x48 = np.concatenate([x48, np.zeros((pad, ch))]).T  # [ch, T]
     pre = np.empty_like(x48)
     pre[:, 0] = 32768.0 * x48[:, 0]
@@ -95,7 +115,7 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
     x16 = np.stack([
         np.asarray(resample(np.asarray(x[:, c], np.float32), 48000,
                             16000), np.float64) for c in range(ch)], 1)
-    x16 = np.concatenate([np.zeros((PRESKIP // 3, ch)), x16]) * 32767.0
+    x16 = np.concatenate([np.zeros((preskip // 3, ch)), x16]) * 32767.0
     x16 = np.concatenate(
         [x16, np.zeros((F * silk_len - len(x16), ch))])
 
@@ -153,4 +173,6 @@ def encode_ogg_opus_hybrid(samples: np.ndarray, sample_rate: int,
             raise RuntimeError("hybrid range encoder overflow")
         packets.append(bytes([toc]) + payload)
 
-    return ogg_opus_wrap(packets, ch, S48, n_celt, PRESKIP)
+    if return_packets:
+        return packets, S48
+    return ogg_opus_wrap(packets, ch, S48, n_celt, preskip + d48)

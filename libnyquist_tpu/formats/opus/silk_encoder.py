@@ -47,6 +47,19 @@ from .range_coder import RangeEncoder
 FRAME_MS = 20
 SUBFR = 4
 LTP_ORDER = 5
+
+# Decoder-side latency of the SILK path in 48 kHz samples: the
+# bit-exact libopus-mirror decoder resampler (silk/resampler.c 1 ms
+# delay buffering + IIR/FIR group delay) plus a small codec lag,
+# measured end-to-end per internal rate (best-lag scan on speech-like
+# content, round 4).  The standalone Ogg writers absorb it in the
+# OpusHead preskip field exactly as opusenc does with the encoder's
+# OPUS_GET_LOOKAHEAD (reference: libopus/src/opus_encoder.c
+# delay_compensation); the mixed-mode auto encoder instead advances
+# each SILK/hybrid segment's input window (analysis.py) so segments
+# stay aligned with zero-latency CELT segments under one global
+# preskip.
+DELAY_COMP_48K = {"nb": 33, "mb": 38, "wb": 38}
 MAX_LPC_ORDER = 16              # sLPC carry width (decoder.h MAX_LPC_ORDER)
 TYPE_UNVOICED = 1
 TYPE_VOICED = 2
@@ -824,7 +837,9 @@ def _stereo_fit_preds(mid, side, mid_prev2):
 def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
                                 bandwidth: str = "wb",
                                 frame_ms: int = 20,
-                                lbrr: bool = False) -> bytes:
+                                lbrr: bool = False,
+                                preskip: int | None = None,
+                                return_packets: bool = False):
     """Encode interleaved stereo float32 [-1, 1] PCM as SILK-only Ogg
     Opus (10/20/40/60 ms packets, stereo TOC).  Mid/side coding
     with per-frame stereo prediction: the side channel codes the
@@ -852,9 +867,15 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
         x = np.stack([
             np.asarray(resample(x[:, c].astype(np.float32), sample_rate,
                                 fs_hz), np.float64) for c in range(2)], 1)
-    lead = np.zeros((PRESKIP * bw.fs_khz // 48, 2))
+    if preskip is None:
+        preskip = PRESKIP
+    lead = np.zeros((preskip * bw.fs_khz // 48, 2))
     x = np.concatenate([lead, x]) * 32767.0
-    F = -(-len(x) // bw.frame_len)
+    # +delay-comp tail coverage, standalone wrap only (see the mono
+    # path's comment on DELAY_COMP_48K)
+    d_fs = (0 if return_packets
+            else -(-DELAY_COMP_48K[bandwidth] * bw.fs_khz // 48))
+    F = -(-(len(x) + d_fs) // bw.frame_len)
     x = np.concatenate([x, np.zeros((F * bw.frame_len - len(x), 2))])
 
     # LR -> MS in the decoder's int domain (stereo_ms_to_lr inverse:
@@ -905,7 +926,10 @@ def encode_ogg_opus_silk_stereo(samples: np.ndarray, sample_rate: int,
         nbytes = ((enc.tell() + 7) >> 3) + 1
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())
-    return ogg_opus_wrap(packets, 2, S48, frame_ms * 48, PRESKIP)
+    if return_packets:
+        return packets, S48
+    return ogg_opus_wrap(packets, 2, S48, frame_ms * 48,
+                         preskip + DELAY_COMP_48K[bandwidth])
 
 
 def silk_stereo_frame(enc, st_mid: SilkEncoderState,
@@ -977,7 +1001,9 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
                          bandwidth: str = "wb",
                          frame_ms: int = 20,
                          dtx: bool = False,
-                         lbrr: bool = False) -> bytes:
+                         lbrr: bool = False,
+                         preskip: int | None = None,
+                         return_packets: bool = False):
     """Encode mono float32 [-1, 1] PCM as SILK-only Ogg Opus.
     bandwidth picks the SILK internal rate: "nb" (8 kHz), "mb"
     (12 kHz) or "wb" (16 kHz); frame_ms 20 (TOC configs 1/5/9), 10
@@ -1017,10 +1043,21 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
     if sample_rate != fs_hz:
         x = np.asarray(resample(x.astype(np.float32), sample_rate,
                                 fs_hz), np.float64)
-    # preskip priming (PRESKIP is in 48 kHz samples)
-    lead = np.zeros(PRESKIP * bw.fs_khz // 48)
+    # preskip priming (preskip is in 48 kHz samples; 0 = mid-stream
+    # segment of a mixed-mode auto encode)
+    if preskip is None:
+        preskip = PRESKIP
+    lead = np.zeros(preskip * bw.fs_khz // 48)
     x = np.concatenate([lead, x]) * 32767.0
-    F = -(-len(x) // bw.frame_len)
+    # Standalone wrap only: +delay-comp tail coverage — the decoder
+    # emits the audio DELAY_COMP_48K late, so the frame grid must
+    # extend past the nominal end for the granule budget
+    # preskip+delay+S48 to exist.  In packet mode (return_packets, the
+    # auto-mode mixer) the frame count must stay exactly the segment's
+    # frame count — the caller compensates the delay instead.
+    d_fs = (0 if return_packets
+            else -(-DELAY_COMP_48K[bandwidth] * bw.fs_khz // 48))
+    F = -(-(len(x) + d_fs) // bw.frame_len)
     x = np.concatenate([x, np.zeros(F * bw.frame_len - len(x))])
 
     # pad to whole packets
@@ -1066,4 +1103,7 @@ def encode_ogg_opus_silk(samples: np.ndarray, sample_rate: int,
         nbytes = ((enc.tell() + 7) >> 3) + 1   # VBR: shrink to used
         enc.enc_shrink(max(nbytes, enc.offs + enc.end_offs, 2))
         packets.append(bytes([toc]) + enc.done())
-    return ogg_opus_wrap(packets, 1, S48, frame_ms * 48, PRESKIP)
+    if return_packets:
+        return packets, S48
+    return ogg_opus_wrap(packets, 1, S48, frame_ms * 48,
+                         preskip + DELAY_COMP_48K[bandwidth])

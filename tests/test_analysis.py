@@ -1,0 +1,240 @@
+"""Automatic encode-mode selection (formats/opus/analysis.py).
+
+The reference compiles libopus's analysis.c speech/music classifier +
+opus_encoder.c mode machinery (src/OpusDependencies.c:246-256); its
+MLP weights are trained data we must not copy, so analysis.py is an
+original detector fit on synthetic audio (tools/train_mode_classifier
+.py).  These tests pin: classifier separation, hysteresis/dwell and
+rate gating in the decision layer, end-to-end mixed-mode encodes
+(exact length + SNR with segment alignment), and — when the oracle
+build is present — that the reference's own libopus decodes our
+mixed-mode streams.
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import libnyquist_tpu as nq
+from libnyquist_tpu.audio_data import AudioData, PCMFormat
+from libnyquist_tpu.encoders import EncoderParams, encode_opus_to_buffer
+from libnyquist_tpu.formats.opus.analysis import (
+    FRAME,
+    decide_modes,
+    encode_ogg_opus_auto,
+    frame_features,
+    speech_probability,
+)
+
+SR = 48000
+_rng = np.random.default_rng(0)
+
+
+def _speechish(seconds):
+    t = np.arange(int(SR * seconds)) / SR
+    env = np.clip(np.sin(2 * np.pi * 3.1 * t), 0, None) ** 2
+    f0 = 120 * (1 + 0.25 * np.sin(2 * np.pi * 0.7 * t))
+    ph = 2 * np.pi * np.cumsum(f0) / SR
+    buzz = sum(np.sin(k * ph) / k for k in range(1, 9))
+    noise = _rng.standard_normal(len(t)) * 0.1
+    return (env * (0.5 * buzz + noise)).astype(np.float32) * 0.4
+
+
+def _musicish(seconds):
+    t = np.arange(int(SR * seconds)) / SR
+    chord = sum(np.sin(2 * np.pi * f * t)
+                for f in (220.0, 277.2, 329.6, 440.0))
+    return (0.2 * chord).astype(np.float32)
+
+
+def test_classifier_separates_speech_and_music():
+    x = np.concatenate([_musicish(2), _speechish(2), _musicish(2)])
+    p = speech_probability(x)
+    thirds = [float(p[i * 100:(i + 1) * 100].mean()) for i in range(3)]
+    assert thirds[0] < 0.3 and thirds[2] < 0.3, thirds
+    assert thirds[1] > 0.7, thirds
+
+
+def test_decide_modes_rate_gate_and_hysteresis():
+    F = 400
+    # high rate: CELT regardless of the classifier
+    assert set(decide_modes(np.ones(F), np.zeros(F), 96, 1)) == {"celt"}
+    # alternating noisy probability must not thrash: dwell bounds the
+    # number of switches
+    p = np.where(np.arange(F) % 2 == 0, 0.9, 0.1)
+    modes = decide_modes(p, np.zeros(F), 24, 1, min_dwell_frames=50)
+    switches = sum(a != b for a, b in zip(modes, modes[1:]))
+    assert switches <= F // 50 + 1, switches
+    # clean split picks both modes with one switch
+    p = np.concatenate([np.full(200, 0.02), np.full(200, 0.98)])
+    modes = decide_modes(p, np.zeros(F), 24, 1, min_dwell_frames=50)
+    assert modes[0] == "celt" and modes[-1] == "silk"
+    assert sum(a != b for a, b in zip(modes, modes[1:])) == 1
+
+
+def _mode_families(blob):
+    """TOC config families present in an Ogg Opus stream."""
+    from libnyquist_tpu.formats.ogg import demux
+
+    st = next(iter(demux(blob).values()))
+    fams = set()
+    for q in st.packets[2:]:
+        cfg = q.data[0] >> 3
+        fams.add("silk" if cfg < 12 else "hybrid" if cfg < 16 else "celt")
+    return fams
+
+
+@pytest.mark.parametrize("ch,kbps,want", [
+    (1, 24, {"celt", "silk"}),
+    (1, 48, {"celt", "hybrid"}),
+    (2, 96, {"celt"}),
+])
+def test_auto_encode_mixed_roundtrip(ch, kbps, want):
+    """Mixed music/speech/music content: the auto encoder picks the
+    expected mode families, output has EXACT input length, and every
+    segment lands time-aligned (per-region SNR floors — the round-4
+    delay compensation keeps SILK/hybrid segments on the CELT grid)."""
+    x = np.concatenate([_musicish(1.5), _speechish(2), _musicish(1.5)])
+    if ch == 2:
+        x = np.stack([x, 0.8 * x], 1).reshape(-1)
+    blob = encode_ogg_opus_auto(x, ch, bitrate_kbps=kbps)
+    assert _mode_families(blob) == want
+    got = np.asarray(nq.load(blob, extension="opus").samples,
+                     np.float64).reshape(-1, ch)
+    ref = np.asarray(x, np.float64).reshape(-1, ch)
+    assert len(got) == len(ref)
+    err = got - ref
+    snr = 10 * np.log10((ref ** 2).mean() / max((err ** 2).mean(), 1e-12))
+    assert snr > 15.0, snr
+    # music tail region specifically (after two mode switches)
+    r, g = ref[-SR:], got[-SR:]
+    snr_tail = 10 * np.log10((r ** 2).mean()
+                             / max(((g - r) ** 2).mean(), 1e-12))
+    assert snr_tail > 15.0, snr_tail
+
+
+def test_auto_encode_via_public_api():
+    x = _speechish(1.5)
+    a = AudioData()
+    a.samples = x
+    a.channel_count = 1
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    buf = encode_opus_to_buffer(EncoderParams(1, PCMFormat.PCM_FLT), a,
+                                bitrate_kbps=24, mode="auto")
+    got = np.asarray(nq.load(buf, extension="opus").samples, np.float64)
+    assert len(got) == len(x)
+
+
+def test_silk_standalone_is_time_aligned():
+    """Round-4 delay compensation: standalone SILK/hybrid encodes
+    absorb the decoder resampler latency in OpusHead preskip (what
+    opusenc does with OPUS_GET_LOOKAHEAD), so lag-0 SNR is the best
+    SNR — no residual group delay."""
+    from libnyquist_tpu.formats.opus.hybrid_encoder import (
+        encode_ogg_opus_hybrid)
+    from libnyquist_tpu.formats.opus.silk_encoder import (
+        encode_ogg_opus_silk)
+
+    x = _speechish(1.5)
+    for blob in (
+        encode_ogg_opus_silk(x, SR, bandwidth="wb", frame_ms=20),
+        encode_ogg_opus_hybrid(x, SR, 48, channels=1, frame_ms=20,
+                               bandwidth="fb"),
+    ):
+        got = np.asarray(nq.load(blob, extension="opus").samples,
+                         np.float64)
+        n = min(len(got), len(x))
+        ref = np.asarray(x[:n], np.float64)
+        snr0 = 10 * np.log10(
+            (ref ** 2).mean() / max(((got[:n] - ref) ** 2).mean(), 1e-12))
+        best = max(
+            10 * np.log10((ref[:n - lag] ** 2).mean()
+                          / max(((got[lag:n] - ref[:n - lag]) ** 2)
+                                .mean(), 1e-12))
+            for lag in range(0, 60))
+        assert snr0 > 10.0, snr0
+        assert snr0 >= best - 1.0, (snr0, best)
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/stockopus/oracle_dump").exists(),
+    reason="stock libopus oracle not built "
+           "(tools/build_stock_oracle.sh)")
+@pytest.mark.parametrize("kbps", [24, 48])
+def test_auto_encode_reference_oracle(tmp_path, kbps):
+    """STOCK libopus/opusfile (tools/build_stock_oracle.sh — the
+    fork's *_clean.c build strips CELT PLC and segfaults on
+    CELT->SILK transitions) decodes mixed-mode auto streams to within
+    float32 LSB noise of our decoder: the mode-transition machinery
+    (CELT PLC transition frames + crossfades, opus_decoder.c:308-580)
+    matches."""
+    import struct
+    import subprocess
+
+    x = np.concatenate([_musicish(1.0), _speechish(1.5), _musicish(1.0)])
+    blob = encode_ogg_opus_auto(x, 1, bitrate_kbps=kbps)
+    assert "celt" in _mode_families(blob)
+    assert len(_mode_families(blob)) == 2
+    p = tmp_path / "a.opus"
+    p.write_bytes(blob)
+    out = tmp_path / "a.raw"
+    subprocess.run(["/tmp/stockopus/oracle_dump", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    raw = out.read_bytes()
+    (count,) = struct.unpack("<Q", raw[12:20])
+    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ours = np.asarray(nq.load(blob, extension="opus").samples,
+                      np.float32)
+    assert len(ref) == len(ours)
+    # 5e-7: float32 summation-order noise of the batched synthesis;
+    # transitions themselves are exact (see the packet-level test)
+    assert float(np.abs(ref - ours).max()) <= 5e-7
+
+
+@pytest.mark.skipif(
+    not pathlib.Path("/tmp/stockopus/opus_pkt_probe").exists(),
+    reason="stock libopus packet probe not built "
+           "(tools/build_stock_oracle.sh)")
+def test_celt_to_silk_transition_matches_stock(tmp_path):
+    """Packet-level: a CELT->SILK mode switch decodes the 2.5 ms CELT
+    PLC transition frame + crossfade like stock libopus
+    (opus_decoder.c:471-476, 555-566).  The fork's clean decoder
+    cannot even decode this sequence (stripped celt_decode_lost)."""
+    import struct
+    import subprocess
+
+    from libnyquist_tpu.formats.opus.celt_encoder import (
+        celt_encode_packets)
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+    from libnyquist_tpu.formats.opus.silk_encoder import (
+        encode_ogg_opus_silk)
+
+    celt_pk, _ = celt_encode_packets(_musicish(1.0), 1, SR, 96,
+                                     frame_ms=20, preskip=0)
+    silk_pk, _ = encode_ogg_opus_silk(_speechish(1.0), SR,
+                                      bandwidth="wb", frame_ms=20,
+                                      preskip=0, return_packets=True)
+    pkts = celt_pk[:8] + silk_pk[:8]
+    p = tmp_path / "pkts.bin"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<II", 1, len(pkts)))
+        for q in pkts:
+            f.write(struct.pack("<I", len(q)) + q)
+    out = tmp_path / "pkts.raw"
+    subprocess.run(["/tmp/stockopus/opus_pkt_probe", str(p), str(out)],
+                   check=True, capture_output=True, timeout=120)
+    ref = np.fromfile(out, np.float32)
+    dec = OpusDecoder(1)
+    ours = np.concatenate(
+        [np.asarray(dec.decode_packet(q), np.float64).reshape(-1)
+         for q in pkts]).astype(np.float32)
+    assert len(ref) == len(ours)
+    # the PLC extrapolation is float-formulated, not bit-exact C:
+    # bound the transition frame tightly and everything else at LSB
+    tr = slice(8 * 960, 8 * 960 + 240)
+    assert float(np.abs(ref[tr] - ours[tr]).max()) < 5e-4
+    rest = np.r_[np.abs(ref[:tr.start] - ours[:tr.start]),
+                 np.abs(ref[tr.stop:] - ours[tr.stop:])]
+    assert float(rest.max()) <= 5e-7

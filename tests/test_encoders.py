@@ -887,9 +887,10 @@ def test_silk_encode_dtx():
     out = np.asarray(back.samples, np.float64)
     ref = np.asarray(x, np.float64)
     n = min(len(out), len(ref))
-    # active head region must survive (skip edges + group delay)
+    # active head region must survive (delay-compensated encode:
+    # DELAY_COMP_48K rides the OpusHead preskip, so output is aligned)
     o = out[2000 : int(0.7 * sr)]
-    r = ref[2000 - 36 : int(0.7 * sr) - 36]
+    r = ref[2000 : int(0.7 * sr)]
     g = float(np.dot(r, o) / max(np.dot(o, o), 1e-12))
     err = r - g * o
     snr = 10 * np.log10(np.dot(r, r) / max(np.dot(err, err), 1e-12))
