@@ -81,6 +81,9 @@ def main():
     if not RD_REF.exists():
         print("build /tmp/opus_rd_ref first (see tools/opus_rd_ref.c)")
         return 1
+    import json
+
+    rows = []
     print(f"{'signal':<24s} {'target':>7s} | {'ours kbps':>9s} "
           f"{'ours dB':>8s} | {'libopus kbps':>12s} {'libopus dB':>10s}")
     for name, ch, sig in signals():
@@ -89,6 +92,17 @@ def main():
             tk, tsnr = theirs(sig, ch, kbps)
             print(f"{name:<24s} {kbps:>5d}k | {ok:9.1f} {osnr:8.1f} | "
                   f"{tk:12.1f} {tsnr:10.1f}")
+            rows.append({"signal": name, "channels": ch,
+                         "target_kbps": kbps,
+                         "ours_kbps": round(ok, 2),
+                         "ours_snr_db": round(osnr, 2),
+                         "libopus_kbps": round(tk, 2),
+                         "libopus_snr_db": round(tsnr, 2)})
+    # raw sweep artifact for the repo (VERDICT r3 weak #7: the
+    # "ahead of libopus" claim should be checked-in evidence)
+    out = pathlib.Path(__file__).parent / "rd_sweep_results.json"
+    out.write_text(json.dumps({"sweep": rows}, indent=1) + "\n")
+    print(f"# wrote {out}")
     return 0
 
 
