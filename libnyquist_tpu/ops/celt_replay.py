@@ -15,11 +15,20 @@ structure:
   3. denormalise by band gains (static broadcast-concat) + channel
      mixes (bands.c:192 denormalise_bands).
 
-The spreading rotation (vq.c exp_rotation) runs on the HOST tracer in
-double precision (native/celt_bands.c emit_leaf): on TPU the per-leaf
-rotation decomposes into ~0.5M windowed gather+matmul+scatter rows and
-measured 1.59s/stream (scatter-bound at ~2.5M rows/s); as host scalar
-code over the same ~6M samples it is ~0.07s/stream.
+The spreading rotation (vq.c exp_rotation) runs ON DEVICE for raw-iy
+traces (the bench/serving path: raw_iy/xs_heap/idx_mode): the per-leaf
+Givens sweeps are reformulated as segmented affine recurrences over
+the dense [F*2, WB] plane and solved with two associative scans per
+sigma class (_build_rotation_pass / _make_lag_pass) — no gathers, no
+scatters; measured ~0.14 s/stream on v5e.  Two earlier device
+formulations lost and are kept only as history: per-leaf windowed
+gather+matmul+scatter rows (1.59 s/stream, scatter-bound) and the
+single-kernel Pallas sweep (ops/rot_pallas.py, 0.43 s/stream,
+sublane-serial; opt-in via LIBNYQUIST_ROT_PALLAS).  The host scalar
+rotation (native/celt_bands.c emit_leaf, ~0.07 s/stream) remains only
+for non-raw-iy traces; on the pipelined composition the device scan
+overlaps host decode, so moving it off the host critical path wins
+even though 0.14 > 0.07.
 
 Validated against the float64 NumPy replayer (iy_split.replay_numpy)
 and the full native decode; see tests/test_iy_split.py.
