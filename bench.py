@@ -565,9 +565,9 @@ def bench_e2e_opus_iy(K):
           f"overlaps device k): {pipe_x:.0f}x realtime per chip "
           f"(trials {[round(x, 2) for x in pipe_samples]}s, spread "
           f"{100 * spread:.0f}%)", file=sys.stderr)
-    peak_env = os.environ.get("LIBNYQUIST_TPU_PEAK_TFLOPS")
-    mfu = (round(100.0 * dev_flops / t_dev / (float(peak_env) * 1e12), 3)
-           if (dev_flops and peak_env) else None)
+    peak = profiling.device_peak_tflops()
+    mfu = (round(100.0 * dev_flops / t_dev / (peak * 1e12), 3)
+           if (dev_flops and peak) else None)
     return {
         "metric": "opus_e2e_decode_realtime_x",
         "value": round(pipe_x, 1),

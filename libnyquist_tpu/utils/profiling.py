@@ -130,17 +130,52 @@ def xla_flops(jitted_fn, *args) -> float | None:
         return None
 
 
-def flops_report(flops: float | None, seconds: float,
-                 peak_tflops: float | None = None) -> str:
-    """'x GFLOP, y TFLOP/s[, z% MFU]' — peak defaults to the
-    LIBNYQUIST_TPU_PEAK_TFLOPS env var (chip f32 peak) when unset."""
+# Published per-chip dense peak (TFLOP/s) by TPU generation, bf16
+# MXU rate (the framework's matmuls run f32-in/bf16-accum-eligible;
+# the bf16 figure is the roofline the reference's NCU analysis would
+# use).  Substring-matched against PJRT device_kind.
+_TPU_PEAK_TFLOPS = (
+    ("v6", 918.0),       # Trillium / v6e
+    ("v5p", 459.0),
+    ("v5", 197.0),       # v5e / "TPU v5 lite"
+    ("v4", 275.0),
+    ("v3", 123.0),
+    ("v2", 46.0),
+)
+
+
+def device_peak_tflops() -> float | None:
+    """Per-chip peak TFLOP/s: the LIBNYQUIST_TPU_PEAK_TFLOPS env var
+    if set, else looked up from the live device's device_kind (so MFU
+    lands in the bench JSON without per-rig configuration).  None on
+    CPU or unknown kinds."""
     import os
 
+    env = os.environ.get("LIBNYQUIST_TPU_PEAK_TFLOPS")
+    if env:
+        return float(env)
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    if "tpu" not in kind and "v5" not in kind and "v4" not in kind:
+        return None
+    for sub, peak in _TPU_PEAK_TFLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def flops_report(flops: float | None, seconds: float,
+                 peak_tflops: float | None = None) -> str:
+    """'x GFLOP, y TFLOP/s[, z% MFU]' — peak defaults to
+    device_peak_tflops() (env override, else device_kind lookup)."""
     if not flops or seconds <= 0:
         return "flops: n/a"
     if peak_tflops is None:
-        env = os.environ.get("LIBNYQUIST_TPU_PEAK_TFLOPS")
-        peak_tflops = float(env) if env else None
+        peak_tflops = device_peak_tflops()
     rate = flops / seconds
     s = f"{flops / 1e9:.2f} GFLOP, {rate / 1e12:.3f} TFLOP/s"
     if peak_tflops:
