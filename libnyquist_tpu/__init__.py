@@ -25,6 +25,21 @@ from .streaming import (
 )
 
 
+def open_url(url: str, **kw):
+    """Lazy seek reader over HTTP(S) — opusfile op_url analog (lazy
+    import keeps `import libnyquist_tpu` socket/ssl-free otherwise)."""
+    from .net import open_url as _open_url
+
+    return _open_url(url, **kw)
+
+
+def load_url(url: str, extension=None, **kw):
+    """Full decode of an HTTP(S) resource through the facade."""
+    from .net import load_url as _load_url
+
+    return _load_url(url, extension=extension, **kw)
+
+
 def resample(x, sr_in: int, sr_out: int, **kwargs):
     """Batched polyphase SRC (lazy import keeps `import libnyquist_tpu`
     jax-free for pure host decoding)."""
@@ -47,6 +62,8 @@ __all__ = [
     "Mp3SeekReader",
     "FlacSeekReader",
     "seek_reader",
+    "open_url",
+    "load_url",
     "NyquistError",
     "DecodeError",
     "TruncatedDataError",
