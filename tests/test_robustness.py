@@ -456,3 +456,140 @@ def test_dtx_packets_conceal():
     a = nq.load(b"".join(pages), extension="opus")
     assert a.sample_count == frame * 12 * ch
     assert np.isfinite(a.samples).all()
+
+
+def _audio(sig: np.ndarray, ch: int = 1):
+    from libnyquist_tpu.audio_data import AudioData, PCMFormat
+
+    a = AudioData()
+    a.samples = sig.astype(np.float32)
+    a.channel_count = ch
+    a.sample_rate = 48000
+    a.source_format = PCMFormat.PCM_FLT
+    return a
+
+
+def _speechish48(seconds, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(48000 * seconds)) / 48000
+    env = np.clip(np.sin(2 * np.pi * 3.1 * t), 0, None) ** 2
+    f0 = 120 * (1 + 0.25 * np.sin(2 * np.pi * 0.7 * t))
+    ph = 2 * np.pi * np.cumsum(f0) / 48000
+    buzz = sum(np.sin(k * ph) / k for k in range(1, 9))
+    return (env * (0.5 * buzz + rng.standard_normal(len(t)) * 0.1)
+            ).astype(np.float32) * 0.4
+
+
+def test_fec_lbrr_packet_mutation_soak():
+    """The in-band FEC path (decode_packet(fec=True) -> LBRR parser,
+    round-3's newest attack surface): random byte mutations of FEC
+    packets must produce finite output or a typed error, never foreign
+    exceptions — through BOTH the fec=True recovery decode and the
+    subsequent normal decode of the same mutated packet (state
+    interaction)."""
+    import random
+
+    from libnyquist_tpu.audio_data import PCMFormat
+    from libnyquist_tpu.encoders import EncoderParams, encode_opus_to_buffer
+    from libnyquist_tpu.formats.ogg import demux
+    from libnyquist_tpu.formats.opus.decoder import OpusDecoder
+
+    random.seed(7)
+    for ch in (1, 2):
+        sig = _speechish48(1.2)
+        if ch == 2:
+            sig = np.stack([sig, np.roll(sig, 240) * 0.9], 1).reshape(-1)
+        buf = encode_opus_to_buffer(
+            EncoderParams(ch, PCMFormat.PCM_FLT), _audio(sig, ch),
+            mode="silk", fec=True)
+        pkts = [q.data for q in
+                next(iter(demux(buf).values())).packets[2:]]
+        dec = OpusDecoder(ch)
+        muts = 0
+        for i, q in enumerate(pkts):
+            dec.decode_packet(q)          # keep real state evolving
+            for _ in range(3):
+                mut = bytearray(q)
+                for _ in range(random.randint(1, 6)):
+                    mut[random.randrange(len(mut))] = \
+                        random.randrange(256)
+                mdec = OpusDecoder(ch)
+                try:
+                    out = mdec.decode_packet(bytes(mut), fec=True)
+                    assert np.isfinite(np.asarray(out)).all()
+                    out2 = mdec.decode_packet(bytes(mut))
+                    assert np.isfinite(np.asarray(out2)).all()
+                except (NyquistError, ValueError, MemoryError):
+                    pass
+                muts += 1
+        assert muts >= 100
+
+
+def test_dtx_stream_mutation_soak():
+    """DTX streams (TOC-only packets + reactivation frames) under
+    whole-file byte mutation: finite-or-typed-error, both SILK and
+    CELT DTX encoders."""
+    import random
+
+    from libnyquist_tpu.audio_data import PCMFormat
+    from libnyquist_tpu.encoders import EncoderParams, encode_opus_to_buffer
+
+    random.seed(13)
+    sp = _speechish48(0.8)
+    gap = np.zeros(48000 // 2, np.float32)
+    sig = np.concatenate([sp, gap, sp * 0.5, gap, sp])
+    for mode in ("silk", "celt"):
+        buf = encode_opus_to_buffer(
+            EncoderParams(1, PCMFormat.PCM_FLT), _audio(sig),
+            mode=mode, dtx=True)
+        # sanity: the clean stream decodes finite
+        a = nq.load(buf, extension="opus")
+        assert np.isfinite(np.asarray(a.samples)).all()
+        data = bytearray(buf)
+        for region in (len(data), min(2048, len(data))):
+            for _ in range(12):
+                mut = bytearray(data)
+                for _ in range(random.randint(1, 8)):
+                    mut[random.randrange(region)] = random.randrange(256)
+                try:
+                    d = nq.load(bytes(mut), extension="opus")
+                    assert np.isfinite(np.asarray(d.samples)).all()
+                except (NyquistError, MemoryError):
+                    pass
+
+
+def test_auto_mode_edge_inputs():
+    """mode='auto' (the analysis.c-surface detector) on adversarial
+    inputs: silence, DC, full-scale square, impulse train, one frame,
+    clipped content — must encode, and the stream must decode finite
+    at the right length; NaN input raises the typed guard."""
+    from libnyquist_tpu.audio_data import PCMFormat
+    from libnyquist_tpu.encoders import EncoderParams, encode_opus_to_buffer
+
+    n = 48000
+    t = np.arange(n) / 48000.0
+    rng = np.random.default_rng(5)
+    edges = {
+        "silence": np.zeros(n, np.float32),
+        "dc": np.full(n, 0.5, np.float32),
+        "square_fs": np.sign(np.sin(2 * np.pi * 1000 * t)
+                             ).astype(np.float32),
+        "impulses": (np.arange(n) % 4800 == 0).astype(np.float32),
+        "clipped": np.clip(3.0 * _speechish48(1.0), -1, 1),
+        "tiny": (rng.standard_normal(n) * 1e-6).astype(np.float32),
+        "one_frame": _speechish48(0.02),
+    }
+    for name, sig in edges.items():
+        buf = encode_opus_to_buffer(
+            EncoderParams(1, PCMFormat.PCM_FLT), _audio(sig),
+            mode="auto")
+        d = nq.load(buf, extension="opus")
+        assert np.isfinite(np.asarray(d.samples)).all(), name
+        # duration within one frame of the input (preskip-trimmed)
+        assert abs(d.sample_count - len(sig)) <= 960, (
+            name, d.sample_count, len(sig))
+    bad = np.zeros(n, np.float32)
+    bad[100] = np.nan
+    with pytest.raises(ValueError):
+        encode_opus_to_buffer(
+            EncoderParams(1, PCMFormat.PCM_FLT), _audio(bad), mode="auto")
