@@ -491,7 +491,9 @@ def bench_e2e_opus_iy(K):
         dev_samples.append(time.perf_counter() - t0)
     dev_samples.sort()
     t_dev = dev_samples[len(dev_samples) // 2]
-    dev_flops = profiling.xla_flops(stream_fn, d_iy, d_synth)
+    dev_cost = profiling.xla_cost(stream_fn, d_iy, d_synth)
+    dev_flops = dev_cost.get("flops")
+    dev_bytes = dev_cost.get("bytes")
 
     # ---------- pipelined steady state: device(batch k) overlaps ------
     # host(batch k+1); one iteration = dispatch batch, host-decode the
@@ -568,6 +570,12 @@ def bench_e2e_opus_iy(K):
     peak = profiling.device_peak_tflops()
     mfu = (round(100.0 * dev_flops / t_dev / (peak * 1e12), 3)
            if (dev_flops and peak) else None)
+    # the value-plane replay is data-movement-bound by construction;
+    # HBM-bandwidth utilization is its honest roofline (MFU covers
+    # the matmul synthesis half)
+    peak_bw = profiling.device_peak_gbps()
+    hbm_util = (round(100.0 * dev_bytes / t_dev / (peak_bw * 1e9), 2)
+                if (dev_bytes and peak_bw) else None)
     return {
         "metric": "opus_e2e_decode_realtime_x",
         "value": round(pipe_x, 1),
@@ -580,7 +588,10 @@ def bench_e2e_opus_iy(K):
                    "staging_s": round(t_stage, 2),
                    "device_gflops": (round(dev_flops / 1e9, 2)
                                      if dev_flops else None),
+                   "device_gbytes": (round(dev_bytes / 1e9, 2)
+                                     if dev_bytes else None),
                    "mfu_pct": mfu,
+                   "hbm_util_pct": hbm_util,
                    "trial_spread_pct": round(100 * spread, 1)},
     }
 

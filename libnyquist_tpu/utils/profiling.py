@@ -130,6 +130,63 @@ def xla_flops(jitted_fn, *args) -> float | None:
         return None
 
 
+def xla_cost(jitted_fn, *args) -> dict:
+    """FLOPs + bytes accessed per XLA's cost model ({} when the
+    backend omits cost analysis).  The bytes figure is the roofline
+    denominator that actually matters for the decode value plane —
+    it is data-movement-heavy by construction (scatters of trace
+    markers, fills, windowed slices), so HBM-bandwidth utilization is
+    the honest 'how close to peak' number; MFU is reported alongside
+    for the matmul-heavy synthesis half."""
+    try:
+        ca = jitted_fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        out = {}
+        if "flops" in ca:
+            out["flops"] = float(ca["flops"])
+        if "bytes accessed" in ca:
+            out["bytes"] = float(ca["bytes accessed"])
+        return out
+    except Exception:
+        return {}
+
+
+# Published per-chip HBM bandwidth (GB/s) by TPU generation,
+# substring-matched against PJRT device_kind (same scheme as the
+# FLOPs table below).
+_TPU_PEAK_GBPS = (
+    ("v6", 1638.0),      # Trillium / v6e
+    ("v5p", 2765.0),
+    ("v5", 819.0),       # v5e
+    ("v4", 1228.0),
+    ("v3", 900.0),
+    ("v2", 700.0),
+)
+
+
+def device_peak_gbps() -> float | None:
+    """Per-chip HBM bandwidth: LIBNYQUIST_TPU_PEAK_GBPS env var if
+    set, else device_kind lookup.  None on CPU/unknown."""
+    import os
+
+    env = os.environ.get("LIBNYQUIST_TPU_PEAK_GBPS")
+    if env:
+        return float(env)
+    try:
+        import jax
+
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    if "tpu" not in kind and "v5" not in kind and "v4" not in kind:
+        return None
+    for sub, peak in _TPU_PEAK_GBPS:
+        if sub in kind:
+            return peak
+    return None
+
+
 # Published per-chip dense peak (TFLOP/s) by TPU generation, bf16
 # MXU rate (the framework's matmuls run f32-in/bf16-accum-eligible;
 # the bf16 figure is the roofline the reference's NCU analysis would
