@@ -646,7 +646,9 @@ def make_opus_stream_program(replay_key, F, N, CC, n_steps, f_chunk,
 
 
 def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
-                                     f_chunk, overlap, short_mdct):
+                                     f_chunk, overlap, short_mdct, *,
+                                     with_synth=True, with_comb=True,
+                                     with_deemph=True):
     """K-stream batched fused program (replay + synthesis) — the
     serving shape: one executable decodes a whole batch, so the comb /
     deemphasis scans and the small replay ops amortize across K*CC rows
@@ -677,6 +679,10 @@ def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
 
         chans = jax.vmap(replay_chans)(arrs)       # CC x [K, F, N]
         spec = jnp.concatenate(chans, axis=0)      # [R, F, N] (c*K+k)
+        if not with_synth:
+            # replay-only variant (bench stage split): a full
+            # reduction keeps every replay op live, output stays tiny
+            return jnp.sum(spec, axis=(1, 2)).reshape(CC, K).T
         spec = jnp.pad(spec, ((0, 0), (0, Fpad - F), (0, 0)))
 
         def expand_rows(x):                        # [K, ...] -> rows
@@ -696,7 +702,8 @@ def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
                 sp, param("msk"), param("TA"), param("gA"),
                 param("TB1"), param("gB1"), synth["fade"],
                 synth["T1m"], synth["T1p"], synth["T8m"], synth["T8p"],
-                tails, hist, mem, overlap, short_mdct)
+                tails, hist, mem, overlap, short_mdct,
+                with_comb=with_comb, with_deemph=with_deemph)
             acc = acc + jnp.sum(pcm, axis=1)
             return (tails, hist, mem, acc), jnp.float32(0)
 
@@ -716,11 +723,19 @@ def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
 
 def unified_step_row_body(spec, mask_s, TA, gA, TB1, gB1, fade_pat,
                           T1m, T1p, T8m, T8p, tails, hist, mem,
-                          overlap, short_mdct):
+                          overlap, short_mdct, *, with_comb=True,
+                          with_deemph=True):
     """unified_step_body with PER-ROW comb params and short-block mask
     (multi-stream batches: each row may come from a different stream).
 
     mask_s/TA/TB1: [R, F]; gA/gB1: [R, F, 3].
+
+    with_comb / with_deemph are STATIC stage switches for the bench's
+    device stage split (bench.py _opus_stage_split): disabling a stage
+    removes it from the compiled program so cumulative variants
+    isolate per-stage cost by subtraction (the reference's per-stage
+    cudaEvent discipline, mdct_cuda_b8.cu:430-464).  Serving always
+    runs with both on.
     """
     R, F, N = spec.shape
     hp = jax.lax.Precision.HIGHEST
@@ -766,11 +781,18 @@ def unified_step_row_body(spec, mask_s, TA, gA, TB1, gB1, fade_pat,
         fade.reshape(1, nch, comb_ops.CHUNK), (R, nch, comb_ops.CHUNK))
 
     S = F * N
-    y, new_hist = comb_ops.comb_filter(
-        raw.reshape(R, S), hist, T0.reshape(R, nch), T1.reshape(R, nch),
-        g0.reshape(R, nch, 3), g1.reshape(R, nch, 3), fade)
-    pad = (-S) % scan_iir.BLOCK
-    out, new_mem = scan_iir.deemphasis(
-        jnp.pad(y, ((0, 0), (0, pad))), mem)
+    if with_comb:
+        y, new_hist = comb_ops.comb_filter(
+            raw.reshape(R, S), hist, T0.reshape(R, nch),
+            T1.reshape(R, nch), g0.reshape(R, nch, 3),
+            g1.reshape(R, nch, 3), fade)
+    else:
+        y, new_hist = raw.reshape(R, S), hist
+    if with_deemph:
+        pad = (-S) % scan_iir.BLOCK
+        out, new_mem = scan_iir.deemphasis(
+            jnp.pad(y, ((0, 0), (0, pad))), mem)
+    else:
+        out, new_mem = y, mem
     pcm = out[:, :S] * (1.0 / CELT_SIG_SCALE)
     return pcm, new_tails, new_hist, new_mem

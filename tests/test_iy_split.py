@@ -469,3 +469,73 @@ def test_native_pack_matches_python(golden_dir):
     for key in a_nat:
         assert np.array_equal(np.asarray(a_nat[key]),
                               np.asarray(a_py[key])), key
+
+
+def test_batched_stream_program_stage_variants(golden_dir):
+    """The bench stage-split variants (with_synth/with_comb/with_deemph
+    static switches) must compile, keep the [K, CC] output contract,
+    and the all-on variant must be bit-identical to the default
+    program (the switches exist for subtraction timing only —
+    bench.py _opus_stage_split)."""
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+    from libnyquist_tpu.ops import imdct as imdct_ops
+    from libnyquist_tpu.ops.celt_replay import build_replay_arrays
+    from libnyquist_tpu.runtime import serving
+
+    ch, frames, sizes, ends, chs = _frames_from_golden(
+        golden_dir / "opus_packets.bin")
+    st = CeltDecoderState(channels=ch)
+    tr = _trace(st, frames, sizes, ends, chs, raw_iy=True, xs_heap=True,
+                idx_mode=True)
+    arrs, _static, key = build_replay_arrays(tr)
+    mode = mode48000()
+    F, N, CC = len(tr.fsz), int(tr.fsz[0]), tr.CC
+    FC = 64
+    n_steps = (F + FC - 1) // FC
+    Fpad = n_steps * FC
+    TA, gA, TB1, gB1 = serving.postfilter_params_arrays(
+        tr.sb, tr.pfp, tr.pfg, tr.pft)
+
+    def chunked(vals, fill, tail=()):
+        out = np.full((Fpad,) + tail, fill, np.asarray(vals).dtype)
+        out[:F] = vals
+        return out.reshape((n_steps, FC) + tail)
+
+    msk = np.zeros(Fpad, np.float32)
+    msk[:F] = np.asarray(tr.sb) != 0
+    B_short = int(tr.sb.max()) if len(tr.sb) else 1
+    T1m, T1p, _ = imdct_ops.celt_synthesis_matrices_paired(
+        2 * N, mode.overlap, 1)
+    T8m, T8p, _ = imdct_ops.celt_synthesis_matrices_paired(
+        2 * mode.shortMdctSize, mode.overlap, max(B_short, 1))
+    K = 2
+    synth = {
+        "msk": msk.reshape(n_steps, FC),
+        "TA": chunked(TA, 15), "gA": chunked(gA, 0.0, (3,)),
+        "TB1": chunked(TB1, 15), "gB1": chunked(gB1, 0.0, (3,)),
+        "fade": serving._fade_pattern(N, mode.overlap,
+                                      mode.shortMdctSize),
+        "T1m": T1m, "T1p": T1p, "T8m": T8m, "T8p": T8p,
+    }
+    arrsK = {k: np.broadcast_to(v[None], (K,) + v.shape).copy()
+             for k, v in arrs.items()}
+    for k in ("msk", "TA", "gA", "TB1", "gB1"):
+        synth[k] = np.broadcast_to(
+            synth[k][None], (K,) + synth[k].shape).copy()
+    base_args = (key, K, F, N, CC, n_steps, FC, mode.overlap,
+                 mode.shortMdctSize)
+    full_default = serving.make_opus_stream_program_batched(*base_args)
+    acc_default = np.asarray(full_default(arrsK, synth))
+    variants = (dict(with_synth=False),
+                dict(with_comb=False, with_deemph=False),
+                dict(with_deemph=False),
+                dict())
+    outs = []
+    for flags in variants:
+        fn = serving.make_opus_stream_program_batched(
+            *base_args, **flags)
+        out = np.asarray(fn(arrsK, synth))
+        assert out.shape == (K, CC)
+        assert np.isfinite(out).all()
+        outs.append(out)
+    np.testing.assert_array_equal(outs[-1], acc_default)
