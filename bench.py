@@ -471,6 +471,7 @@ def _prep_opus_device_batch(K):
         "iy_key": iy_key, "F": F, "N": N, "CC": CC,
         "n_steps": n_steps, "FC": FC, "mode": mode,
         "d_iy": d_iy, "d_synth": d_synth, "t_stage": t_stage,
+        "K": K,
     }
 
 
@@ -485,7 +486,11 @@ def bench_e2e_opus_iy(K):
     reported."""
     from libnyquist_tpu.runtime import serving
 
-    prep = _prep_opus_device_batch(K)
+    # In cpu-fallback the device program exists only to verify the
+    # batch against the oracle (its CPU timing is meaningless and a
+    # K=8 CPU dispatch costs ~12 min on this rig) — verify at K=2.
+    K_dev = min(K, 2) if CPU_FALLBACK else K
+    prep = _prep_opus_device_batch(K_dev)
     if prep is None:
         return bench_e2e_opus(K)
     jax = prep["jax"]
@@ -497,7 +502,7 @@ def bench_e2e_opus_iy(K):
                               prep["t_stage"])
 
     stream_fn = serving.make_opus_stream_program_batched(
-        iy_key, K, F, N, CC, n_steps, FC, mode.overlap,
+        iy_key, K_dev, F, N, CC, n_steps, FC, mode.overlap,
         mode.shortMdctSize)
     acc_h = np.asarray(stream_fn(d_iy, d_synth))  # compile + warm
 
@@ -507,8 +512,12 @@ def bench_e2e_opus_iy(K):
     t_host, host_workers = passes[len(passes) // 2]
 
     dev_cost = profiling.xla_cost(stream_fn, d_iy, d_synth)
-    dev_flops = dev_cost.get("flops")
-    dev_bytes = dev_cost.get("bytes")
+    # program cost is linear in the batch: scale the K_dev-sized
+    # verification program's cost up to the headline K
+    dev_flops = (dev_cost["flops"] * K / K_dev
+                 if "flops" in dev_cost else None)
+    dev_bytes = (dev_cost["bytes"] * K / K_dev
+                 if "bytes" in dev_cost else None)
     if CPU_FALLBACK:
         # Tunnel down: the "device" half would be the fused program on
         # this 1-core host CPU (measured ~170 s/stream) — a stand-in
@@ -557,7 +566,7 @@ def bench_e2e_opus_iy(K):
     if src == "sb-reverie.opus":
         ok = bool(np.all(np.abs(sums - 403.42) < 1.0))
         print(f"# oracle: int(sum) = {int(total)} expected 403 for all "
-              f"{K} streams -> {'PASS' if ok else 'FAIL'}",
+              f"{len(sums)} streams -> {'PASS' if ok else 'FAIL'}",
               file=sys.stderr)
         if not ok:
             raise SystemExit("oracle mismatch in benched decode")
@@ -593,8 +602,21 @@ def bench_e2e_opus_iy(K):
     host_x = total_audio / t_host
     pipe_x = total_audio / t_pipe
     host_1core_x = audio_s / (t_host * host_workers / K)
+    # staging-included steady state (VERDICT r3 item 5): host->HBM
+    # copies ride the DMA engines concurrently with device compute and
+    # host decode (device_put is async), so a full double-buffered
+    # pipeline is gated by the SLOWEST stage, not their sum.  On this
+    # rig's ~5 MB/s debug tunnel staging is grossly unrepresentative
+    # of production PCIe/DCN, so it is reported as its own field and
+    # bound rather than folded into the headline.
+    t_slowest = max(t_host, t_stage, t_dev or 0.0)
+    incl_staging_x = total_audio / t_slowest
     print(f"# streams={K} src={src} audio={audio_s:.1f}s/stream "
           f"iy-split batched fused program (device cwrsi)",
+          file=sys.stderr)
+    print(f"# staging {t_stage:.2f}s; overlapped-steady-state incl. "
+          f"staging: {incl_staging_x:.0f}x (gated by "
+          f"{'host' if t_slowest == t_host else 'staging' if t_slowest == t_stage else 'device'})",
           file=sys.stderr)
     if t_dev is None:
         serial_x = None
@@ -644,6 +666,7 @@ def bench_e2e_opus_iy(K):
                    "dev_s": (round(t_dev, 2)
                              if t_dev is not None else None),
                    "staging_s": round(t_stage, 2),
+                   "incl_staging_x": round(incl_staging_x, 1),
                    "device_gflops": (round(dev_flops / 1e9, 2)
                                      if dev_flops else None),
                    "device_gbytes": (round(dev_bytes / 1e9, 2)
