@@ -125,6 +125,9 @@ from .celt import (  # noqa: E402
     TF_SELECT_TABLE,
     MAX_FINE_BITS,
     SMALL_ENERGY_ICDF,
+    SPREAD_AGGRESSIVE,
+    SPREAD_LIGHT,
+    SPREAD_NONE,
     SPREAD_NORMAL,
     init_caps,
     laplace_encode,
@@ -502,6 +505,103 @@ class CeltEncoderState:
         self.oldEBands = np.zeros((2, mode.nbEBands))
         self.rng = 0
         self.overlap_mem = np.zeros((channels, mode.overlap))
+        # decision smoothing state (spreading_decision /
+        # intensity_decision below)
+        self.spread_avg = 3.0          # IPR EMA; 3 = Gaussian noise
+        self.intensity_avg = float(mode.effEBands)
+
+
+def spreading_decision(X, mode, M, start, end, C, st):
+    """Per-frame PVQ spreading (rotation strength) decision — the
+    surface of the reference's spreading_decision
+    (celt_encoder.c:400), ORIGINAL formulation.
+
+    Statistic: per-band inverse participation ratio of the normalized
+    shape, r = N * sum(x^4) for unit-norm x — ~3 for Gaussian noise,
+    ~N for a lone tone, 1 for a flat shape.  The frame statistic is
+    the median over coded bands with N >= 8 and non-negligible energy
+    (tonal content concentrates in few bands; the median over the
+    *live* bands tracks it).  An EMA across frames adds hysteresis so
+    the signaled class doesn't thrash at threshold boundaries.
+
+    Mapping: strongly tonal -> SPREAD_NONE (rotation would smear the
+    quantization error across the peak's neighborhood), noise-like ->
+    SPREAD_AGGRESSIVE (strongest decorrelation of the pulse grid),
+    Gaussian-ish -> NORMAL.  Thresholds chosen by RD sweep
+    (tools/opus_rd_compare.py): no cell may regress vs always-NORMAL.
+    """
+    eBands = mode.eBands
+    vals = []
+    for c in range(C):
+        base = c * M * int(eBands[mode.nbEBands])
+        for b in range(start, end):
+            lo = M * int(eBands[b])
+            hi = M * int(eBands[b + 1])
+            N = hi - lo
+            if N < 8:
+                continue
+            x = X[lo + base : hi + base] if X.ndim == 1 else X[c, lo:hi]
+            e = float(np.dot(x, x))
+            if e < 1e-10:
+                continue
+            vals.append(N * float(np.sum((x * x) ** 2)) / (e * e))
+    if not vals:
+        return SPREAD_NORMAL
+    st.spread_avg = 0.7 * st.spread_avg + 0.3 * float(np.median(vals))
+    a = st.spread_avg
+    if a > 30.0:
+        return SPREAD_NONE
+    if a > 10.0:
+        return SPREAD_LIGHT
+    if a > 2.2:
+        return SPREAD_NORMAL
+    return SPREAD_AGGRESSIVE
+
+
+def intensity_decision(X, mode, M, start, end, st, kbps):
+    """Stereo intensity threshold — the surface of the reference
+    encoder's intensity machinery (celt_encoder.c stereo analysis +
+    rate thresholds), ORIGINAL formulation.
+
+    Above the returned band, only the mid shape is coded and both
+    channels reconstruct from it with their own energies; the loss is
+    the inter-channel shape difference, the gain is ~half the PVQ bits
+    of those bands.  Worth it when (a) the rate is too low to code two
+    shapes well, or (b) the shapes are near-identical anyway.
+
+    Decision: a rate prior maps the stereo-pair rate to a base band
+    (off at >= 88 kbps, down to band 6 toward 24 kbps), then the
+    measured per-band |corr(L, R)| of the normalized shapes shifts it
+    by up to +-2 bands (collapsing uncorrelated shapes hurts; highly
+    correlated ones are free).  An EMA keeps the signaled value
+    stable; the allocator clamps to codedBands (celt.py:521).
+    """
+    nb = mode.nbEBands
+    eBands = mode.eBands
+    if kbps >= 88.0:
+        target = float(end)
+    else:
+        base = float(np.interp(kbps, [24.0, 88.0], [6.0, end]))
+        b0 = int(max(start + 1, min(end - 1, round(base))))
+        num = den = 0.0
+        W = M * int(eBands[nb])
+        for b in range(b0, end):
+            lo = M * int(eBands[b])
+            hi = M * int(eBands[b + 1])
+            l = X[lo:hi] if X.ndim == 1 else X[0, lo:hi]
+            r = (X[W + lo : W + hi] if X.ndim == 1 else X[1, lo:hi])
+            el = float(np.dot(l, l))
+            er = float(np.dot(r, r))
+            if el < 1e-10 or er < 1e-10:
+                continue
+            w = hi - lo
+            num += w * abs(float(np.dot(l, r))) / np.sqrt(el * er)
+            den += w
+        corr = num / den if den else 1.0
+        target = base + (-2.0 if corr > 0.85 else
+                         2.0 if corr < 0.3 else 0.0)
+    st.intensity_avg = 0.7 * st.intensity_avg + 0.3 * target
+    return int(max(start + 1, min(end, round(st.intensity_avg))))
 
 
 def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
@@ -727,8 +827,11 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         tf_vals = tf_encode_uniform(st.start, st.end, 0, LM, enc, 0)
 
     tell = enc.tell()
+    spread_val = SPREAD_NORMAL     # the decoder's unsignaled default
     if tell + 4 <= total_bits:
-        enc.enc_icdf(SPREAD_NORMAL, SPREAD_ICDF, 5)
+        spread_val = spreading_decision(X, mode, M, st.start, effEnd,
+                                        C, st)
+        enc.enc_icdf(spread_val, SPREAD_ICDF, 5)
 
     cap = init_caps(mode, LM, C)
     offsets = [0] * nbEBands
@@ -771,10 +874,17 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         else 0
     )
     bits -= anti_collapse_rsv
+    if C == 2:
+        # stereo-pair payload rate in kbps (frame is (120 << LM)/48 ms)
+        kbps = nbytes * 8.0 * 48.0 / (120 << LM)
+        chosen_int = intensity_decision(X, mode, M, st.start, effEnd,
+                                        st, kbps)
+    else:
+        chosen_int = st.end
     (codedBands, balance, pulses, fine_quant, fine_priority,
      intensity, dual_stereo) = compute_allocation(
         mode, st.start, st.end, offsets, cap, alloc_trim, bits, C, LM, enc,
-        encode=True, chosen_intensity=st.end, chosen_dual=0,
+        encode=True, chosen_intensity=chosen_int, chosen_dual=0,
     )
 
     quant_fine_energy(
@@ -787,7 +897,7 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
     Yv = Xflat[M * int(eBands[nbEBands]):] if C == 2 else None
     st.rng = quant_all_bands(
         mode, st.start, st.end, Xv, Yv, collapse_masks, pulses,
-        shortBlocks, SPREAD_NORMAL, dual_stereo, intensity,
+        shortBlocks, spread_val, dual_stereo, intensity,
         list(tf_vals) + [0] * (nbEBands - len(tf_vals)),
         nbytes * (8 << BITRES) - anti_collapse_rsv, balance, enc, LM,
         codedBands, st.rng, encode=1, bandE=bandE,

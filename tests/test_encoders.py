@@ -1011,3 +1011,66 @@ def test_silk_encode_fec_lbrr(tmp_path, monkeypatch, ch):
         ours = np.asarray(rec, np.float32).reshape(-1)
         m = min(len(ours), rn * ch)
         np.testing.assert_array_equal(ours[:m], lib_rec[:m])
+
+
+def test_celt_spread_and_intensity_decisions():
+    """The per-frame spreading and stereo-intensity decisions
+    (celt_encoder.spreading_decision / intensity_decision — the
+    surface of the reference encoder's spreading_decision and
+    intensity machinery, original formulations).  Pins: tonal shapes
+    get weaker rotation classes than noise; intensity activates at
+    low stereo rates and stays off at high ones; the 32 kbps stereo
+    RD floor holds (sweep: 31.7 dB vs libopus 5.4,
+    tools/rd_sweep_results.json)."""
+    from libnyquist_tpu.formats.opus.celt_encoder import (
+        CeltEncoderState, encode_ogg_opus, intensity_decision,
+        spreading_decision)
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+
+    mode = mode48000()
+    M = 8
+    W = M * int(mode.eBands[mode.nbEBands])
+    rng = np.random.default_rng(3)
+
+    def settle(X, C):
+        st = CeltEncoderState(C)
+        for _ in range(12):      # let the EMA converge
+            s = spreading_decision(X, mode, M, 0, mode.effEBands, C, st)
+        return s
+
+    tonal = np.zeros((1, W), np.float32)
+    for b in range(mode.effEBands):          # one spike per band
+        tonal[0, M * int(mode.eBands[b])] = 1.0
+    noise = rng.standard_normal((1, W)).astype(np.float32)
+    s_tone = settle(tonal, 1)
+    s_noise = settle(noise, 1)
+    assert s_tone < s_noise, (s_tone, s_noise)   # weaker rotation
+    assert s_tone <= 1                           # NONE or LIGHT
+
+    corr = np.tile(rng.standard_normal((1, W)), (2, 1)).astype(np.float32)
+    st = CeltEncoderState(2)
+    for _ in range(12):
+        lo = intensity_decision(corr, mode, M, 0, mode.effEBands, st, 32.0)
+    st = CeltEncoderState(2)
+    for _ in range(12):
+        hi = intensity_decision(corr, mode, M, 0, mode.effEBands, st, 160.0)
+    assert lo < mode.effEBands                  # active at 32 kbps
+    assert hi == mode.effEBands                 # off at 160 kbps
+
+    # end-to-end low-rate stereo floor (both decisions live)
+    sr = 48000
+    t = np.arange(3 * sr) / sr
+    sig = np.stack([0.5 * np.sin(2 * np.pi * 440 * t),
+                    0.4 * np.sin(2 * np.pi * 660 * t)],
+                   1).reshape(-1).astype(np.float32)
+    buf = encode_ogg_opus(sig, 2, sr, bitrate_kbps=32, vbr=True,
+                          frame_ms=20)
+    back = nq.load(buf, extension="opus")
+    out = np.asarray(back.samples, np.float64)
+    ref = sig.astype(np.float64)
+    m = min(out.size, ref.size)
+    err = out[:m] - ref[:m]
+    snr = 10 * np.log10(np.dot(ref[:m], ref[:m])
+                        / max(np.dot(err, err), 1e-30))
+    assert np.isfinite(out).all()
+    assert snr > 28.0, snr

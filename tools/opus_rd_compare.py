@@ -87,7 +87,10 @@ def main():
     print(f"{'signal':<24s} {'target':>7s} | {'ours kbps':>9s} "
           f"{'ours dB':>8s} | {'libopus kbps':>12s} {'libopus dB':>10s}")
     for name, ch, sig in signals():
-        for kbps in (64, 96, 160):
+        # stereo adds low-rate cells where the intensity decision
+        # (celt_encoder.intensity_decision) carries the load
+        for kbps in ((32, 48, 64, 96, 160) if ch == 2
+                     else (64, 96, 160)):
             ok, osnr = ours(sig, ch, kbps)
             tk, tsnr = theirs(sig, ch, kbps)
             print(f"{name:<24s} {kbps:>5d}k | {ok:9.1f} {osnr:8.1f} | "
