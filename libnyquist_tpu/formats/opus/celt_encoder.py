@@ -506,9 +506,10 @@ class CeltEncoderState:
         self.rng = 0
         self.overlap_mem = np.zeros((channels, mode.overlap))
         # decision smoothing state (spreading_decision /
-        # intensity_decision below)
+        # intensity_decision / dual_stereo_decision below)
         self.spread_avg = 3.0          # IPR EMA; 3 = Gaussian noise
         self.intensity_avg = float(mode.effEBands)
+        self.dual_avg = 0.0            # EMA of the L/R-vs-M/S margin
 
 
 def spreading_decision(X, mode, M, start, end, C, st):
@@ -602,6 +603,38 @@ def intensity_decision(X, mode, M, start, end, st, kbps):
                          2.0 if corr < 0.3 else 0.0)
     st.intensity_avg = 0.7 * st.intensity_avg + 0.3 * target
     return int(max(start + 1, min(end, round(st.intensity_avg))))
+
+
+def dual_stereo_decision(freq, mode, M, start, end, st):
+    """Dual-stereo (code L/R shapes separately) vs the default
+    theta-split M/S — the surface of the reference encoder's
+    stereo_analysis (celt_encoder.c), ORIGINAL criterion.
+
+    The coder spends bits proportional to how spread the per-band log
+    energies are across the two coded shapes: identical channels make
+    the side collapse (M/S wins), hard-panned channels make one L/R
+    channel collapse (dual wins).  Compare the width-weighted sums of
+    clamped log2 band energies in both domains and flip to dual only
+    when L/R is decisively more compact (EMA + margin so the signaled
+    bit doesn't thrash; M/S is the tie default)."""
+    eBands = mode.eBands
+    L, R = freq[0], freq[1]
+    mid = 0.5 * (L + R)
+    side = 0.5 * (L - R)
+    cost_lr = cost_ms = 0.0
+    for b in range(start, end):
+        lo = M * int(eBands[b])
+        hi = M * int(eBands[b + 1])
+        w = hi - lo
+        def le(x):
+            return max(np.log2(float(np.dot(x[lo:hi], x[lo:hi]))
+                               + 1e-15), -20.0)
+        cost_lr += w * (le(L) + le(R))
+        cost_ms += w * (le(mid) + le(side))
+    width = M * int(eBands[end])
+    margin = (cost_ms - cost_lr) / max(width, 1)   # >0: L/R more compact
+    st.dual_avg = 0.7 * st.dual_avg + 0.3 * margin
+    return 1 if st.dual_avg > 1.0 else 0
 
 
 def dynalloc_analysis(bandLogE, start, end, C, eBands, LM, cap):
@@ -879,12 +912,16 @@ def celt_encode_frame(st: CeltEncoderState, pcm_win: np.ndarray,
         kbps = nbytes * 8.0 * 48.0 / (120 << LM)
         chosen_int = intensity_decision(X, mode, M, st.start, effEnd,
                                         st, kbps)
+        chosen_dual = dual_stereo_decision(freq, mode, M, st.start,
+                                           effEnd, st)
     else:
         chosen_int = st.end
+        chosen_dual = 0
     (codedBands, balance, pulses, fine_quant, fine_priority,
      intensity, dual_stereo) = compute_allocation(
         mode, st.start, st.end, offsets, cap, alloc_trim, bits, C, LM, enc,
-        encode=True, chosen_intensity=chosen_int, chosen_dual=0,
+        encode=True, chosen_intensity=chosen_int,
+        chosen_dual=chosen_dual,
     )
 
     quant_fine_energy(
