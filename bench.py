@@ -1018,6 +1018,43 @@ def bench_mpc(K):
     }
 
 
+def bench_host_codec(ext):
+    """Host-exact codecs (FLAC, WavPack): bit-exact integer decode is
+    host-side BY DESIGN (README: lossless codecs verify MD5 /
+    reconstruct exact ints; no dense device half).  Reported as
+    per-core realtime-x for breadth alongside the device-pipelined
+    codecs — the reference's decoders for these are likewise
+    CPU-only."""
+    paths = {
+        "flac": "/root/reference/test_data/ad_hoc/KittyPurr16_Stereo.flac",
+        "wv": "/root/reference/test_data/ad_hoc/TestBeat_Int16.wv",
+    }
+    p = pathlib.Path(paths[ext])
+    if not p.exists():
+        return None
+    import libnyquist_tpu as nq
+
+    data = p.read_bytes()
+    a = nq.load(data, extension=ext)   # warm (native build, caches)
+    secs = a.sample_count / a.channel_count / a.sample_rate
+    ts = []
+    for _ in range(max(N_TRIALS, 3)):
+        t0 = time.perf_counter()
+        for _ in range(4):
+            nq.load(data, extension=ext)
+        ts.append((time.perf_counter() - t0) / 4)
+    ts.sort()
+    x = secs / ts[len(ts) // 2]
+    return {
+        "metric": f"{ext}_host_decode_realtime_x_per_core",
+        "value": round(x, 1),
+        "unit": "audio_seconds_per_second_per_core",
+        "vs_baseline": None,   # BASELINE names Opus/MP3 for the 500x bar
+        "config": {"host_only": True,
+                   "note": "lossless codec, bit-exact host decode"},
+    }
+
+
 def bench_synth_legacy():
     """Round-1 metric: dense TPU half only (kept for comparability)."""
     jax = _jax_setup()
@@ -1319,6 +1356,14 @@ def main():
                     print(f"# {json.dumps(r)}", file=sys.stderr)
             except Exception as e:
                 print(f"# {extra.__name__} failed: {e}", file=sys.stderr)
+        for ext in ("flac", "wv"):
+            try:
+                r = bench_host_codec(ext)
+                if r:
+                    print(f"# {json.dumps(r)}", file=sys.stderr)
+            except Exception as e:
+                print(f"# bench_host_codec({ext}) failed: {e}",
+                      file=sys.stderr)
         if result is None:
             raise SystemExit(1)
         return
