@@ -48,7 +48,22 @@ CHUNK_MIN = 32 * 1024            # http.c:401
 CHUNK_MAX = 1024 * 1024          # http.c:404
 READAHEAD_THRESH = 32 * 1024     # http.c:396
 CACHE_BYTES_MAX = 16 * 1024 * 1024
+# wire-size sanity bounds (the repo's fuzz doctrine: every size field
+# read from untrusted input is checked before it drives allocation —
+# a lying chunk size / Content-Length must not buffer unbounded)
+BODY_BYTES_MAX = 1 << 31
+CHUNK_BYTES_MAX = 256 * 1024 * 1024
 _REDIRECT_CODES = (301, 302, 303, 307, 308)
+
+
+def _int_header(value, what, bound=BODY_BYTES_MAX):
+    try:
+        n = int(value)
+    except (TypeError, ValueError):
+        raise NetworkError(f"bad {what}: {value!r}")
+    if not 0 <= n <= bound:
+        raise NetworkError(f"{what} out of bounds: {n}")
+    return n
 
 
 class NetworkError(DecodeError):
@@ -138,6 +153,8 @@ class _Conn:
         return line
 
     def read_exact(self, n: int) -> bytes:
+        if not 0 <= n <= BODY_BYTES_MAX:
+            raise NetworkError(f"body read size out of bounds: {n}")
         while len(self.buf) < n:
             if not self._fill():
                 raise NetworkError("connection closed mid-body")
@@ -146,6 +163,8 @@ class _Conn:
 
     def read_to_close(self) -> bytes:
         while True:
+            if len(self.buf) > BODY_BYTES_MAX:
+                raise NetworkError("read-to-close body exceeds bound")
             try:
                 if not self._fill():
                     break
@@ -207,18 +226,27 @@ class _Conn:
         te = resp.headers.get("transfer-encoding", "").lower()
         if "chunked" in te:
             out = []
+            total = 0
             while True:
                 szline = self._read_line()
-                sz = int(szline.split(b";")[0], 16)
+                try:
+                    sz = int(szline.split(b";")[0], 16)
+                except ValueError:
+                    raise NetworkError(f"bad chunk size: {szline!r}")
+                if not 0 <= sz <= CHUNK_BYTES_MAX:
+                    raise NetworkError(f"chunk size out of bounds: {sz}")
                 if sz == 0:
                     while self._read_line():   # trailers
                         pass
                     return b"".join(out)
+                total += sz
+                if total > BODY_BYTES_MAX:
+                    raise NetworkError("chunked body exceeds bound")
                 out.append(self.read_exact(sz))
                 self.read_exact(2)             # chunk CRLF
         cl = resp.headers.get("content-length")
         if cl is not None:
-            return self.read_exact(int(cl))
+            return self.read_exact(_int_header(cl, "Content-Length"))
         body = self.read_to_close()
         self.close()
         return body
@@ -287,12 +315,15 @@ class HTTPSource(CountingSource):
         if resp.status == 206:
             cr = resp.headers.get("content-range", "")
             try:
-                self.size = int(cr.rsplit("/", 1)[1])
-            except (IndexError, ValueError):
+                total = cr.rsplit("/", 1)[1]
+            except IndexError:
                 raise NetworkError(f"bad Content-Range: {cr!r}")
+            self.size = _int_header(total, "Content-Range total")
             self.seekable = True
             # the opener streams from 0; keep it as a positioned body
-            cl = int(resp.headers.get("content-length", self.size))
+            cl = _int_header(
+                resp.headers.get("content-length", self.size),
+                "Content-Length")
             conn.pos = 0
             conn.body_left = cl
             conn.last_use = self._tick()
@@ -446,8 +477,9 @@ class HTTPSource(CountingSource):
                     "server stopped honoring Range mid-stream")
         else:
             raise NetworkError(f"HTTP {resp.status} on range request")
-        cl = int(resp.headers.get("content-length",
-                                  last - off + 1))
+        cl = _int_header(resp.headers.get("content-length",
+                                          last - off + 1),
+                         "Content-Length")
         take = min(n, cl)
         data = c.read_exact(take)
         self.bytes_fetched += take

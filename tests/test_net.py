@@ -77,8 +77,9 @@ class _RangeHandler(http.server.BaseHTTPRequestHandler):
             part = body[lo : hi + 1]
             self.send_response(206)
             start = lo + cfg.get("range_lie", 0)
+            total = cfg.get("total_lie", len(body))
             self.send_header("Content-Range",
-                             f"bytes {start}-{hi}/{len(body)}")
+                             f"bytes {start}-{hi}/{total}")
             self.send_header("Content-Length", str(len(part)))
             self.end_headers()
             self.wfile.write(part)
@@ -87,12 +88,18 @@ class _RangeHandler(http.server.BaseHTTPRequestHandler):
         if cfg.get("chunked"):
             self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
+            if cfg.get("chunk_lie"):
+                # advertise an absurd chunk then hang up
+                self.wfile.write(b"ffffffffff\r\n")
+                self.close_connection = True
+                return
             for i in range(0, len(body), 9973):
                 c = body[i : i + 9973]
                 self.wfile.write(b"%x\r\n" % len(c) + c + b"\r\n")
             self.wfile.write(b"0\r\n\r\n")
             return
-        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Content-Length",
+                         str(cfg.get("cl_lie", len(body))))
         self.end_headers()
         self.wfile.write(body)
 
@@ -239,6 +246,32 @@ def test_lying_content_range_rejected(serve):
     with pytest.raises(NetworkError, match="Content-Range start"):
         src.pread(len(data) - 16, 16)
     src.close()
+
+
+def test_lying_content_length_bounded(serve):
+    # a no-Range server advertising a 100 TB body must fail fast, not
+    # buffer unbounded (net.py wire-size doctrine: BODY_BYTES_MAX)
+    srv, base = serve(b"tiny", cfg={"ranges": False,
+                                    "cl_lie": 100 * 2**40})
+    with pytest.raises(NetworkError, match="Content-Length"):
+        HTTPSource(f"{base}/x.bin")
+
+
+def test_lying_chunk_size_bounded(serve):
+    # chunked body advertising a ~1 TB chunk: rejected before any
+    # attempt to buffer it (CHUNK_BYTES_MAX)
+    srv, base = serve(b"tiny", cfg={"ranges": False, "chunked": True,
+                                    "chunk_lie": True})
+    with pytest.raises(NetworkError, match="chunk size"):
+        HTTPSource(f"{base}/x.bin")
+
+
+def test_lying_content_range_total_bounded(serve):
+    # Content-Range total beyond the body bound poisons self.size and
+    # every later pread window; reject at the bootstrap
+    srv, base = serve(b"a" * 4096, cfg={"total_lie": 1 << 62})
+    with pytest.raises(NetworkError, match="Content-Range total"):
+        HTTPSource(f"{base}/x.bin")
 
 
 def test_connection_pool_bounded(serve):
