@@ -244,6 +244,48 @@ def _decode_subframe(br: BitReader, blocksize, bps):
     return out
 
 
+def _native_stream_decode(data: bytes, pos: int, stream_bps: int,
+                          stream_channels: int, total_samples: int):
+    """Whole-stream native frame decode (native/flac_stream.c): one C
+    call replaces the per-frame Python loop below (same semantics; the
+    Python loop remains the spec/fallback).  Returns interleaved int32
+    [n, ch], or None to fall back (no native lib, NO_NATIVE_FLAC, or a
+    malformed stream — the fallback re-decodes for the exact error)."""
+    L = native.lib()
+    if L is None or os.environ.get("LIBNYQUIST_NO_NATIVE_FLAC"):
+        return None
+    import ctypes as C
+
+    i32p = C.POINTER(C.c_int32)
+    ch = stream_channels or 1
+    if total_samples:
+        cap = (total_samples + 65536) * ch
+    else:
+        cap = max(1 << 20, 2 * len(data))
+    work = np.empty(8 * (32 + 65536) + 65536, np.int32)
+    state = np.zeros(4, np.int64)
+    state[0] = pos
+    chunks = []
+    while True:
+        out = np.empty(cap, np.int32)
+        r = L.flac_decode_stream(
+            data, len(data), stream_bps,
+            out.ctypes.data_as(i32p), cap, -1,
+            work.ctypes.data_as(i32p),
+            state.ctypes.data_as(C.POINTER(C.c_int64)))
+        if r < 0:
+            return None
+        chunks.append(out[: int(state[2])])
+        if state[3] != 1:          # 0 = EOF; 1 = output full, resume
+            break
+        cap *= 2
+    got_ch = int(state[1])
+    allv = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+    if got_ch == 0 or allv.size % got_ch:
+        return None
+    return allv.reshape(-1, got_ch)
+
+
 def decode_ogg_flac(data: bytes, audio: AudioData) -> None:
     """Ogg-encapsulated FLAC (reference: FLAC/src/ogg_decoder_aspect.c,
     ogg_mapping.c: first packet = 0x7F 'FLAC' major minor nheaders(be16)
@@ -299,6 +341,48 @@ def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
         if last:
             break
 
+    pcm = _native_stream_decode(data, pos, stream_bps, stream_channels,
+                                total_samples)
+    if pcm is None:
+        pcm = _python_stream_decode(data, pos, stream_bps, stream_rate)
+    if total_samples:
+        pcm = pcm[:total_samples]
+    if (md5_expect and md5_expect != b"\x00" * 16
+            and os.environ.get("LIBNYQUIST_FLAC_MD5")):
+        # STREAMINFO MD5 of the unencoded data: interleaved little-endian
+        # signed samples, (bps+7)/8 bytes each (libFLAC md5.c
+        # format_input_ / stream_decoder.c FLAC__stream_decoder_finish
+        # md5 comparison).  Off by default like libFLAC's md5_checking;
+        # set LIBNYQUIST_FLAC_MD5=1 to verify (decode integrity test).
+        import hashlib
+
+        nb = (stream_bps + 7) // 8
+        flat = pcm.reshape(-1)
+        if nb in (1, 2, 4):
+            raw = flat.astype(f"<i{nb}").tobytes()
+        else:
+            raw = (flat.astype("<i8").view(np.uint8)
+                   .reshape(-1, 8)[:, :nb].tobytes())
+        if hashlib.md5(raw).digest() != md5_expect:
+            raise DecodeError("FLAC MD5 signature mismatch")
+    scale = np.float32(1.0 / (1 << (stream_bps - 1)))
+    audio.channel_count = pcm.shape[1]
+    audio.sample_rate = stream_rate
+    audio.source_format = {
+        8: PCMFormat.PCM_S8, 16: PCMFormat.PCM_16, 20: PCMFormat.PCM_24,
+        24: PCMFormat.PCM_24, 32: PCMFormat.PCM_32,
+    }.get(stream_bps, PCMFormat.PCM_16)
+    audio.samples = (pcm.reshape(-1).astype(np.float32) * scale)
+    audio.length_seconds = (
+        pcm.shape[0] / stream_rate if stream_rate else 0.0
+    )
+
+
+def _python_stream_decode(data: bytes, pos: int, stream_bps: int,
+                          stream_rate: int):
+    """Pure-Python frame loop: the spec for native/flac_stream.c and
+    the fallback when it is unavailable or rejects a stream.  Returns
+    int64 [n, ch]."""
     chunks = []
     n = len(data)
     while pos + 4 < n:
@@ -381,35 +465,4 @@ def decode_flac_buffer(data: bytes, audio: AudioData) -> None:
 
     if not chunks:
         raise DecodeError("no FLAC frames decoded")
-    pcm = np.concatenate(chunks, axis=0)
-    if total_samples:
-        pcm = pcm[:total_samples]
-    if (md5_expect and md5_expect != b"\x00" * 16
-            and os.environ.get("LIBNYQUIST_FLAC_MD5")):
-        # STREAMINFO MD5 of the unencoded data: interleaved little-endian
-        # signed samples, (bps+7)/8 bytes each (libFLAC md5.c
-        # format_input_ / stream_decoder.c FLAC__stream_decoder_finish
-        # md5 comparison).  Off by default like libFLAC's md5_checking;
-        # set LIBNYQUIST_FLAC_MD5=1 to verify (decode integrity test).
-        import hashlib
-
-        nb = (stream_bps + 7) // 8
-        flat = pcm.reshape(-1)
-        if nb in (1, 2, 4):
-            raw = flat.astype(f"<i{nb}").tobytes()
-        else:
-            raw = (flat.astype("<i8").view(np.uint8)
-                   .reshape(-1, 8)[:, :nb].tobytes())
-        if hashlib.md5(raw).digest() != md5_expect:
-            raise DecodeError("FLAC MD5 signature mismatch")
-    scale = np.float32(1.0 / (1 << (stream_bps - 1)))
-    audio.channel_count = pcm.shape[1]
-    audio.sample_rate = stream_rate
-    audio.source_format = {
-        8: PCMFormat.PCM_S8, 16: PCMFormat.PCM_16, 20: PCMFormat.PCM_24,
-        24: PCMFormat.PCM_24, 32: PCMFormat.PCM_32,
-    }.get(stream_bps, PCMFormat.PCM_16)
-    audio.samples = (pcm.reshape(-1).astype(np.float32) * scale)
-    audio.length_seconds = (
-        pcm.shape[0] / stream_rate if stream_rate else 0.0
-    )
+    return np.concatenate(chunks, axis=0)

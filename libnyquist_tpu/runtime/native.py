@@ -63,6 +63,13 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
             ctypes.c_int, ctypes.c_int,
         ]
+        L.flac_decode_stream.restype = ctypes.c_int64
+        L.flac_decode_stream.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         L.flac_lpc_restore.restype = None
         L.flac_lpc_restore.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,

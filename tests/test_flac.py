@@ -44,6 +44,50 @@ def test_flac_md5_checking(test_data_dir, monkeypatch):
         nq.load(bytes(data), extension="flac")
 
 
+def test_native_stream_matches_python(test_data_dir, monkeypatch):
+    """native/flac_stream.c (whole-stream frame decode) vs the Python
+    frame loop it mirrors: bit-exact on every corpus fixture."""
+    from libnyquist_tpu.runtime import native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    for name in ("KittyPurr16_Mono", "KittyPurr16_Stereo",
+                 "KittyPurr24_Stereo", "KittyPurr8_Stereo",
+                 "KittyPurr8_Stereo_Dithered"):
+        data = (test_data_dir / "ad_hoc" / f"{name}.flac").read_bytes()
+        a = nq.load(data, extension="flac")
+        monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_FLAC", "1")
+        b = nq.load(data, extension="flac")
+        monkeypatch.delenv("LIBNYQUIST_NO_NATIVE_FLAC")
+        assert a.sample_count == b.sample_count, name
+        assert np.array_equal(a.samples, b.samples), name
+
+
+def test_native_stream_resume_growth(test_data_dir, monkeypatch):
+    """Unknown-total streams (STREAMINFO total_samples = 0) exercise the
+    native decoder's grow-and-resume path: the initial output buffer is
+    sized from the input length, which undershoots for well-compressed
+    audio, so the C call must stop at a frame boundary and resume."""
+    from libnyquist_tpu.runtime import native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+    src = (test_data_dir / "ad_hoc" / "KittyPurr16_Stereo.flac")
+    data = bytearray(src.read_bytes())
+    # STREAMINFO: 'fLaC' + 4-byte block header, body byte 13 low nibble
+    # + bytes 14..17 hold total_samples (36 bits) — zero them
+    body = 8
+    data[body + 13] &= 0xF0
+    data[body + 14 : body + 18] = b"\x00" * 4
+    ref = nq.load(src.read_bytes(), extension="flac")
+    a = nq.load(bytes(data), extension="flac")
+    assert a.sample_count == ref.sample_count
+    assert np.array_equal(a.samples, ref.samples)
+    monkeypatch.setenv("LIBNYQUIST_NO_NATIVE_FLAC", "1")
+    b = nq.load(bytes(data), extension="flac")
+    assert np.array_equal(a.samples, b.samples)
+
+
 def test_ogg_flac(test_data_dir):
     """Ogg-encapsulated FLAC (reference: FLAC/src/ogg_decoder_aspect.c,
     mapping per ogg_mapping.c).  Fixture muxed by tools/gen_ogg_flac.py
