@@ -140,22 +140,71 @@ void flac_fixed_restore(const int32_t *residual, int64_t n, int order,
 /* unpack.c decorr_stereo_pass / decorr_mono_pass). LSB-first reader. */
 /* ------------------------------------------------------------------ */
 
+/* 64-bit cached LSB-first reader.  Past-limit bits read as 1s — that is
+ * WavPack's EOF mechanism (the ones_count==17 / cbits==33 escapes in the
+ * words readers fire on the all-ones tail).  `pos` tracks the absolute
+ * consumed bit position exactly; the words readers return it as the
+ * resume point for the next block slice. */
 typedef struct {
     const unsigned char *buf;
-    uint64_t pos, limit;
+    uint64_t limit;     /* total valid bits */
+    uint64_t bytepos;   /* next byte to load into the cache */
+    uint64_t cache;     /* LSB-aligned pending bits */
+    int ncache;
+    uint64_t pos;       /* absolute bit position consumed so far */
 } wv_bits;
 
+static inline void wv_refill(wv_bits *b) {
+    uint64_t nbytes = (b->limit + 7) >> 3;
+    while (b->ncache <= 56) {
+        uint64_t byte;
+        if (b->bytepos < nbytes) {
+            byte = b->buf[b->bytepos];
+            uint64_t bit0 = b->bytepos << 3;
+            if (bit0 + 8 > b->limit)         /* partial tail byte: pad 1s */
+                byte = (byte | (0xFFull << (b->limit - bit0))) & 0xFF;
+        } else {
+            byte = 0xFF;                     /* past end: all 1s */
+        }
+        b->cache |= byte << b->ncache;
+        b->ncache += 8;
+        b->bytepos++;
+    }
+}
+
+static inline void wv_init(wv_bits *b, const unsigned char *buf,
+                           uint64_t pos, uint64_t limit) {
+    b->buf = buf;
+    b->limit = limit;
+    b->bytepos = pos >> 3;
+    b->cache = 0;
+    b->ncache = 0;
+    b->pos = pos;
+    wv_refill(b);
+    int skip = (int)(pos & 7);
+    b->cache >>= skip;
+    b->ncache -= skip;
+}
+
 static inline int wv_getbit(wv_bits *b) {
-    if (b->pos >= b->limit) { b->pos++; return 1; } /* past end: 1s (EOF) */
-    int bit = (b->buf[b->pos >> 3] >> (b->pos & 7)) & 1;
+    if (b->ncache == 0)
+        wv_refill(b);
+    int bit = (int)(b->cache & 1);
+    b->cache >>= 1;
+    b->ncache--;
     b->pos++;
     return bit;
 }
 
 static inline uint32_t wv_getbits(wv_bits *b, int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; i++)
-        v |= (uint32_t)wv_getbit(b) << i;
+    if (n == 0) return 0;
+    if (b->ncache < n)
+        wv_refill(b);
+    uint32_t v = (uint32_t)(b->cache & ((n == 32) ? ~0u
+                                        : ((1u << n) - 1)));
+    b->cache >>= n;
+    b->ncache -= n;
+    b->pos += n;
     return v;
 }
 
@@ -183,7 +232,7 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
                            uint64_t pos, int32_t *out, int64_t nvalues,
                            uint32_t *med, uint32_t *st, int mono)
 {
-    wv_bits bs = {buf, pos, limit_bits};
+    wv_bits bs; wv_init(&bs, buf, pos, limit_bits);
     uint32_t holding_one = st[0], holding_zero = st[1], zeros_acc = st[2];
     int64_t n;
 
@@ -448,7 +497,7 @@ void wv_float_values(int32_t *values, int64_t n, const unsigned char *wvx,
                      uint64_t wvx_bits, int float_flags, int float_shift,
                      int float_max_exp, uint32_t *out_bits)
 {
-    wv_bits bs = {wvx, 0, wvx_bits};
+    wv_bits bs; wv_init(&bs, wvx, 0, wvx_bits);
 
     for (int64_t i = 0; i < n; i++) {
         int shift_count = 0, exp = float_max_exp;
@@ -627,7 +676,7 @@ uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
                          uint64_t pos, int32_t *out, int64_t nvalues,
                          uint32_t *med, uint32_t *st, int32_t *hs, int flg)
 {
-    wv_bits bs = {buf, pos, limit_bits};
+    wv_bits bs; wv_init(&bs, buf, pos, limit_bits);
     uint32_t holding_one = st[0], holding_zero = st[1], zeros_acc = st[2];
     uint32_t error_limit[2] = {0, 0};
     int mono = (flg >> 2) & 1, hbr = flg & 1, hbal = (flg >> 1) & 1;
