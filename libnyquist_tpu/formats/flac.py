@@ -258,10 +258,13 @@ def _native_stream_decode(data: bytes, pos: int, stream_bps: int,
 
     i32p = C.POINTER(C.c_int32)
     ch = stream_channels or 1
+    # total_samples is an untrusted 36-bit header field: a corrupt value
+    # must not drive a huge allocation (fuzz doctrine — bound every size
+    # field before it allocates).  Start from it only when plausible
+    # against the input size; undershoot is handled by grow-and-resume.
+    cap = max(1 << 20, 2 * len(data))
     if total_samples:
-        cap = (total_samples + 65536) * ch
-    else:
-        cap = max(1 << 20, 2 * len(data))
+        cap = min((total_samples + 65536) * ch, max(cap, 64 * len(data)))
     work = np.empty(8 * (32 + 65536) + 65536, np.int32)
     state = np.zeros(4, np.int64)
     state[0] = pos

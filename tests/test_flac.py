@@ -88,6 +88,22 @@ def test_native_stream_resume_growth(test_data_dir, monkeypatch):
     assert np.array_equal(a.samples, b.samples)
 
 
+def test_lying_total_samples_bounded(test_data_dir):
+    """A corrupt 36-bit STREAMINFO total_samples must not drive a huge
+    output pre-allocation (192 GiB on the found fuzz case); the decoder
+    starts bounded and grows from actual frame content, and the trim
+    keeps the (lying, larger) total harmless."""
+    src = test_data_dir / "ad_hoc" / "KittyPurr8_Stereo_Dithered.flac"
+    ref = nq.load(src.read_bytes(), extension="flac")
+    data = bytearray(src.read_bytes())
+    body = 8
+    data[body + 13] |= 0x0F          # total_samples -> ~2^36
+    data[body + 14 : body + 18] = b"\xff" * 4
+    a = nq.load(bytes(data), extension="flac")
+    assert a.sample_count == ref.sample_count
+    assert np.array_equal(a.samples, ref.samples)
+
+
 def test_ogg_flac(test_data_dir):
     """Ogg-encapsulated FLAC (reference: FLAC/src/ogg_decoder_aspect.c,
     mapping per ogg_mapping.c).  Fixture muxed by tools/gen_ogg_flac.py

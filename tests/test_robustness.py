@@ -249,6 +249,9 @@ def test_native_paths_byte_fuzz():
         # floor0 LSP path (Python, extinct shape)
         (str(pathlib.Path(__file__).parent / "fixtures"
              / "floor0_mono8k.ogg"), "ogg"),
+        # whole-stream native FLAC frame parser (native/flac_stream.c)
+        ("/root/reference/test_data/ad_hoc/KittyPurr8_Stereo_Dithered.flac",
+         "flac"),
     ]
     for path, ext in targets:
         p = pathlib.Path(path)
