@@ -13,6 +13,7 @@ flags, all read at first use and centralized here.
 | LIBNYQUIST_NO_NATIVE_MP3    | Python MP3 entropy path |
 | LIBNYQUIST_NO_NATIVE_VORBIS | Python Vorbis residue/floor decode |
 | LIBNYQUIST_NO_NATIVE_MPC    | Python Musepack frame reader |
+| LIBNYQUIST_NO_NATIVE_FLAC   | Python FLAC frame loop (no flac_stream.c) |
 | LIBNYQUIST_OPUS_PIPELINE    | single-file Opus loads use the device
 |                             | (TPU) batched pipeline |
 | LIBNYQUIST_OPUS_FRAME_SYNTH | single-file Opus loads use per-frame
@@ -41,6 +42,7 @@ class Config:
     no_native_mp3: bool
     no_native_vorbis: bool
     no_native_mpc: bool
+    no_native_flac: bool
     opus_device_pipeline: bool
     opus_frame_synth: bool
     flac_md5: bool
@@ -57,6 +59,7 @@ def current() -> Config:
         no_native_mp3=bool(e("LIBNYQUIST_NO_NATIVE_MP3")),
         no_native_vorbis=bool(e("LIBNYQUIST_NO_NATIVE_VORBIS")),
         no_native_mpc=bool(e("LIBNYQUIST_NO_NATIVE_MPC")),
+        no_native_flac=bool(e("LIBNYQUIST_NO_NATIVE_FLAC")),
         opus_device_pipeline=bool(e("LIBNYQUIST_OPUS_PIPELINE")),
         opus_frame_synth=bool(e("LIBNYQUIST_OPUS_FRAME_SYNTH")),
         flac_md5=bool(e("LIBNYQUIST_FLAC_MD5")),
