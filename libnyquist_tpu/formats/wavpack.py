@@ -753,6 +753,50 @@ class _Block:
         out = np.zeros(nvalues, np.int32)
         st = np.zeros(4, np.uint32)
         L = native.lib()
+        if L is not None and hasattr(L, "wv_decode_block"):
+            # Fused native path: words -> decorr -> joint stereo in one
+            # call (native/hostops.c wv_decode_block).
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            buf = self.wvbits + b"\xff" * 8
+            nps = len(self.passes)
+            terms = np.zeros(max(nps, 1), np.int32)
+            deltas = np.zeros(max(nps, 1), np.int32)
+            weights = np.zeros((max(nps, 1), 2), np.int32)
+            sa = np.zeros((max(nps, 1), MAX_TERM), np.int32)
+            sb = np.zeros((max(nps, 1), MAX_TERM), np.int32)
+            for i, p in enumerate(self.passes):
+                terms[i] = p.term
+                deltas[i] = p.delta
+                weights[i] = (p.weight_a, p.weight_b)
+                sa[i] = p.samples_a
+                sb[i] = p.samples_b
+            hflg = ((1 if flags & HYBRID_BITRATE else 0)
+                    | (2 if flags & HYBRID_BALANCE else 0)
+                    | (4 if mono else 0))
+            L.wv_decode_block(
+                buf, len(self.wvbits) * 8,
+                out.ctypes.data_as(i32p), nvalues,
+                self.medians.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint32)),
+                st.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+                self.hyb.ctypes.data_as(i32p), hflg,
+                1 if hybrid else 0,
+                nps, terms.ctypes.data_as(i32p),
+                deltas.ctypes.data_as(i32p),
+                weights.ctypes.data_as(i32p),
+                sa.ctypes.data_as(i32p), sb.ctypes.data_as(i32p),
+                1 if mono else 0,
+                1 if (not mono and flags & JOINT_STEREO) else 0,
+                self.block_samples,
+            )
+            if int(st[3]) != nvalues:
+                raise DecodeError("WavPack entropy decode ran out of data")
+            for i, p in enumerate(self.passes):
+                p.weight_a = int(weights[i, 0])
+                p.weight_b = int(weights[i, 1])
+                p.samples_a[:] = sa[i]
+                p.samples_b[:] = sb[i]
+            return self._fixup(out, flags)
         if L is not None and hasattr(L, "wv_words_lossless"):
             buf = self.wvbits + b"\xff" * 8
             if hybrid:
@@ -828,8 +872,11 @@ class _Block:
             right = out[1::2]
             right -= left >> 1
             left += right
+        return self._fixup(out, flags)
 
+    def _fixup(self, out: np.ndarray, flags: int) -> np.ndarray:
         # fixup_samples (unpack.c:680)
+        hybrid = bool(flags & HYBRID_FLAG)
         shift = (flags >> SHIFT_LSB) & 0x1F
         if flags & FLOAT_DATA:
             out = self._restore_float(out).view(np.int32)

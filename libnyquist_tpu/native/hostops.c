@@ -208,15 +208,64 @@ static inline uint32_t wv_getbits(wv_bits *b, int n) {
     return v;
 }
 
+/* Unary run of 1s terminated by a 0, capped at `cap` ones (the WavPack
+ * ones_count==17 / cbits==33 escapes).  Counts whole runs with ctz on
+ * the 64-bit cache instead of bit-at-a-time.  Consumes the terminating
+ * zero iff the run ended below the cap — identical consumption to the
+ * `while (getbit())` loops it replaces. */
+static inline uint32_t wv_read_unary(wv_bits *b, uint32_t cap) {
+    uint32_t count = 0;
+    for (;;) {
+        if (b->ncache == 0)
+            wv_refill(b);
+        uint64_t inv = ~b->cache;   /* bits >= ncache are 0 in cache */
+        int run = inv ? (int)__builtin_ctzll(inv) : 64;
+        if (run > b->ncache)
+            run = b->ncache;
+        if (count + (uint32_t)run >= cap) {
+            uint32_t take = cap - count;
+            b->cache >>= take;
+            b->ncache -= (int)take;
+            b->pos += take;
+            return cap;
+        }
+        if (run == b->ncache) {     /* cache is all ones: keep counting */
+            count += (uint32_t)run;
+            b->cache = 0;
+            b->ncache = 0;
+            b->pos += (uint32_t)run;
+            continue;
+        }
+        int consume = run + 1;      /* the ones + the terminating zero */
+        b->cache = (consume >= 64) ? 0 : (b->cache >> consume);
+        b->ncache -= consume;
+        b->pos += (uint32_t)consume;
+        return count + (uint32_t)run;
+    }
+}
+
 static inline uint32_t wv_read_code(wv_bits *b, uint32_t maxcode) {
     if (maxcode < 2)
         return maxcode ? (uint32_t)wv_getbit(b) : 0;
     int bitcount = 32 - __builtin_clz(maxcode);
-    uint32_t extras = (1u << bitcount) - maxcode - 1, code;
-    code = wv_getbits(b, bitcount - 1);
-    if (code >= extras)
-        code = (code << 1) - extras + (uint32_t)wv_getbit(b);
-    return code;
+    uint32_t extras = (1u << bitcount) - maxcode - 1;
+    /* Branchless: peek bitcount bits (LSB-first, so the first
+     * bitcount-1 read bits are the low bits), decide with a cmov
+     * whether the extra bit is consumed — the data-dependent
+     * `code >= extras` branch mispredicts ~50% on real streams. */
+    if (b->ncache < bitcount)
+        wv_refill(b);
+    uint32_t peek = (uint32_t)(b->cache
+        & ((bitcount == 32) ? 0xFFFFFFFFu : ((1u << bitcount) - 1)));
+    uint32_t small = peek & ((1u << (bitcount - 1)) - 1);
+    uint32_t eb = (peek >> (bitcount - 1)) & 1;
+    int cond = small >= extras;
+    uint32_t value = cond ? ((small << 1) - extras + eb) : small;
+    int consume = bitcount - 1 + cond;
+    b->cache >>= consume;
+    b->ncache -= consume;
+    b->pos += (uint32_t)consume;
+    return value;
 }
 
 #define WV_GET_MED(c, m) ((med[(c) * 3 + (m)] >> 4) + 1)
@@ -244,7 +293,7 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
             holding_zero = 0;
             low = wv_read_code(&bs, WV_GET_MED(c, 0) - 1);
             WV_DEC_MED0(c);
-            out[n] = wv_getbit(&bs) ? ~low : low;
+            out[n] = (int32_t)low ^ -(int32_t)wv_getbit(&bs);
             if (++n == nvalues)
                 break;
             c = mono ? 0 : (int)(n & 1);
@@ -258,20 +307,14 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
                 }
             }
             else {
-                int cbits;
-                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
-                    ;
+                int cbits = (int)wv_read_unary(&bs, 33);
                 if (cbits == 33)
                     break;
                 if (cbits < 2)
                     zeros_acc = cbits;
-                else {
-                    uint32_t mask;
-                    for (mask = 1, zeros_acc = 0; --cbits; mask <<= 1)
-                        if (wv_getbit(&bs))
-                            zeros_acc |= mask;
-                    zeros_acc |= mask;
-                }
+                else
+                    zeros_acc = wv_getbits(&bs, cbits - 1)
+                                | (1u << (cbits - 1));
                 if (zeros_acc) {
                     for (int i = 0; i < 6; i++)
                         med[i] = 0;
@@ -281,25 +324,18 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
             }
         }
 
-        for (ones_count = 0; ones_count < 17 && wv_getbit(&bs); ++ones_count)
-            ;
+        ones_count = wv_read_unary(&bs, 17);
         if (ones_count == 17)
             break;
         if (ones_count == 16) {
-            int cbits;
-            for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
-                ;
+            int cbits = (int)wv_read_unary(&bs, 33);
             if (cbits == 33)
                 break;
             if (cbits < 2)
                 ones_count = cbits;
-            else {
-                uint32_t mask;
-                for (mask = 1, ones_count = 0; --cbits; mask <<= 1)
-                    if (wv_getbit(&bs))
-                        ones_count |= mask;
-                ones_count |= mask;
-            }
+            else
+                ones_count = wv_getbits(&bs, cbits - 1)
+                             | (1u << (cbits - 1));
             ones_count += 16;
         }
 
@@ -336,7 +372,7 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
         }
 
         low += wv_read_code(&bs, high - low);
-        out[n] = wv_getbit(&bs) ? ~low : low;
+        out[n] = (int32_t)low ^ -(int32_t)wv_getbit(&bs);
     }
 
     st[0] = holding_one;
@@ -697,20 +733,14 @@ uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
                 }
             }
             else {
-                int cbits;
-                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
-                    ;
+                int cbits = (int)wv_read_unary(&bs, 33);
                 if (cbits == 33)
                     break;
                 if (cbits < 2)
                     zeros_acc = cbits;
-                else {
-                    uint32_t mask;
-                    for (mask = 1, zeros_acc = 0; --cbits; mask <<= 1)
-                        if (wv_getbit(&bs))
-                            zeros_acc |= mask;
-                    zeros_acc |= mask;
-                }
+                else
+                    zeros_acc = wv_getbits(&bs, cbits - 1)
+                                | (1u << (cbits - 1));
                 if (zeros_acc) {
                     hs[c] -= (hs[c] + WV_SLO) >> WV_SLS;
                     for (int i = 0; i < 6; i++)
@@ -724,26 +754,18 @@ uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
         if (holding_zero)
             ones_count = holding_zero = 0;
         else {
-            for (ones_count = 0; ones_count < 17 && wv_getbit(&bs);
-                 ++ones_count)
-                ;
+            ones_count = wv_read_unary(&bs, 17);
             if (ones_count == 17)
                 break;
             if (ones_count == 16) {
-                int cbits;
-                for (cbits = 0; cbits < 33 && wv_getbit(&bs); ++cbits)
-                    ;
+                int cbits = (int)wv_read_unary(&bs, 33);
                 if (cbits == 33)
                     break;
                 if (cbits < 2)
                     ones_count = cbits;
-                else {
-                    uint32_t mask;
-                    for (mask = 1, ones_count = 0; --cbits; mask <<= 1)
-                        if (wv_getbit(&bs))
-                            ones_count |= mask;
-                    ones_count |= mask;
-                }
+                else
+                    ones_count = wv_getbits(&bs, cbits - 1)
+                                 | (1u << (cbits - 1));
                 ones_count += 16;
             }
             if (holding_one) {
@@ -861,4 +883,48 @@ uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
     st[2] = zeros_acc;
     st[3] = (uint32_t)n;
     return bs.pos;
+}
+
+/* Fused whole-block decode: entropy words -> decorrelation passes ->
+ * joint-stereo undo in one native call (one ctypes crossing per block
+ * instead of one per stage; the words output stays hot in cache for the
+ * first decorr pass).  Reference semantics: wavpack/src/unpack.c
+ * unpack_samples.  weights is [npasses][2] in/out; samples_a/samples_b
+ * are [npasses][8] in/out (the per-term history windows).  Returns the
+ * final bit position; the caller checks st[3]==nvalues for underrun. */
+uint64_t wv_decode_block(const unsigned char *buf, uint64_t limit_bits,
+                         int32_t *out, int64_t nvalues,
+                         uint32_t *med, uint32_t *st,
+                         int32_t *hyb, int hflg, int hybrid,
+                         int npasses, const int32_t *terms,
+                         const int32_t *deltas, int32_t *weights,
+                         int32_t *samples_a, int32_t *samples_b,
+                         int mono, int joint, int64_t block_samples)
+{
+    uint64_t pos;
+    if (hybrid)
+        pos = wv_words_hybrid(buf, limit_bits, 0, out, nvalues,
+                              med, st, hyb, hflg);
+    else
+        pos = wv_words_lossless(buf, limit_bits, 0, out, nvalues,
+                                med, st, mono);
+    if (st[3] != (uint32_t)nvalues)
+        return pos;
+    for (int p = 0; p < npasses; p++) {
+        if (mono)
+            wv_decorr_mono(terms[p], deltas[p], weights + p * 2,
+                           samples_a + p * 8, out, block_samples);
+        else
+            wv_decorr_stereo(terms[p], deltas[p], weights + p * 2,
+                             samples_a + p * 8, samples_b + p * 8,
+                             out, block_samples);
+    }
+    if (!mono && joint) {
+        /* unpack.c:199 joint stereo undo, int32 wrap semantics */
+        for (int64_t i = 0; i < nvalues; i += 2) {
+            out[i + 1] -= out[i] >> 1;
+            out[i] += out[i + 1];
+        }
+    }
+    return pos;
 }

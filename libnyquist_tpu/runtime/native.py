@@ -94,6 +94,16 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        L.wv_decode_block.restype = ctypes.c_uint64
+        L.wv_decode_block.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64,
+            i32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            i32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ]
         L.mp3_l3_huffman.restype = None
         L.mp3_l3_huffman.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_char_p,
