@@ -151,8 +151,15 @@ typedef struct {
     uint64_t bytepos;   /* next byte to load into the cache */
     uint64_t cache;     /* LSB-aligned pending bits */
     int ncache;
-    uint64_t pos;       /* absolute bit position consumed so far */
 } wv_bits;
+
+/* Absolute consumed bit position.  Invariant maintained by every read
+ * primitive below: pos == bytepos*8 - ncache (refill adds 8 to both
+ * sides; a read of k bits drops ncache by k).  Deriving it here keeps
+ * a pos += k off every primitive's hot path. */
+static inline uint64_t wv_tell(const wv_bits *b) {
+    return (b->bytepos << 3) - (uint64_t)b->ncache;
+}
 
 static inline void wv_refill(wv_bits *b) {
     uint64_t nbytes = (b->limit + 7) >> 3;
@@ -179,7 +186,6 @@ static inline void wv_init(wv_bits *b, const unsigned char *buf,
     b->bytepos = pos >> 3;
     b->cache = 0;
     b->ncache = 0;
-    b->pos = pos;
     wv_refill(b);
     int skip = (int)(pos & 7);
     b->cache >>= skip;
@@ -192,7 +198,6 @@ static inline int wv_getbit(wv_bits *b) {
     int bit = (int)(b->cache & 1);
     b->cache >>= 1;
     b->ncache--;
-    b->pos++;
     return bit;
 }
 
@@ -204,7 +209,6 @@ static inline uint32_t wv_getbits(wv_bits *b, int n) {
                                         : ((1u << n) - 1)));
     b->cache >>= n;
     b->ncache -= n;
-    b->pos += n;
     return v;
 }
 
@@ -226,20 +230,17 @@ static inline uint32_t wv_read_unary(wv_bits *b, uint32_t cap) {
             uint32_t take = cap - count;
             b->cache >>= take;
             b->ncache -= (int)take;
-            b->pos += take;
             return cap;
         }
         if (run == b->ncache) {     /* cache is all ones: keep counting */
             count += (uint32_t)run;
             b->cache = 0;
             b->ncache = 0;
-            b->pos += (uint32_t)run;
             continue;
         }
         int consume = run + 1;      /* the ones + the terminating zero */
         b->cache = (consume >= 64) ? 0 : (b->cache >> consume);
         b->ncache -= consume;
-        b->pos += (uint32_t)consume;
         return count + (uint32_t)run;
     }
 }
@@ -264,8 +265,47 @@ static inline uint32_t wv_read_code(wv_bits *b, uint32_t maxcode) {
     int consume = bitcount - 1 + cond;
     b->cache >>= consume;
     b->ncache -= consume;
-    b->pos += (uint32_t)consume;
     return value;
+}
+
+/* read_code immediately followed by its sign bit — the universal tail
+ * of every WavPack word (read_words.c:280).  One refill + one cache
+ * update instead of two primitive calls; returns (base+code) with the
+ * sign applied, i.e. out = (base + code) ^ -sign. */
+static inline int32_t wv_read_code_signed(wv_bits *b, uint32_t maxcode,
+                                          uint32_t base) {
+    uint32_t value, sign;
+    int consume;
+    if (maxcode < 2) {
+        if (b->ncache < 2)
+            wv_refill(b);
+        if (maxcode) {
+            value = (uint32_t)(b->cache & 1);
+            sign = (uint32_t)((b->cache >> 1) & 1);
+            consume = 2;
+        } else {
+            value = 0;
+            sign = (uint32_t)(b->cache & 1);
+            consume = 1;
+        }
+    } else {
+        int bitcount = 32 - __builtin_clz(maxcode);
+        uint32_t extras = (1u << bitcount) - maxcode - 1;
+        if (b->ncache < bitcount + 1)
+            wv_refill(b);
+        uint32_t peek = (uint32_t)(b->cache
+            & ((bitcount == 32) ? 0xFFFFFFFFu : ((1u << bitcount) - 1)));
+        uint32_t small = peek & ((1u << (bitcount - 1)) - 1);
+        uint32_t eb = (peek >> (bitcount - 1)) & 1;
+        int cond = small >= extras;
+        value = cond ? ((small << 1) - extras + eb) : small;
+        consume = bitcount - 1 + cond;
+        sign = (uint32_t)((b->cache >> consume) & 1);
+        consume += 1;
+    }
+    b->cache >>= consume;
+    b->ncache -= consume;
+    return (int32_t)(base + value) ^ -(int32_t)sign;
 }
 
 #define WV_GET_MED(c, m) ((med[(c) * 3 + (m)] >> 4) + 1)
@@ -279,10 +319,15 @@ static inline uint32_t wv_read_code(wv_bits *b, uint32_t maxcode) {
 /* st: [holding_one, holding_zero, zeros_acc, values_written] */
 uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
                            uint64_t pos, int32_t *out, int64_t nvalues,
-                           uint32_t *med, uint32_t *st, int mono)
+                           uint32_t *med_io, uint32_t *st, int mono)
 {
     wv_bits bs; wv_init(&bs, buf, pos, limit_bits);
     uint32_t holding_one = st[0], holding_zero = st[1], zeros_acc = st[2];
+    /* medians live in a local array so the compiler can prove the
+     * out[n] stores never alias them (med_io and out are caller
+     * pointers; the strict-aliasing case is too subtle to rely on) */
+    uint32_t med[6];
+    for (int i = 0; i < 6; i++) med[i] = med_io[i];
     int64_t n;
 
     for (n = 0; n < nvalues; n++) {
@@ -291,9 +336,9 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
 
         if (holding_zero) {
             holding_zero = 0;
-            low = wv_read_code(&bs, WV_GET_MED(c, 0) - 1);
+            uint32_t max0 = WV_GET_MED(c, 0) - 1;
             WV_DEC_MED0(c);
-            out[n] = (int32_t)low ^ -(int32_t)wv_getbit(&bs);
+            out[n] = wv_read_code_signed(&bs, max0, 0);
             if (++n == nvalues)
                 break;
             c = mono ? 0 : (int)(n & 1);
@@ -344,42 +389,39 @@ uint64_t wv_words_lossless(const unsigned char *buf, uint64_t limit_bits,
         holding_zero = ~ones_count & 1;
         ones_count = (ones_count >> 1) + low;
 
-        if (ones_count == 0) {
-            low = 0;
-            high = WV_GET_MED(c, 0) - 1;
-            WV_DEC_MED0(c);
-        }
-        else {
-            low = WV_GET_MED(c, 0);
-            WV_INC_MED0(c);
-            if (ones_count == 1) {
-                high = low + WV_GET_MED(c, 1) - 1;
-                WV_DEC_MED1(c);
-            }
-            else {
-                low += WV_GET_MED(c, 1);
-                WV_INC_MED1(c);
-                if (ones_count == 2) {
-                    high = low + WV_GET_MED(c, 2) - 1;
-                    WV_DEC_MED2(c);
-                }
-                else {
-                    low += (ones_count - 2) * WV_GET_MED(c, 2);
-                    high = low + WV_GET_MED(c, 2) - 1;
-                    WV_INC_MED2(c);
-                }
-            }
+        /* Branchless form of the read_words.c median ladder: the
+         * ones_count tree (0 / 1 / 2 / 3+) mispredicts heavily on real
+         * residual streams, so compute all three rungs and select with
+         * cmov.  Semantics identical to the nested-if original. */
+        {
+            uint32_t m0 = med[c * 3 + 0], m1 = med[c * 3 + 1],
+                     m2 = med[c * 3 + 2];
+            uint32_t g0 = (m0 >> 4) + 1, g1 = (m1 >> 4) + 1,
+                     g2 = (m2 >> 4) + 1;
+            int t1 = ones_count >= 1, t2 = ones_count >= 2,
+                t3 = ones_count >= 3;
+            low = (t1 ? g0 : 0) + (t2 ? g1 : 0)
+                  + (t3 ? (ones_count - 2) * g2 : 0);
+            high = low + (t2 ? g2 : (t1 ? g1 : g0)) - 1;
+            med[c * 3 + 0] = t1 ? m0 + ((m0 + 128) >> 7) * 5
+                                : m0 - ((m0 + 126) >> 7) * 2;
+            if (t1)
+                med[c * 3 + 1] = t2 ? m1 + ((m1 + 64) >> 6) * 5
+                                    : m1 - ((m1 + 62) >> 6) * 2;
+            if (t2)
+                med[c * 3 + 2] = t3 ? m2 + ((m2 + 32) >> 5) * 5
+                                    : m2 - ((m2 + 30) >> 5) * 2;
         }
 
-        low += wv_read_code(&bs, high - low);
-        out[n] = (int32_t)low ^ -(int32_t)wv_getbit(&bs);
+        out[n] = wv_read_code_signed(&bs, high - low, low);
     }
 
+    for (int i = 0; i < 6; i++) med_io[i] = med[i];
     st[0] = holding_one;
     st[1] = holding_zero;
     st[2] = zeros_acc;
     st[3] = (uint32_t)n;
-    return bs.pos;
+    return wv_tell(&bs);
 }
 
 /* weight application/update (wavpack_local.h:532-571 semantics) */
@@ -882,7 +924,7 @@ uint64_t wv_words_hybrid(const unsigned char *buf, uint64_t limit_bits,
     st[1] = holding_zero;
     st[2] = zeros_acc;
     st[3] = (uint32_t)n;
-    return bs.pos;
+    return wv_tell(&bs);
 }
 
 /* Fused whole-block decode: entropy words -> decorrelation passes ->
