@@ -23,6 +23,7 @@ modes 0/1/3 per unpack_dsd.c, decoded bit-exact and decimated 8:1 to
 from __future__ import annotations
 
 import ctypes
+import os
 import struct
 
 import numpy as np
@@ -797,6 +798,26 @@ class _Block:
                 p.samples_a[:] = sa[i]
                 p.samples_b[:] = sb[i]
             return self._fixup(out, flags)
+        out = self.decode_words()
+        self.apply_decorr(out)
+        return self._fixup(out, flags)
+
+    def decode_words(self) -> np.ndarray:
+        """Entropy words only -> int32 residuals (pre-decorrelation).
+
+        Split out of decode() so the cross-block SIMD decorrelation
+        (native/wv_simd.c) can batch the decorrelation of many blocks
+        after their serial entropy stages.
+        """
+        flags = self.flags
+        if self.wvbits is None:
+            raise DecodeError("WavPack block has no audio bitstream")
+        mono = bool(flags & MONO_DATA)
+        hybrid = bool(flags & HYBRID_FLAG)
+        nvalues = self.block_samples * (1 if mono else 2)
+        out = np.zeros(nvalues, np.int32)
+        st = np.zeros(4, np.uint32)
+        L = native.lib()
         if L is not None and hasattr(L, "wv_words_lossless"):
             buf = self.wvbits + b"\xff" * 8
             if hybrid:
@@ -834,7 +855,13 @@ class _Block:
             got = int(st[3])
         if got != nvalues:
             raise DecodeError("WavPack entropy decode ran out of data")
+        return out
 
+    def apply_decorr(self, out: np.ndarray) -> None:
+        """Decorrelation passes + joint-stereo undo, in place (scalar)."""
+        flags = self.flags
+        mono = bool(flags & MONO_DATA)
+        L = native.lib()
         if L is not None and hasattr(L, "wv_decorr_stereo"):
             for p in self.passes:
                 weights = np.array([p.weight_a, p.weight_b], np.int32)
@@ -872,7 +899,6 @@ class _Block:
             right = out[1::2]
             right -= left >> 1
             left += right
-        return self._fixup(out, flags)
 
     def _fixup(self, out: np.ndarray, flags: int) -> np.ndarray:
         # fixup_samples (unpack.c:680)
@@ -1338,6 +1364,82 @@ def _decode_dsd_block(flags: int, block_samples: int,
     return out, power
 
 
+_SIMD_LANES = 8
+
+
+def _decode_pcm_blocks(blocks: list) -> list:
+    """Decode PCM blocks, batching decorrelation across blocks.
+
+    WavPack blocks are independently decodable (each carries its own
+    decorrelation spec/weights/history and entropy state in metadata —
+    unpack_utils.c opens any block standalone), so blocks that declare
+    the same term sequence run their decorrelation passes in lockstep
+    SIMD lanes (native/wv_simd.c, 8 blocks per AVX2 vector).  The
+    serial entropy stage stays per block; grouping is by
+    (terms, block_samples, mono, joint).  Falls back to the scalar
+    per-block path when the native SIMD kernel is unavailable.
+    """
+    L = native.lib()
+    if (L is None or not hasattr(L, "wv_decorr_simd8")
+            or len(blocks) < 4
+            or os.environ.get("LIBNYQUIST_NO_WV_SIMD")):
+        return [b.decode() for b in blocks]
+
+    res = [b.decode_words() for b in blocks]
+    groups: dict = {}
+    for i, b in enumerate(blocks):
+        mono = bool(b.flags & MONO_DATA)
+        key = (tuple(p.term for p in b.passes), b.block_samples, mono,
+               bool(not mono and (b.flags & JOINT_STEREO)))
+        groups.setdefault(key, []).append(i)
+
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    vpp = ctypes.POINTER(ctypes.c_void_p)
+    for (terms_t, bsamp, mono, joint), idxs in groups.items():
+        k = 0
+        nps = len(terms_t)
+        terms = np.array(terms_t or [0], np.int32)
+        # a partial tail group of >=4 real lanes still beats the scalar
+        # path (one 8-lane sweep costs about 3.5 scalar blocks measured);
+        # unused lanes run on a scratch copy whose output is discarded
+        while len(idxs) - k >= 4:
+            lanes = idxs[k : k + _SIMD_LANES]
+            deltas = np.zeros((max(nps, 1), 8), np.int32)
+            weights = np.zeros((max(nps, 1), 2, 8), np.int32)
+            sa = np.zeros((max(nps, 1), MAX_TERM, 8), np.int32)
+            sb = np.zeros((max(nps, 1), MAX_TERM, 8), np.int32)
+            addr = np.zeros(8, np.uint64)
+            scratch = None
+            for ln, i in enumerate(lanes):
+                for pi, p in enumerate(blocks[i].passes):
+                    deltas[pi, ln] = p.delta
+                    weights[pi, 0, ln] = p.weight_a
+                    weights[pi, 1, ln] = p.weight_b
+                    sa[pi, :, ln] = p.samples_a
+                    sb[pi, :, ln] = p.samples_b
+                addr[ln] = res[i].ctypes.data
+            if len(lanes) < _SIMD_LANES:
+                scratch = res[lanes[-1]].copy()    # pad lanes, discarded
+                for ln in range(len(lanes), _SIMD_LANES):
+                    addr[ln] = scratch.ctypes.data
+            rc = L.wv_decorr_simd8(
+                nps, terms.ctypes.data_as(i32p),
+                deltas.ctypes.data_as(i32p), weights.ctypes.data_as(i32p),
+                sa.ctypes.data_as(i32p), sb.ctypes.data_as(i32p),
+                addr.ctypes.data_as(vpp), bsamp,
+                1 if mono else 0, 1 if joint else 0,
+            )
+            del scratch
+            if not rc:      # no AVX2 / unsupported term: scalar lanes
+                for i in lanes:
+                    blocks[i].apply_decorr(res[i])
+            k += len(lanes)
+        for i in idxs[k:]:
+            blocks[i].apply_decorr(res[i])
+
+    return [b._fixup(res[i], b.flags) for i, b in enumerate(blocks)]
+
+
 def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
     pos = 0
     n = len(data)
@@ -1398,7 +1500,13 @@ def decode_wavpack_buffer(data: bytes, audio: AudioData) -> None:
             chunks.append(dsd_bytes)
         else:
             blk = _Block(flags, block_samples, body)
-            chunks.append(blk.decode())
+            chunks.append(blk)          # decoded in batch below
+
+    pcm_blocks = [c for c in chunks if isinstance(c, _Block)]
+    if pcm_blocks:
+        decoded = iter(_decode_pcm_blocks(pcm_blocks))
+        chunks = [next(decoded) if isinstance(c, _Block) else c
+                  for c in chunks]
 
     if not found or not chunks:
         raise DecodeError("no WavPack blocks found")

@@ -405,6 +405,12 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
         ]
+        L.wv_decorr_simd8.restype = ctypes.c_int
+        L.wv_decorr_simd8.argtypes = [
+            ctypes.c_int, i32p, i32p, i32p, i32p, i32p,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int,
+        ]
         _LIB = L
     except OSError:
         _LIB = None

@@ -145,3 +145,22 @@ def test_wavpack_dsd_bytes_native_and_python(name, monkeypatch):
     monkeypatch.setattr(native, "lib", lambda: None)
     py = decode_bytes()
     assert np.array_equal(py, g["native_bytes"])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "TestBeat_Int16", "TestBeat_Int32", "TestBeat_Int24_Mono",
+        "TestBeat_Float32",
+    ],
+)
+def test_wavpack_simd_decorr_matches_scalar(name, test_data_dir,
+                                            monkeypatch):
+    """The cross-block SIMD decorrelation (native/wv_simd.c) must be
+    bit-identical to the scalar per-block path on every lane, including
+    the padded partial tail group."""
+    path = str(test_data_dir / "ad_hoc" / f"{name}.wv")
+    simd = nq.load(path)
+    monkeypatch.setenv("LIBNYQUIST_NO_WV_SIMD", "1")
+    scalar = nq.load(path)
+    assert np.array_equal(simd.samples, scalar.samples)
