@@ -118,6 +118,37 @@ static inline __m256i vw_update_clip(__m256i w, __m256i d,
     return _mm256_blendv_epi8(w, t, nz);
 }
 
+/* In-place 8x8 int32 transpose of rows r[0..7] (unpack/permute
+ * network: 32-bit pairs -> 64-bit quads -> 128-bit halves). */
+__attribute__((target("avx2"), always_inline))
+static inline void vw_tr8x8(__m256i r[8])
+{
+    __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+    __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+    __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+    __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+    __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+    __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+    __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+    __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+    __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+    __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+    __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+    __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+    __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+    __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+    __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+    __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+    r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+    r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+    r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+    r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+    r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+    r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+    r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+    r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
 /* One pass over one transposed chunk.  Lp/Rp are [n][8] lane-major. */
 __attribute__((target("avx2")))
 static void vw_pass_stereo(vstate *st, int32_t *Lp, int32_t *Rp, int n)
@@ -299,24 +330,69 @@ static int wv_decorr_simd8_impl(int npasses, const int32_t *terms,
     for (int64_t c0 = 0; c0 < nsamples; c0 += WV_CHUNK) {
         int n = (nsamples - c0 < WV_CHUNK) ? (int)(nsamples - c0)
                                            : WV_CHUNK;
-        /* gather: lane-major chunk planes */
+        int n8 = n & ~7;
+        /* gather: lane-major chunk planes (8x8 transpose strips; the
+         * stereo source is additionally LR-interleaved per lane) */
         if (mono) {
+            for (int i = 0; i < n8; i += 8) {
+                __m256i r[8];
+                for (int ln = 0; ln < 8; ln++)
+                    r[ln] = _mm256_loadu_si256(
+                        (const __m256i *)(bufs[ln] + c0 + i));
+                vw_tr8x8(r);
+                for (int j = 0; j < 8; j++)
+                    _mm256_storeu_si256((__m256i *)(Lp + (i + j) * 8),
+                                        r[j]);
+            }
             for (int ln = 0; ln < 8; ln++) {
                 const int32_t *src = bufs[ln] + c0;
-                for (int i = 0; i < n; i++)
+                for (int i = n8; i < n; i++)
                     Lp[i * 8 + ln] = src[i];
             }
             for (int p = 0; p < npasses; p++)
                 vw_pass_mono(&st[p], Lp, n);
+            for (int i = 0; i < n8; i += 8) {
+                __m256i r[8];
+                for (int j = 0; j < 8; j++)
+                    r[j] = _mm256_loadu_si256(
+                        (const __m256i *)(Lp + (i + j) * 8));
+                vw_tr8x8(r);
+                for (int ln = 0; ln < 8; ln++)
+                    _mm256_storeu_si256(
+                        (__m256i *)(bufs[ln] + c0 + i), r[ln]);
+            }
             for (int ln = 0; ln < 8; ln++) {
                 int32_t *dst = bufs[ln] + c0;
-                for (int i = 0; i < n; i++)
+                for (int i = n8; i < n; i++)
                     dst[i] = Lp[i * 8 + ln];
             }
         } else {
+            const __m256i DEINT = _mm256_setr_epi32(0, 2, 4, 6,
+                                                    1, 3, 5, 7);
+            for (int i = 0; i < n8; i += 8) {
+                __m256i l[8], r[8];
+                for (int ln = 0; ln < 8; ln++) {
+                    const int32_t *src = bufs[ln] + (c0 + i) * 2;
+                    __m256i v0 = _mm256_loadu_si256((const __m256i *)src);
+                    __m256i v1 = _mm256_loadu_si256(
+                        (const __m256i *)(src + 8));
+                    __m256i p0 = _mm256_permutevar8x32_epi32(v0, DEINT);
+                    __m256i p1 = _mm256_permutevar8x32_epi32(v1, DEINT);
+                    l[ln] = _mm256_permute2x128_si256(p0, p1, 0x20);
+                    r[ln] = _mm256_permute2x128_si256(p0, p1, 0x31);
+                }
+                vw_tr8x8(l);
+                vw_tr8x8(r);
+                for (int j = 0; j < 8; j++) {
+                    _mm256_storeu_si256((__m256i *)(Lp + (i + j) * 8),
+                                        l[j]);
+                    _mm256_storeu_si256((__m256i *)(Rp + (i + j) * 8),
+                                        r[j]);
+                }
+            }
             for (int ln = 0; ln < 8; ln++) {
                 const int32_t *src = bufs[ln] + c0 * 2;
-                for (int i = 0; i < n; i++) {
+                for (int i = n8; i < n; i++) {
                     Lp[i * 8 + ln] = src[i * 2];
                     Rp[i * 8 + ln] = src[i * 2 + 1];
                 }
@@ -333,9 +409,29 @@ static int wv_decorr_simd8_impl(int npasses, const int32_t *terms,
                     _mm256_storeu_si256((__m256i *)(Rp + i * 8), r);
                 }
             }
+            for (int i = 0; i < n8; i += 8) {
+                __m256i l[8], r[8];
+                for (int j = 0; j < 8; j++) {
+                    l[j] = _mm256_loadu_si256(
+                        (const __m256i *)(Lp + (i + j) * 8));
+                    r[j] = _mm256_loadu_si256(
+                        (const __m256i *)(Rp + (i + j) * 8));
+                }
+                vw_tr8x8(l);
+                vw_tr8x8(r);
+                for (int ln = 0; ln < 8; ln++) {
+                    __m256i lo = _mm256_unpacklo_epi32(l[ln], r[ln]);
+                    __m256i hi = _mm256_unpackhi_epi32(l[ln], r[ln]);
+                    int32_t *dst = bufs[ln] + (c0 + i) * 2;
+                    _mm256_storeu_si256((__m256i *)dst,
+                        _mm256_permute2x128_si256(lo, hi, 0x20));
+                    _mm256_storeu_si256((__m256i *)(dst + 8),
+                        _mm256_permute2x128_si256(lo, hi, 0x31));
+                }
+            }
             for (int ln = 0; ln < 8; ln++) {
                 int32_t *dst = bufs[ln] + c0 * 2;
-                for (int i = 0; i < n; i++) {
+                for (int i = n8; i < n; i++) {
                     dst[i * 2] = Lp[i * 8 + ln];
                     dst[i * 2 + 1] = Rp[i * 8 + ln];
                 }
