@@ -58,6 +58,24 @@ sys.path.insert(0, str(HERE))
 # information about the code").
 CPU_FALLBACK = os.environ.get("LIBNYQUIST_BENCH_CPU_FALLBACK")
 N_TRIALS = 1 if CPU_FALLBACK else 3
+# Headline trials: the reference's run_benchmark.py uses a trimmed
+# median over many samples (calculate_average drops the extremes);
+# median-of-3 left a +-48% spread on the recorded r4 headline.
+N_HEADLINE_TRIALS = 1 if CPU_FALLBACK else int(
+    os.environ.get("LIBNYQUIST_BENCH_TRIALS", "10"))
+
+
+def _trimmed_median(samples):
+    """Trimmed median + spread over the kept set (reference
+    run_benchmark.py calculate_average discipline: sort, drop the
+    extremes, take the middle).  Returns (value, spread_fraction,
+    kept_list)."""
+    s = sorted(samples)
+    drop = len(s) // 5          # 20% total (10 trials -> drop 2+2)
+    kept = s[drop : len(s) - drop] if len(s) > 2 * drop else s
+    mid = kept[len(kept) // 2]
+    spread = (kept[-1] - kept[0]) / max(mid, 1e-9)
+    return mid, spread, kept
 
 # Whole-run progress state shared with the deadline watchdog: the axon
 # tunnel has been observed to pass device init and then stall mid-run
@@ -579,29 +597,28 @@ def bench_e2e_opus_iy(K):
         # ------- device half: one batched fused program -------
         # completion barrier = a real (tiny) D2H fetch of the result:
         # block_until_ready alone under-reports on this tunnel runtime
-        _note("device timing trials")
+        _note(f"device timing trials (n={N_HEADLINE_TRIALS})")
         dev_samples = []
-        for _ in range(N_TRIALS):
+        for _ in range(N_HEADLINE_TRIALS):
             t0 = time.perf_counter()
             acc_h = np.asarray(stream_fn(d_iy, d_synth))
             dev_samples.append(time.perf_counter() - t0)
-        dev_samples.sort()
-        t_dev = dev_samples[len(dev_samples) // 2]
+        t_dev, dev_spread, _ = _trimmed_median(dev_samples)
 
         # ------- pipelined steady state: device(batch k) overlaps ----
         # host(batch k+1); one iteration = dispatch batch, host-decode
-        # the next batch's K streams, fetch the batch result.
+        # the next batch's K streams, fetch the batch result.  Trimmed
+        # median over N_HEADLINE_TRIALS iterations (reference
+        # run_benchmark.py calculate_average methodology).
+        _note(f"pipelined timing trials (n={N_HEADLINE_TRIALS})")
         pipe_samples = []
-        for _ in range(min(2, N_TRIALS)):
+        for _ in range(N_HEADLINE_TRIALS):
             t0 = time.perf_counter()
             acc = stream_fn(d_iy, d_synth)        # device batch (async)
             _timed_host_pass_iy(data, K)          # host batch k+1
             acc_h = np.asarray(acc)               # fetch barrier
             pipe_samples.append(time.perf_counter() - t0)
-        pipe_samples.sort()
-        t_pipe = pipe_samples[0]
-        spread = (pipe_samples[-1] - pipe_samples[0]) / max(t_pipe,
-                                                            1e-9)
+        t_pipe, spread, pipe_samples = _trimmed_median(pipe_samples)
 
     # Oracle: per-stream sample sums (reference Main.cpp:146), checked
     # for EVERY stream of the batch.
@@ -705,6 +722,20 @@ def bench_e2e_opus_iy(K):
     peak_bw = profiling.device_peak_gbps()
     hbm_util = (round(100.0 * dev_bytes / t_dev / (peak_bw * 1e9), 2)
                 if (dev_bytes and peak_bw and t_dev) else None)
+    imdct_fps = None
+    if not CPU_FALLBACK and os.environ.get(
+            "LIBNYQUIST_BENCH_IMDCT", "1") != "0":
+        try:
+            _note("imdct frames/sec micro (4 modes + B8)")
+            import jax.numpy as _jnp
+            imdct_fps = _imdct_micro(jax, _jnp)
+            print(f"# imdct_frames_per_sec: {json.dumps(imdct_fps)}",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# imdct micro failed: {e}", file=sys.stderr)
+    # a vs_baseline margin smaller than the measured spread is noise,
+    # not a result (VERDICT r4 weak #1)
+    noise_bound = bool(abs(pipe_x / TARGET - 1.0) < spread)
     return {
         "metric": "opus_e2e_decode_realtime_x",
         "value": round(pipe_x, 1),
@@ -713,6 +744,9 @@ def bench_e2e_opus_iy(K):
         "config": {"streams": K, "composition":
                    ("pipelined-host-bound" if t_dev is None
                     else "pipelined"),
+                   "noise_bound": noise_bound,
+                   "n_trials": N_HEADLINE_TRIALS,
+                   "imdct_frames_per_sec": imdct_fps,
                    "serial_x": (round(serial_x, 1)
                                 if serial_x is not None else None),
                    "host_x_per_core": round(host_1core_x, 1),
@@ -729,6 +763,55 @@ def bench_e2e_opus_iy(K):
                    "hbm_util_pct": hbm_util,
                    "trial_spread_pct": round(100 * spread, 1)},
     }
+
+
+def _imdct_micro(jax, jnp):
+    """Standing IMDCT frames/sec metric across the four CELT modes
+    (N in {240,480,960,1920}, shift = maxLM-LM) plus the B=8 transient
+    layout (reference microbench: cuda/mdct_cuda.cu:596-676
+    performanceTest and the B8 pipeline in mdct_cuda_b8.cu).  Spectra
+    stay resident in HBM; completion barrier is a scalar D2H fetch
+    (this rig's tunnel makes large fetches unrepresentative).  Returns
+    {mode_label: frames_per_sec} where one frame = one full inverse
+    MDCT (all B sub-blocks) for one channel."""
+    from libnyquist_tpu.formats.opus.celt_tables import mode48000
+    from libnyquist_tpu.ops import imdct as imdct_ops
+
+    mode = mode48000()
+    rng = np.random.default_rng(0)
+    out = {}
+    # (label, Nmdct, B): B=8 is the transient frame — 8 interleaved
+    # short MDCTs folded into one matrix row (celt_decoder_clean.c:291)
+    cases = [("N240", 240, 1), ("N480", 480, 1), ("N960", 960, 1),
+             ("N1920", 1920, 1), ("N240_B8", 240, 8)]
+    for label, Nmdct, B in cases:
+        n2 = B * (Nmdct // 2)
+        Tm, Tp, _ = imdct_ops.celt_synthesis_matrices_paired(
+            Nmdct, mode.overlap, B)
+        # rows x frames sized for steady MXU occupancy at every mode
+        R, F = 16, max(256, 98304 // n2)
+        spec = jnp.asarray(
+            rng.standard_normal((R, F, n2)).astype(np.float32))
+        tails = jnp.zeros((R, mode.overlap), jnp.float32)
+
+        @jax.jit
+        def step(spec, tails, Tm=jnp.asarray(Tm), Tp=jnp.asarray(Tp)):
+            pcm, all_tails = imdct_ops._synthesize_rows(
+                spec, Tm, Tp, tails, mode.overlap)
+            return jnp.sum(pcm), all_tails[:, -1]
+
+        s, tails = step(spec, tails)          # compile + warm
+        float(s)
+        reps = 3
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            s, tails = step(spec, tails)
+            float(s)                           # scalar fetch barrier
+            samples.append(time.perf_counter() - t0)
+        t = sorted(samples)[reps // 2]
+        out[label] = round(R * F / t, 1)
+    return out
 
 
 def bench_mp3(K):

@@ -206,34 +206,23 @@ def test_silk_standalone_is_time_aligned():
         assert snr0 >= best - 1.0, (snr0, best)
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/stockopus/oracle_dump").exists(),
-    reason="stock libopus oracle not built "
-           "(tools/build_stock_oracle.sh)")
 @pytest.mark.parametrize("kbps,bright", [(24, False), (40, True)])
-def test_auto_encode_reference_oracle(tmp_path, kbps, bright):
+def test_auto_encode_reference_oracle(kbps, bright):
     """STOCK libopus/opusfile (tools/build_stock_oracle.sh — the
     fork's *_clean.c build strips CELT PLC and segfaults on
     CELT->SILK transitions) decodes mixed-mode auto streams to within
     float32 LSB noise of our decoder: the mode-transition machinery
     (CELT PLC transition frames + crossfades, opus_decoder.c:308-580)
     matches."""
-    import struct
-    import subprocess
+    from .helpers import STOCK_ORACLE, oracle_decode
 
     sp = _brightspeech(1.5) if bright else _speechish(1.5)
     x = np.concatenate([_musicish(1.0), sp, _musicish(1.0)])
     blob = encode_ogg_opus_auto(x, 1, bitrate_kbps=kbps)
     assert "celt" in _mode_families(blob)
     assert len(_mode_families(blob)) == 2
-    p = tmp_path / "a.opus"
-    p.write_bytes(blob)
-    out = tmp_path / "a.raw"
-    subprocess.run(["/tmp/stockopus/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode(f"auto_{kbps}k_{'bright' if bright else 'sp'}",
+                        blob, oracle_bin=STOCK_ORACLE)
     ours = np.asarray(nq.load(blob, extension="opus").samples,
                       np.float32)
     assert len(ref) == len(ours)
@@ -242,10 +231,6 @@ def test_auto_encode_reference_oracle(tmp_path, kbps, bright):
     assert float(np.abs(ref - ours).max()) <= 5e-7
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/stockopus/opus_pkt_probe").exists(),
-    reason="stock libopus packet probe not built "
-           "(tools/build_stock_oracle.sh)")
 def test_celt_to_silk_transition_matches_stock(tmp_path):
     """Packet-level: a CELT->SILK mode switch decodes the 2.5 ms CELT
     PLC transition frame + crossfade like stock libopus
@@ -265,16 +250,23 @@ def test_celt_to_silk_transition_matches_stock(tmp_path):
     silk_pk, _ = encode_ogg_opus_silk(_speechish(1.0), SR,
                                       bandwidth="wb", frame_ms=20,
                                       preskip=0, return_packets=True)
+    from .helpers import oracle_capture
+
     pkts = celt_pk[:8] + silk_pk[:8]
-    p = tmp_path / "pkts.bin"
-    with open(p, "wb") as f:
-        f.write(struct.pack("<II", 1, len(pkts)))
-        for q in pkts:
-            f.write(struct.pack("<I", len(q)) + q)
-    out = tmp_path / "pkts.raw"
-    subprocess.run(["/tmp/stockopus/opus_pkt_probe", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    ref = np.fromfile(out, np.float32)
+    blob = struct.pack("<II", 1, len(pkts)) + b"".join(
+        struct.pack("<I", len(q)) + q for q in pkts)
+
+    def live(b):
+        p = tmp_path / "pkts.bin"
+        p.write_bytes(b)
+        out = tmp_path / "pkts.raw"
+        subprocess.run(
+            ["/tmp/stockopus/opus_pkt_probe", str(p), str(out)],
+            check=True, capture_output=True, timeout=120)
+        return np.fromfile(out, np.float32)
+
+    ref = oracle_capture("celt_silk_transition", blob, live,
+                         "/tmp/stockopus/opus_pkt_probe")
     dec = OpusDecoder(1)
     ours = np.concatenate(
         [np.asarray(dec.decode_packet(q), np.float64).reshape(-1)

@@ -234,17 +234,14 @@ def test_silk_encode_nb_mb_roundtrip(bandwidth, config):
     assert snr > 8.0, f"SILK {bandwidth} round-trip SNR {snr:.1f} dB"
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
 @pytest.mark.parametrize("bandwidth", ["wb", "mb", "nb"])
-def test_silk_encode_reference_oracle(tmp_path, bandwidth):
+def test_silk_encode_reference_oracle(bandwidth):
     """The reference's own libopus decodes our SILK streams to output
-    BIT-IDENTICAL to our decoder — at every internal bandwidth."""
-    import struct
-    import subprocess
-
+    BIT-IDENTICAL to our decoder — at every internal bandwidth
+    (committed oracle capture; see tests/helpers.py oracle_decode)."""
     from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    from .helpers import oracle_decode
 
     sig = _speechish(seconds=1.0)
     a = AudioData()
@@ -255,14 +252,7 @@ def test_silk_encode_reference_oracle(tmp_path, bandwidth):
     buf = encode_opus_to_buffer(
         EncoderParams(1, PCMFormat.PCM_FLT), a, mode="silk",
         bandwidth=bandwidth)
-    p = tmp_path / "s.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "s.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode(f"silk_{bandwidth}", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 0
@@ -372,21 +362,16 @@ def test_opus_encode_frame_sizes(frame_ms, min_snr):
     assert samples_per_frame(aud[0][0]) == int(48 * frame_ms)
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/opus_rd_ref").exists(),
-    reason="reference libopus RD probe not built (tools/opus_rd_ref.c)",
-)
 def test_opus_encoder_rd_vs_libopus():
     """Rate-distortion sanity against the reference's own libopus CELT
     encoder at a matched payload bitrate (VERDICT r2 weak #9; full
     sweep in tools/opus_rd_compare.py — ~3 dB behind libopus on music,
     more on pure tones).  Pins: within 16 dB of libopus and above an
     absolute floor, so a rate-control or PVQ regression can't hide."""
-    import subprocess
-    import tempfile
-
     from libnyquist_tpu.formats import ogg as oggmod
     from libnyquist_tpu.formats.opus.celt_encoder import encode_ogg_opus
+
+    from .helpers import rd_probe
 
     audio = _sine(1, 48000, seconds=2.0)
     sig = np.asarray(audio.samples, np.float32)
@@ -408,14 +393,9 @@ def test_opus_encoder_rd_vs_libopus():
     our_snr = 10 * np.log10(np.dot(ref[:m], ref[:m])
                             / max(np.dot(err, err), 1e-30))
 
-    with tempfile.NamedTemporaryFile(suffix=".f32") as f:
-        sig.tofile(f.name)
-        r = subprocess.run(
-            ["/tmp/opus_rd_ref", f.name, "1", str(kbps * 1000), "200"],
-            capture_output=True, text=True, timeout=120)
-    assert r.returncode == 0, r.stderr
-    their_bytes, their_snr = r.stdout.split()
-    their_kbps = int(their_bytes) * 8 / secs / 1000
+    their_bytes, their_snr = rd_probe(
+        "rd_sine_96k", sig, 1, kbps * 1000, 200)
+    their_kbps = their_bytes * 8 / secs / 1000
 
     # matched rate (within 10%), bounded distortion gap (after the
     # valley-follower dynalloc fix we BEAT libopus on mono tones)
@@ -512,16 +492,12 @@ def test_hybrid_encode_roundtrip():
     assert got > 0.5 * want, (got, want)
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
-def test_hybrid_encode_reference_oracle(tmp_path):
+def test_hybrid_encode_reference_oracle():
     """The reference's own libopus decodes our hybrid streams to output
     bit-identical to our decoder (mode/TOC/shared-coder symmetry)."""
-    import subprocess
-    import struct
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    from .helpers import oracle_decode
 
     a = AudioData()
     a.samples = _speechish(seconds=1.0)
@@ -530,14 +506,7 @@ def test_hybrid_encode_reference_oracle(tmp_path):
     a.source_format = PCMFormat.PCM_FLT
     buf = encode_opus_to_buffer(
         EncoderParams(1, PCMFormat.PCM_FLT), a, 64, mode="hybrid")
-    p = tmp_path / "h.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "h.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (n,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:n]
+    ref = oracle_decode("hybrid_mono", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(ref.size, ours.size)
     assert m > 40000
@@ -644,16 +613,12 @@ def test_silk_encode_stereo_roundtrip():
         assert snr > 15.0, f"ch{c} SNR {snr:.1f} dB"
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
-def test_silk_encode_stereo_reference_oracle(tmp_path):
+def test_silk_encode_stereo_reference_oracle():
     """libopus decodes our stereo SILK streams bit-identically to our
     decoder (stereo pred + MS->LR reconstruction both match)."""
-    import struct
-    import subprocess
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    from .helpers import oracle_decode
 
     sr = 48000
     tt = np.arange(sr) / sr
@@ -669,33 +634,22 @@ def test_silk_encode_stereo_reference_oracle(tmp_path):
     a.source_format = PCMFormat.PCM_FLT
     buf = encode_opus_to_buffer(
         EncoderParams(2, PCMFormat.PCM_FLT), a, mode="silk")
-    p = tmp_path / "st.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "st.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode("silk_stereo", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
 @pytest.mark.parametrize("bandwidth,config", [("wb", 8), ("nb", 0)])
-def test_silk_encode_10ms_reference_oracle(tmp_path, bandwidth, config):
+def test_silk_encode_10ms_reference_oracle(bandwidth, config):
     """10 ms SILK frames (2 subframes, the 10 ms pitch-contour
     codebooks, no NLSF interpolation symbol): correct TOC config and
     bit-identical libopus decode."""
-    import struct
-    import subprocess
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
     from libnyquist_tpu.formats.ogg import demux
+
+    from .helpers import oracle_decode
 
     sig = _speechish(seconds=1.0)
     a = AudioData()
@@ -708,34 +662,23 @@ def test_silk_encode_10ms_reference_oracle(tmp_path, bandwidth, config):
         bandwidth=bandwidth, frame_ms=10)
     st_ogg = next(iter(demux(buf).values()))
     assert (st_ogg.packets[2].data[0] >> 3) == config
-    p = tmp_path / "s.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "s.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode(f"silk_10ms_{bandwidth}", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
 @pytest.mark.parametrize("frame_ms,ch", [(40, 1), (60, 1), (40, 2)])
-def test_silk_encode_multiframe_reference_oracle(tmp_path, frame_ms, ch):
+def test_silk_encode_multiframe_reference_oracle(frame_ms, ch):
     """40/60 ms SILK packets: 2/3 frames per packet, frames after the
     first coded CODE_CONDITIONALLY (delta first gain, pitch-delta
     symbol before an absolute lag, no LTP-scale symbol; the side
     channel turns conditional at the same frame as mid).  Bit-identical
     libopus decode, mono and stereo."""
-    import struct
-    import subprocess
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    from .helpers import oracle_decode
 
     sig = _speechish(seconds=1.2)
     if ch == 2:
@@ -748,32 +691,21 @@ def test_silk_encode_multiframe_reference_oracle(tmp_path, frame_ms, ch):
     buf = encode_opus_to_buffer(
         EncoderParams(ch, PCMFormat.PCM_FLT), a, mode="silk",
         frame_ms=frame_ms)
-    p = tmp_path / "s.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "s.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode(f"silk_mf_{frame_ms}ms_{ch}ch", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 0
     np.testing.assert_array_equal(ref[:m], ours[:m])
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
-def test_hybrid_encode_stereo_reference_oracle(tmp_path):
+def test_hybrid_encode_stereo_reference_oracle():
     """Stereo hybrid (TOC config 15 + stereo flag): SILK stereo
     mid/side low band + stereo CELT from band 17 on one shared range
     coder.  libopus decodes it to within float32 rounding of our
     decoder (the CELT half runs float64 here vs float32 there)."""
-    import struct
-    import subprocess
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
+
+    from .helpers import oracle_decode
 
     sr = 48000
     low = _speechish(seconds=1.0)
@@ -792,14 +724,7 @@ def test_hybrid_encode_stereo_reference_oracle(tmp_path):
         EncoderParams(2, PCMFormat.PCM_FLT), a, 64, mode="hybrid")
     back = nq.load(buf, extension="opus")
     assert back.channel_count == 2
-    p = tmp_path / "h.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "h.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode("hybrid_stereo", buf)
     ours = np.asarray(back.samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 40000
@@ -812,21 +737,17 @@ def test_hybrid_encode_stereo_reference_oracle(tmp_path):
     assert band.max() > 0.05 * spec.max()
 
 
-@pytest.mark.skipif(
-    not pathlib.Path("/tmp/refbuild/oracle_dump").exists(),
-    reason="reference oracle build not present")
 @pytest.mark.parametrize("frame_ms,hbw,config", [
     (10, "swb", 12), (20, "swb", 13), (10, "fb", 14)])
-def test_hybrid_encode_configs(tmp_path, frame_ms, hbw, config):
+def test_hybrid_encode_configs(frame_ms, hbw, config):
     """The other three hybrid TOC configs (SWB 10/20 ms, FB 10 ms):
     SILK WB frames of the right duration + CELT LM=2/3 capped at band
     19 for SWB (decoder _endband_for_bandwidth).  libopus decodes all
     of them to float32 rounding of our decoder."""
-    import struct
-    import subprocess
-
     from libnyquist_tpu.encoders import encode_opus_to_buffer
     from libnyquist_tpu.formats.ogg import demux
+
+    from .helpers import oracle_decode
 
     sig = _speechish(seconds=0.6)
     t = np.arange(len(sig)) / 48000
@@ -842,14 +763,7 @@ def test_hybrid_encode_configs(tmp_path, frame_ms, hbw, config):
         frame_ms=frame_ms, bandwidth=hbw)
     st_ogg = next(iter(demux(buf).values()))
     assert (st_ogg.packets[2].data[0] >> 3) == config
-    p = tmp_path / "h.opus"
-    p.write_bytes(buf)
-    out = tmp_path / "h.raw"
-    subprocess.run(["/tmp/refbuild/oracle_dump", str(p), str(out)],
-                   check=True, capture_output=True, timeout=120)
-    raw = out.read_bytes()
-    (count,) = struct.unpack("<Q", raw[12:20])
-    ref = np.frombuffer(raw[20:], np.float32)[:count]
+    ref = oracle_decode(f"hybrid_{frame_ms}ms_{hbw}", buf)
     ours = np.asarray(nq.load(buf, extension="opus").samples, np.float32)
     m = min(len(ref), len(ours))
     assert m > 20000
