@@ -833,12 +833,15 @@ def bench_mp3(K):
         return None
     data = REF_MP3.read_bytes()
 
-    # ---------- host half: K real streams, timed ----------
+    # ---------- host half: K real streams, timed (median of 3) ----------
     X, kinds, nch, hz = mp3f.l3_stream_entropy(data)  # warm
-    t0 = time.perf_counter()
-    for _ in range(K):
-        X, kinds, nch, hz = mp3f.l3_stream_entropy(data)
-    t_host = time.perf_counter() - t0
+    host_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            X, kinds, nch, hz = mp3f.l3_stream_entropy(data)
+        host_samples.append(time.perf_counter() - t0)
+    t_host = sorted(host_samples)[1]
     G = X.shape[0]
     audio_s = G * 576 / hz
 
@@ -956,10 +959,13 @@ def bench_vorbis(K):
         return vorbis._decode_stream_packets(st, return_entropy=True)
 
     staged, bss, channels, rate, end_gran = entropy()  # warm
-    t0 = time.perf_counter()
-    for _ in range(K):
-        staged, bss, channels, rate, end_gran = entropy()
-    t_host = time.perf_counter() - t0
+    host_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            staged, bss, channels, rate, end_gran = entropy()
+        host_samples.append(time.perf_counter() - t0)
+    t_host = sorted(host_samples)[1]
 
     meta = [(n, bf, lp, ln) for (_s, n, bf, lp, ln, _nz) in staged]
     plan = serving.vorbis_lap_plan(meta, bss)
@@ -1061,11 +1067,14 @@ def bench_mpc(K):
 
     ys, spans, channels, rate = mpc.decode_musepack_buffer(
         data, AudioData(), return_entropy=True)  # warm
-    t0 = time.perf_counter()
-    for _ in range(K):
-        ys, spans, channels, rate = mpc.decode_musepack_buffer(
-            data, AudioData(), return_entropy=True)
-    t_host = time.perf_counter() - t0
+    host_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            ys, spans, channels, rate = mpc.decode_musepack_buffer(
+                data, AudioData(), return_entropy=True)
+        host_samples.append(time.perf_counter() - t0)
+    t_host = sorted(host_samples)[1]
 
     from libnyquist_tpu.formats.musepack import _requantize_batch
 

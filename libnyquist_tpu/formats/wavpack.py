@@ -1389,27 +1389,36 @@ def _decode_pcm_blocks(blocks: list) -> list:
     groups: dict = {}
     for i, b in enumerate(blocks):
         mono = bool(b.flags & MONO_DATA)
-        key = (tuple(p.term for p in b.passes), b.block_samples, mono,
+        key = (tuple(p.term for p in b.passes), mono,
                bool(not mono and (b.flags & JOINT_STEREO)))
         groups.setdefault(key, []).append(i)
 
     i32p = ctypes.POINTER(ctypes.c_int32)
     vpp = ctypes.POINTER(ctypes.c_void_p)
-    for (terms_t, bsamp, mono, joint), idxs in groups.items():
+    for (terms_t, mono, joint), idxs in groups.items():
         k = 0
         nps = len(terms_t)
         terms = np.array(terms_t or [0], np.int32)
         # a partial tail group of >=4 real lanes still beats the scalar
         # path (one 8-lane sweep costs about 3.5 scalar blocks measured);
-        # unused lanes run on a scratch copy whose output is discarded
+        # unused lanes run on a scratch copy whose output is discarded.
+        # Lanes may carry DIFFERENT block lengths (the stream's final
+        # short blocks): shorter lanes run on a zero-padded copy up to
+        # the sweep's longest block — the padded tail computes garbage
+        # that is never copied back, and per-block weights/history are
+        # not carried across blocks on this path (each block's metadata
+        # restates them), so the over-run is harmless.
         while len(idxs) - k >= 4:
             lanes = idxs[k : k + _SIMD_LANES]
+            bsamp = max(blocks[i].block_samples for i in lanes)
+            nmax = max(res[i].size for i in lanes)
             deltas = np.zeros((max(nps, 1), 8), np.int32)
             weights = np.zeros((max(nps, 1), 2, 8), np.int32)
             sa = np.zeros((max(nps, 1), MAX_TERM, 8), np.int32)
             sb = np.zeros((max(nps, 1), MAX_TERM, 8), np.int32)
             addr = np.zeros(8, np.uint64)
             scratch = None
+            padded = {}
             for ln, i in enumerate(lanes):
                 for pi, p in enumerate(blocks[i].passes):
                     deltas[pi, ln] = p.delta
@@ -1417,9 +1426,15 @@ def _decode_pcm_blocks(blocks: list) -> list:
                     weights[pi, 1, ln] = p.weight_b
                     sa[pi, :, ln] = p.samples_a
                     sb[pi, :, ln] = p.samples_b
-                addr[ln] = res[i].ctypes.data
+                if res[i].size < nmax:
+                    pad = np.zeros(nmax, np.int32)
+                    pad[: res[i].size] = res[i]
+                    padded[i] = pad
+                    addr[ln] = pad.ctypes.data
+                else:
+                    addr[ln] = res[i].ctypes.data
             if len(lanes) < _SIMD_LANES:
-                scratch = res[lanes[-1]].copy()    # pad lanes, discarded
+                scratch = np.zeros(nmax, np.int32)  # pad lanes, discarded
                 for ln in range(len(lanes), _SIMD_LANES):
                     addr[ln] = scratch.ctypes.data
             rc = L.wv_decorr_simd8(
@@ -1433,6 +1448,9 @@ def _decode_pcm_blocks(blocks: list) -> list:
             if not rc:      # no AVX2 / unsupported term: scalar lanes
                 for i in lanes:
                     blocks[i].apply_decorr(res[i])
+            else:
+                for i, pad in padded.items():
+                    res[i][:] = pad[: res[i].size]
             k += len(lanes)
         for i in idxs[k:]:
             blocks[i].apply_decorr(res[i])

@@ -163,6 +163,22 @@ static inline uint64_t wv_tell(const wv_bits *b) {
 
 static inline void wv_refill(wv_bits *b) {
     uint64_t nbytes = (b->limit + 7) >> 3;
+    /* bulk fast path: all 8 loaded bytes fully inside the limit (no
+     * partial tail byte to pad) — one unaligned 64-bit load replaces
+     * up to 7 per-byte iterations.  Only whole bytes are committed, so
+     * the cache invariant (bits >= ncache are zero) is kept by masking
+     * the loaded chunk to exactly the committed width. */
+    if (b->ncache <= 56 && b->bytepos + 8 <= (b->limit >> 3)) {
+        uint64_t chunk;
+        memcpy(&chunk, b->buf + b->bytepos, 8);
+        int take = (64 - b->ncache) >> 3;          /* bytes, >= 1 */
+        int width = take << 3;
+        uint64_t mask = (width == 64) ? ~0ull : ((1ull << width) - 1);
+        b->cache |= (chunk & mask) << b->ncache;
+        b->bytepos += take;
+        b->ncache += width;
+        return;
+    }
     while (b->ncache <= 56) {
         uint64_t byte;
         if (b->bytepos < nbytes) {
