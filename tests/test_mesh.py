@@ -22,6 +22,8 @@ def test_factor_mesh():
     for n in (1, 2, 4, 8):
         dp, sp, tp = factor_mesh(n)
         assert dp * sp * tp == n
+        # serving: pure data parallel, zero collectives
+        assert factor_mesh(n, serving=True) == (n, 1, 1)
 
 
 def test_dryrun_multichip_virtual_mesh():
@@ -66,6 +68,31 @@ def test_sharded_equals_single_device():
     scale = np.abs(out1).max()
     err = np.abs(out8 - out1).max()
     assert err <= 1e-5 * max(scale, 1.0), (err, scale)
+
+
+def test_serving_mesh_collective_free():
+    """factor_mesh(serving=True) -> (n, 1, 1): the full decode step on
+    the serving mesh must (a) reproduce the single-device result bit-
+    for-bit (independent rows, no reduction-order change) and (b)
+    compile to a per-device program with NO collectives — the property
+    the dp-first serving heuristic rests on (MESH_SCALING_r4.md)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1]))
+    import __graft_entry__ as g
+
+    fn, args, mesh = g.sharded_decode_step(
+        8, return_fn=True, serving_mesh=True)
+    assert mesh == (8, 1, 1)
+    hlo = fn.lower(*args).compile().as_text()
+    for op in ("all-reduce", "collective-permute", "all-gather",
+               "reduce-scatter", "all-to-all"):
+        assert f" {op}(" not in hlo and f" {op}-start(" not in hlo, op
+    out8 = np.asarray(fn(*args))
+    out1, _ = g.sharded_decode_step(1)
+    assert np.array_equal(out8, out1)
 
 
 def test_dp_only_serving_shard():

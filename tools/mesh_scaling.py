@@ -29,7 +29,7 @@ ROWS, F = 8, 16
 SERVING_ROWS, SERVING_F = 16, 128
 
 
-def _one(n: int, serving: bool = False) -> dict:
+def _one(n: int, serving: bool = False, dp_only: bool = False) -> dict:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n}"
@@ -52,7 +52,8 @@ def _one(n: int, serving: bool = False) -> dict:
     else:
         rows, F_, content = ROWS, F, None
     fn, args, (dp, sp, tp) = g.sharded_decode_step(
-        n, rows=rows, F=F_, return_fn=True, content=content)
+        n, rows=rows, F=F_, return_fn=True, content=content,
+        serving_mesh=dp_only)
     compiled = fn.lower(*args).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -81,14 +82,22 @@ def _one(n: int, serving: bool = False) -> dict:
 
 def main():
     serving = "--serving" in sys.argv
+    # --dp-only: factor the mesh (n, 1, 1) — the serving-path factoring
+    # (parallel/mesh.py factor_mesh(serving=True)).  Independent streams
+    # shard over dp with zero collectives; this row is the measurement
+    # behind preferring dp-first for serving shapes.
+    dp_only = "--dp-only" in sys.argv
     if len(sys.argv) > 1 and sys.argv[1].isdigit():
-        print(json.dumps(_one(int(sys.argv[1]), serving=serving)))
+        print(json.dumps(_one(int(sys.argv[1]), serving=serving,
+                              dp_only=dp_only)))
         return
     rows = []
     for nn in SIZES:
         cmd = [sys.executable, os.path.abspath(__file__), str(nn)]
         if serving:
             cmd.append("--serving")
+        if dp_only:
+            cmd.append("--dp-only")
         r = subprocess.run(
             cmd, capture_output=True, text=True,
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
