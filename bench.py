@@ -118,7 +118,10 @@ def _jax_setup():
     import jax
 
     try:  # persistent compile cache cuts repeat-run latency
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        from libnyquist_tpu.runtime.jaxcfg import default_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir",
+                          default_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass

@@ -24,10 +24,19 @@ def ensure_jax_cache() -> None:
         import jax
 
         jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("LIBNYQUIST_JAX_CACHE_DIR", "/tmp/jaxcache"),
-        )
+            "jax_compilation_cache_dir", default_cache_dir())
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
+
+
+def default_cache_dir() -> str:
+    """Persistent cache location.  The home cache dir survives /tmp
+    cleanup between sessions — the fused serving program costs minutes
+    of XLA compile behind a slow tunnel, so losing the cache turns a
+    sub-deadline bench run into a fallback."""
+    return os.environ.get(
+        "LIBNYQUIST_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "libnyquist_jaxcache"))

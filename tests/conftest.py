@@ -21,7 +21,10 @@ import jax
 # ignored; the config API still wins. Tests run on the virtual 8-device
 # CPU mesh; only bench.py uses the real chip.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+from libnyquist_tpu.runtime.jaxcfg import default_cache_dir
+
+jax.config.update("jax_compilation_cache_dir", default_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pathlib
