@@ -47,6 +47,7 @@ void celt_pvq_bucket_fill (const int8_t *lf_type, const int16_t *lf_len,
                            int64_t nleaf, const int32_t *edges,
                            int nedges, const int64_t *bucket_base,
                            const int64_t *band_off, int64_t nmax,
+                           int64_t nframes,
                            int32_t *out_n, int32_t *out_k,
                            uint32_t *out_i, int32_t *out_tgt,
                            int64_t *rs_slot)
@@ -65,7 +66,11 @@ void celt_pvq_bucket_fill (const int8_t *lf_type, const int16_t *lf_len,
             continue;
         b = bucket_of (lf_len [i], edges, nedges);
         slot = cursor [b]++;
-        rows = (int64_t) lf_frame [i] * 2 + lf_call [i];
+        /* channel-MAJOR dense-plane rows (c*F + f): the device plane
+         * reshapes to [2, F, nmax] for free, so no channel-minor
+         * tensor (and no 64x lane-padded relayout) can ever form --
+         * see ops/celt_replay.py _replay_builder. */
+        rows = (int64_t) lf_call [i] * nframes + lf_frame [i];
         tgt = rows * nmax + band_off [lf_band [i]] + lf_off [i];
         out_n [slot] = lf_len [i];
         out_k [slot] = lf_k [i];

@@ -335,7 +335,7 @@ def build_replay_arrays(tr: CeltTrace):
                 tr.lf_seed.ctypes.data_as(u32p),
                 nleaf, edges.ctypes.data_as(i32p), len(edges),
                 bucket_base.ctypes.data_as(i64p),
-                band_off.ctypes.data_as(i64p), nmax,
+                band_off.ctypes.data_as(i64p), nmax, F,
                 out_n.ctypes.data_as(i32p), out_k.ctypes.data_as(i32p),
                 out_i.ctypes.data_as(u32p),
                 out_tgt.ctypes.data_as(i32p),
@@ -351,8 +351,9 @@ def build_replay_arrays(tr: CeltTrace):
             # on the bucket id keeps leaves in decode order)
             ii = np.nonzero(tr.lf_type == LF_PVQ_IDX)[0]
             lens_i = tr.lf_len[ii].astype(np.int32)
-            rows_i = (tr.lf_frame[ii].astype(np.int64) * 2
-                      + tr.lf_call[ii])
+            # channel-major rows (c*F + f), matching celt_pvq_bucket_fill
+            rows_i = (tr.lf_call[ii].astype(np.int64) * F
+                      + tr.lf_frame[ii])
             tgt_i = (rows_i * nmax
                      + band_off[tr.lf_band[ii].astype(np.int64)]
                      + tr.lf_off[ii]).astype(np.int32)
@@ -404,7 +405,8 @@ def build_replay_arrays(tr: CeltTrace):
         heap[:iyn] = tr.iy_heap
         li = np.nonzero(tr.lf_iy_off >= 0)[0]
         starts = tr.lf_iy_off[li].astype(np.int64)
-        rows = tr.lf_frame[li].astype(np.int64) * 2 + tr.lf_call[li]
+        # channel-major rows (c*F + f): Xf.reshape(2, F, nmax) is free
+        rows = tr.lf_call[li].astype(np.int64) * F + tr.lf_frame[li]
         tgtbase = (rows * nmax + band_off[tr.lf_band[li].astype(np.int64)]
                    + tr.lf_off[li])
         Lh = len(li)
@@ -422,7 +424,9 @@ def build_replay_arrays(tr: CeltTrace):
         arrs.update(pvq_arrs)
         heap_spec = (Tpad, Lpad)
     else:
-        arrs = {"xs": tr.xs.reshape(-1)}
+        # dense-plane fallback: transpose host-side to channel-major
+        arrs = {"xs": np.ascontiguousarray(
+            tr.xs.transpose(1, 0, 2)).reshape(-1)}
 
     # ---- per-band chain classes + fills ----
     B_f = np.where(tr.sb > 0, tr.sb, 1).astype(np.int64)
@@ -535,7 +539,11 @@ def build_replay_arrays(tr: CeltTrace):
         nm = len(rows)
         nm_pad = _bucket(nm, 1024)
         rpad = np.full(nm_pad, F * 2, np.int32)       # pad -> dropped
-        rpad[:nm] = rows
+        # marker sources emit channel-interleaved rows (f*2+c, kept
+        # bit-identical between native celt_bands.c and
+        # _rotation_markers); remap here to the device plane's
+        # channel-major rows (c*F + f)
+        rpad[:nm] = (rows & 1) * F + (rows >> 1)
         cpad = np.zeros(nm_pad, np.int32)
         cpad[:nm] = cols
         pk = np.full(nm_pad, -1, np.int32)
@@ -698,14 +706,14 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
     use_pallas = (os.environ.get("LIBNYQUIST_ROT_PALLAS")
                   and _jax.default_backend() not in ("cpu", "interpreter"))
 
-    def rotate_pallas(X_all, arrs, g_override=None):
+    def rotate_pallas(x, arrs, g_override=None):
         """Single-kernel path (TPU): fill + sweeps + scale in VMEM
         (ops/rot_pallas.py); the marker scatters build the planes
-        directly in the kernel's [W, R] position-major layout."""
+        directly in the kernel's [W, R] position-major layout.
+        x is the channel-interleaved [F2, nmax] plane (row f*2+c)."""
         from .rot_pallas import rotate_plane_pallas
 
         gv = arrs["rot_g"] if g_override is None else g_override
-        x = X_all.reshape(F2, nmax)
         xh = jnp.transpose(x[:, :WB])                  # [WB, F2]
         idx = (arrs["rot_cols"].astype(jnp.int32) * F2
                + arrs["rot_rows"].astype(jnp.int32))
@@ -717,14 +725,12 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
         g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), gv)
         out = rotate_plane_pallas(xh, pk0, th0, g0, sigmas, band_off_t)
         out = jnp.transpose(out)                       # [F2, WB]
-        return jnp.concatenate([out, x[:, WB:]], axis=1).reshape(
-            F, 2, nmax)
+        return jnp.concatenate([out, x[:, WB:]], axis=1)
 
-    def rotate(X_all, arrs, g_override=None):
+    def rotate(x, arrs, g_override=None):
         if use_pallas:
-            return rotate_pallas(X_all, arrs, g_override)
+            return rotate_pallas(x, arrs, g_override)
         gv = arrs["rot_g"] if g_override is None else g_override
-        x = X_all.reshape(F2, nmax)
         xh = x[:, :WB]
         idx = (arrs["rot_rows"].astype(jnp.int32) * WB
                + arrs["rot_cols"].astype(jnp.int32))
@@ -760,8 +766,7 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
                           jnp.where(m, c, 0.0), sg)
         xh = lag_pass(xh, key, c, s, 1)
         xh = xh * jnp.where(valid, gf, 1.0)
-        return jnp.concatenate([xh, x[:, WB:]], axis=1).reshape(
-            F, 2, nmax)
+        return jnp.concatenate([xh, x[:, WB:]], axis=1)
 
     return rotate
 
@@ -838,16 +843,27 @@ def _replay_builder(static_key):
                 gi = arrs["rot_gidx"]
                 rot_g_eff = arrs["rot_g"] * jnp.where(
                     gi >= 0, rs_all[jnp.maximum(gi, 0)], 1.0)
-            X_all = Xf.reshape(F, 2, nmax)
+            X2 = Xf.reshape(F * 2, nmax)
         else:
-            X_all = arrs["xs"].reshape(F, 2, nmax)
+            X2 = arrs["xs"].reshape(F * 2, nmax)
         if rotate is not None:
-            X_all = rotate(X_all, arrs, rot_g_eff)
+            X2 = rotate(X2, arrs, rot_g_eff)
+        # EVERY large tensor in this program is kept strictly 2-D
+        # [rows, lanes] with channel-MAJOR rows (r = c*F + f): on TPU,
+        # any >=3-D tensor with the CC=2 axis present invites layout
+        # assignment to put CC on the 128-lane tile — a 64x-padded
+        # relayout copy (44 GB at K=8, measured OOM at O1 effort, and
+        # the memory-fitting death spiral behind the multi-hour
+        # default-effort compile).  2-D row/lane layouts are
+        # unambiguous; channels are contiguous F-row blocks.
 
-        norm = jnp.zeros((F, 2, norm_len), jnp.float32)
+        def two(v):  # [F] per-frame vector -> [2F] per-row (both chans)
+            return jnp.concatenate([v, v], axis=0)
+
+        norm = jnp.zeros((2 * F, norm_len), jnp.float32)
         spec_parts = []
         if start > 0:
-            spec_parts.append(jnp.zeros((F, 2, int(band_off[start])),
+            spec_parts.append(jnp.zeros((2 * F, int(band_off[start])),
                                         jnp.float32))
 
         for (i, N, ni_pad, classes) in band_spec:
@@ -860,23 +876,24 @@ def _replay_builder(static_key):
             any_pre = any(c[0] for c in chains)
             any_post = any(c[1] for c in chains)
 
+            cls2 = two(cls_id)
+
             # dual->intensity averaging
             upto = off - norm_offset
             if upto > 0:
                 avg = (arrs["avg_band"] == i)[:, None]
-                head = norm[:, :, :upto]
-                mixed = 0.5 * (head[:, 0] + head[:, 1])
-                norm = norm.at[:, 0, :upto].set(
-                    jnp.where(avg, mixed, head[:, 0]))
+                mixed = 0.5 * (norm[:F, :upto] + norm[F:, :upto])
+                norm = norm.at[:F, :upto].set(
+                    jnp.where(avg, mixed, norm[:F, :upto]))
 
             # lowband fetch (windowed slice-gather) + pre chain
             eff = arrs["eff_lb"][:, i]
             has_lb = eff >= 0
-            offs_c = jnp.clip(eff, 0, max(norm_len - N, 0))
+            offs_c = two(jnp.clip(eff, 0, max(norm_len - N, 0)))
             lb = jax.vmap(
-                lambda nrm, o: lax.dynamic_slice(nrm, (0, o), (2, N))
+                lambda nrm, o: lax.dynamic_slice(nrm, (o,), (N,))
             )(norm, offs_c)
-            lb = jnp.where(has_lb[:, None, None], lb, 0.0)
+            lb = jnp.where(two(has_lb)[:, None], lb, 0.0)
             if any_pre:
                 variants = [
                     _apply_chain_static(jnp, lb, pre_steps, ORDERY_TABLE)
@@ -884,11 +901,11 @@ def _replay_builder(static_key):
                 ]
                 lb = variants[0]
                 for c in range(1, len(variants)):
-                    lb = jnp.where((cls_id == c)[:, None, None],
+                    lb = jnp.where((cls2 == c)[:, None],
                                    variants[c], lb)
 
-            X0 = X_all[:, :, off : off + N]
-            # fold/noise fills
+            X0 = X2[:, off : off + N]
+            # fold/noise fills (2-D row+col scatter; row = c*F + f)
             if ni_pad:
                 ff = arrs[pre + "_ff"]
                 fc = arrs[pre + "_fc"]
@@ -897,11 +914,12 @@ def _replay_builder(static_key):
                 fg = arrs[pre + "_fg"]
                 fs = arrs[pre + "_fs"]
                 ft = arrs[pre + "_ft"]
+                fr = fc * F + ff
                 jj = jnp.arange(N)[None, :]
                 m = jj < fl[:, None]
                 seeds = (A[jj + 1] * fs[:, None] + Bc[jj + 1])
                 cols = fo[:, None] + jj
-                lbv = lb[ff[:, None], fc[:, None], jnp.where(m, cols, 0)]
+                lbv = lb[fr[:, None], jnp.where(m, cols, 0)]
                 sign = jnp.where(
                     (seeds & jnp.uint32(0x8000)) != 0,
                     jnp.float32(1.0 / 256), jnp.float32(-1.0 / 256))
@@ -910,7 +928,7 @@ def _replay_builder(static_key):
                 v = jnp.where(m, v, 0.0)
                 E = jnp.float32(EPSILON) + jnp.sum(v * v, axis=1)
                 v = v * (fg / jnp.sqrt(E))[:, None]
-                X0 = X0.at[ff[:, None], fc[:, None],
+                X0 = X0.at[fr[:, None],
                            jnp.where(m, cols, N)].set(v, mode="drop")
 
             # post chain (static per class, frame-selected)
@@ -921,7 +939,7 @@ def _replay_builder(static_key):
                 ]
                 X0 = variants[0]
                 for c in range(1, len(variants)):
-                    X0 = jnp.where((cls_id == c)[:, None, None],
+                    X0 = jnp.where((cls2 == c)[:, None],
                                    variants[c], X0)
 
             # norm write (pre-merge, X-call / decoded-slot values)
@@ -932,18 +950,18 @@ def _replay_builder(static_key):
                 cfl = arrs["cflag"][:, i]
                 src0 = jnp.where(
                     (mode_b == 3)[:, None],
-                    jnp.where((cfl == 1)[:, None], X0[:, 1], X0[:, 0]),
-                    X0[:, 0])
+                    jnp.where((cfl == 1)[:, None], X0[F:], X0[:F]),
+                    X0[:F])
                 dst = slice(off - norm_offset, off - norm_offset + N)
-                norm = norm.at[:, 0, dst].set(
-                    jnp.where(lbout[:, None], sq * src0, norm[:, 0, dst]))
+                norm = norm.at[:F, dst].set(
+                    jnp.where(lbout[:, None], sq * src0, norm[:F, dst]))
                 wd = lbout & (mode_b == 4)
-                norm = norm.at[:, 1, dst].set(
-                    jnp.where(wd[:, None], sq * X0[:, 1],
-                              norm[:, 1, dst]))
+                norm = norm.at[F:, dst].set(
+                    jnp.where(wd[:, None], sq * X0[F:],
+                              norm[F:, dst]))
 
             # stereo finalization
-            Xf0, Xf1 = X0[:, 0], X0[:, 1]
+            Xf0, Xf1 = X0[:F], X0[F:]
             mid = arrs["imid"][:, i]
             side = arrs["iside"][:, i]
             m2 = mode_b == 2
@@ -963,7 +981,7 @@ def _replay_builder(static_key):
                 m3 = mode_b == 3
                 cfl = arrs["cflag"][:, i]
                 sgn = arrs["sign"][:, i]
-                a = jnp.where((cfl == 1)[:, None], X0[:, 1], X0[:, 0])
+                a = jnp.where((cfl == 1)[:, None], X0[F:], X0[:F])
                 der = jnp.stack([-sgn * a[:, 1], sgn * a[:, 0]], axis=1)
                 Xv = jnp.where((cfl == 1)[:, None], der, a)
                 Yv = jnp.where((cfl == 1)[:, None], a, der)
@@ -976,17 +994,19 @@ def _replay_builder(static_key):
             invs = (arrs["inv"][:, i] != 0)[:, None]
             Xf1 = jnp.where(invs, -Xf1, Xf1)
             spec_parts.append(jnp.where(
-                active[:, None, None], jnp.stack([Xf0, Xf1], 1), 0.0))
+                two(active)[:, None],
+                jnp.concatenate([Xf0, Xf1], axis=0), 0.0))
 
-        spec = jnp.concatenate(spec_parts, axis=2)
-        tail = nmax - spec.shape[2]
+        spec = jnp.concatenate(spec_parts, axis=1)
+        tail = nmax - spec.shape[1]
         if tail > 0:
             spec = jnp.concatenate(
-                [spec, jnp.zeros((F, 2, tail), jnp.float32)], axis=2)
+                [spec, jnp.zeros((2 * F, tail), jnp.float32)], axis=1)
 
-        # ---- anti-collapse ----
+        # ---- anti-collapse (2-D row+col scatter, row = c*F + f) ----
         if nac_pad:
             n0max = 22
+            ac_r = arrs["ac_c"] * F + arrs["ac_f"]
             jj = jnp.arange(n0max)[None, :]
             m = jj < arrs["ac_n0"][:, None]
             seeds = (A[jj + 1] * arrs["ac_seed"][:, None] + Bc[jj + 1])
@@ -994,47 +1014,49 @@ def _replay_builder(static_key):
                              arrs["ac_r"][:, None],
                              -arrs["ac_r"][:, None])
             cols = arrs["ac_base"][:, None] + (jj << LM)
-            spec = spec.at[arrs["ac_f"][:, None],
-                           arrs["ac_c"][:, None],
+            spec = spec.at[ac_r[:, None],
                            jnp.where(m, cols, nmax)].set(
                 vals, mode="drop")
             rmax = 176
+            ren_r = arrs["ren_c"] * F + arrs["ren_f"]
             jj = jnp.arange(rmax)[None, :]
             m = jj < arrs["ren_n"][:, None]
             cols = arrs["ren_base"][:, None] + jj
-            seg = spec[arrs["ren_f"][:, None], arrs["ren_c"][:, None],
-                       jnp.where(m, cols, 0)]
+            seg = spec[ren_r[:, None], jnp.where(m, cols, 0)]
             seg = jnp.where(m, seg, 0.0)
             g = 1.0 / jnp.sqrt(jnp.float32(EPSILON)
                                + jnp.sum(seg * seg, axis=1))
             g = jnp.where(arrs["ren_on"], g, 1.0)
             seg = seg * g[:, None]
-            spec = spec.at[arrs["ren_f"][:, None],
-                           arrs["ren_c"][:, None],
+            spec = spec.at[ren_r[:, None],
                            jnp.where(m, cols, nmax)].set(
                 seg, mode="drop")
 
         # ---- denormalise (static broadcast-concat) + mixes ----
-        g_parts = [jnp.zeros((F, 2, int(band_off[start])), jnp.float32)] \
+        g2 = jnp.concatenate(
+            [arrs["gains"][:, 0], arrs["gains"][:, 1]], axis=0)
+        g_parts = [jnp.zeros((2 * F, int(band_off[start])), jnp.float32)] \
             if start > 0 else []
         for i in range(start, nb):
             w = int(band_off[i + 1] - band_off[i])
             g_parts.append(jnp.broadcast_to(
-                arrs["gains"][:, :, i : i + 1], (F, 2, w)))
+                g2[:, i : i + 1], (2 * F, w)))
         gtail = nmax - int(band_off[nb])
         if gtail > 0:
-            g_parts.append(jnp.zeros((F, 2, gtail), jnp.float32))
-        g_pos = jnp.concatenate(g_parts, axis=2)
+            g_parts.append(jnp.zeros((2 * F, gtail), jnp.float32))
+        g_pos = jnp.concatenate(g_parts, axis=1)
         freq = spec * g_pos
-        freq = jnp.where(arrs["sil"][:, None, None], 0.0, freq)
+        freq = jnp.where(two(arrs["sil"])[:, None], 0.0, freq)
         if CCout == 2:
-            freq = freq.at[:, 1].set(
-                jnp.where(arrs["dup"][:, None], freq[:, 0], freq[:, 1]))
+            freq = freq.at[F:].set(
+                jnp.where(arrs["dup"][:, None], freq[:F], freq[F:]))
         if CC == 1:
-            freq = freq.at[:, 0].set(
+            freq = freq.at[:F].set(
                 jnp.where(arrs["mixd"][:, None],
-                          0.5 * (freq[:, 0] + freq[:, 1]), freq[:, 0]))
-        return freq[:, :CCout]
+                          0.5 * (freq[:F] + freq[F:]), freq[:F]))
+        # [CCout*F, nmax]: channel c is the contiguous row block
+        # [c*F, (c+1)*F) — strictly 2-D end to end
+        return freq[: CCout * F]
 
     return replay
 
@@ -1048,7 +1070,16 @@ def _compiled_replay(static_key):
 
 
 def replay_device(tr: CeltTrace):
-    """Full device replay: trace -> freq [F, CCout, nmax] (jnp array)."""
+    """Full device replay: trace -> freq [F, CCout, nmax] (jnp array).
+
+    The compiled program is strictly 2-D with channel-major rows
+    ([CCout*F, nmax], see _replay_builder); this correctness-path
+    wrapper reshapes back to the historical frame-leading shape for
+    its callers."""
+    import jax.numpy as jnp
+
     arrs, _static, static_key = build_replay_arrays(tr)
     fn = _compiled_replay(static_key)
-    return fn(arrs)
+    out = fn(arrs)
+    F, nmax = len(tr.fsz), out.shape[-1]
+    return jnp.transpose(out.reshape(-1, F, nmax), (1, 0, 2))

@@ -395,6 +395,7 @@ def lib():
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),

@@ -616,8 +616,8 @@ def make_opus_stream_program(replay_key, F, N, CC, n_steps, f_chunk,
     Fpad = n_steps * f_chunk
 
     def fn(arrs, synth):
-        freq = replay(arrs)                       # [F, CCout, N]
-        spec = jnp.transpose(freq[:, :CC], (1, 0, 2))
+        rf = replay(arrs)                         # [CCout*F, N]
+        spec = rf.reshape(-1, F, rf.shape[-1])[:CC]
         spec = jnp.pad(spec, ((0, 0), (0, Fpad - F), (0, 0)))
         spec = spec.reshape(CC, n_steps, f_chunk, N).transpose(1, 0, 2, 3)
 
@@ -668,14 +668,14 @@ def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
     R = K * CC
 
     def fn(arrs, synth):
-        # Per-channel [F, N] outputs: a 4-D [K, F, CC, N] tensor at the
-        # replay boundary gets its CC=2 dim assigned to the 128-lane
-        # minormost tile by XLA layout assignment — one 44 GB padded
-        # copy on v5e (measured OOM).  Channel extraction fuses into
-        # the replay's producing fusion instead.
+        # The replay is strictly 2-D with channel-major rows end to end
+        # ([CCout*F, N], see ops/celt_replay._replay_builder): any CC=2
+        # axis invites a channel-minor layout — CC on the 128-lane
+        # tile, a 64x-padded 44 GB copy at K=8 (measured OOM).
+        # Channel extraction is a contiguous row-block slice.
         def replay_chans(a):
-            fq = replay(a)                         # [F, CCout, N]
-            return tuple(fq[:, c] for c in range(CC))
+            fq = replay(a)                         # [CCout*F, N]
+            return tuple(fq[c * F : (c + 1) * F] for c in range(CC))
 
         chans = jax.vmap(replay_chans)(arrs)       # CC x [K, F, N]
         spec = jnp.concatenate(chans, axis=0)      # [R, F, N] (c*K+k)
