@@ -727,19 +727,9 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
         out = jnp.transpose(out)                       # [F2, WB]
         return jnp.concatenate([out, x[:, WB:]], axis=1)
 
-    def rotate(x, arrs, g_override=None):
-        if use_pallas:
-            return rotate_pallas(x, arrs, g_override)
-        gv = arrs["rot_g"] if g_override is None else g_override
-        xh = x[:, :WB]
-        idx = (arrs["rot_rows"].astype(jnp.int32) * WB
-               + arrs["rot_cols"].astype(jnp.int32))
-        idx = jnp.where(arrs["rot_rows"] >= F2, F2 * WB, idx)
-        flat = lambda init, vals: init.at[idx].set(
-            vals, mode="drop", unique_indices=True).reshape(F2, WB)
-        pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
-        th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
-        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), gv)
+    def _rotate_rows(xh, pk0, th0, g0):
+        """Fill-forward + sweeps + scale on a block of independent
+        rows ([Rb, WB]) — the unit the chunked driver serializes."""
 
         def comb(a, b):
             m = b[0] >= 0
@@ -765,7 +755,38 @@ def _build_rotation_pass(jnp, lax, rot_spec, band_off, nb, F, nmax):
             xh = lag_pass(xh, key, jnp.where(m, s, 1.0),
                           jnp.where(m, c, 0.0), sg)
         xh = lag_pass(xh, key, c, s, 1)
-        xh = xh * jnp.where(valid, gf, 1.0)
+        return xh * jnp.where(valid, gf, 1.0)
+
+    # Row-block serialization: every op past the marker scatter is
+    # row-independent, but the lag passes hold ~20 live [F2, WB]-sized
+    # temps per stream — at K=8 that alone is ~11 GB of HBM (measured
+    # 203 MB over capacity at O1).  lax.map over G row blocks divides
+    # the temp footprint by G at negligible cost (each block keeps
+    # thousands of rows of lane parallelism).
+    G = int(os.environ.get("LIBNYQUIST_ROT_CHUNKS", "4"))
+    while G > 1 and (F2 % G or (F2 // G) % 8):
+        G -= 1
+
+    def rotate(x, arrs, g_override=None):
+        if use_pallas:
+            return rotate_pallas(x, arrs, g_override)
+        gv = arrs["rot_g"] if g_override is None else g_override
+        xh = x[:, :WB]
+        idx = (arrs["rot_rows"].astype(jnp.int32) * WB
+               + arrs["rot_cols"].astype(jnp.int32))
+        idx = jnp.where(arrs["rot_rows"] >= F2, F2 * WB, idx)
+        flat = lambda init, vals: init.at[idx].set(
+            vals, mode="drop", unique_indices=True).reshape(F2, WB)
+        pk0 = flat(jnp.full((F2 * WB,), -1, jnp.int32), arrs["rot_pk"])
+        th0 = flat(jnp.zeros((F2 * WB,), jnp.float32), arrs["rot_th"])
+        g0 = flat(jnp.zeros((F2 * WB,), jnp.float32), gv)
+        if G > 1:
+            ck = lambda v: v.reshape(G, F2 // G, WB)
+            xh = lax.map(lambda a: _rotate_rows(*a),
+                         (ck(xh), ck(pk0), ck(th0), ck(g0)))
+            xh = xh.reshape(F2, WB)
+        else:
+            xh = _rotate_rows(xh, pk0, th0, g0)
         return jnp.concatenate([xh, x[:, WB:]], axis=1)
 
     return rotate

@@ -31,6 +31,29 @@ def ensure_jax_cache() -> None:
         pass
 
 
+def serving_jit(fn):
+    """jit for the big fused serving programs (Opus replay+synthesis).
+
+    On TPU these compile at optimization_level=1: the default effort's
+    memory-fitting/scheduling search runs for tens of minutes on the
+    ~20k-instruction fused program while O1 finishes in ~4 min and the
+    generated code is within noise for this bandwidth-bound program
+    (the hot loops are scans + elementwise; there is no MXU schedule
+    to win back).  Override with LIBNYQUIST_TPU_OPT_LEVEL=default.
+    CPU/interpreter backends ignore the option (tests, fallback)."""
+    import jax
+
+    lvl = os.environ.get("LIBNYQUIST_TPU_OPT_LEVEL", "1")
+    try:
+        if lvl != "default" and jax.default_backend() not in (
+                "cpu", "interpreter"):
+            return jax.jit(
+                fn, compiler_options={"optimization_level": int(lvl)})
+    except Exception:
+        pass
+    return jax.jit(fn)
+
+
 def default_cache_dir() -> str:
     """Persistent cache location.  The home cache dir survives /tmp
     cleanup between sessions — the fused serving program costs minutes

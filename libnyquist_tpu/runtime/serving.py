@@ -27,6 +27,7 @@ from ..ops import comb as comb_ops
 from ..ops import imdct as imdct_ops
 from ..ops import scan_iir
 from .batching import bucket_size
+from .jaxcfg import serving_jit
 from .opus_pipeline import (
     CELT_SIG_SCALE,
     SynthState,
@@ -642,7 +643,7 @@ def make_opus_stream_program(replay_key, F, N, CC, n_steps, f_chunk,
         (tails, hist, mem, acc), _ = jax.lax.scan(body, init, xs)
         return acc
 
-    return jax.jit(fn)
+    return serving_jit(fn)
 
 
 def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
@@ -718,7 +719,7 @@ def make_opus_stream_program_batched(replay_key, K, F, N, CC, n_steps,
         # rows are ordered channel-major (c*K + k)
         return acc.reshape(CC, K).T
 
-    return jax.jit(fn)
+    return serving_jit(fn)
 
 
 def unified_step_row_body(spec, mask_s, TA, gA, TB1, gB1, fade_pat,
