@@ -98,6 +98,34 @@ def _note(msg):
           flush=True)
 
 
+def _deadline_remaining():
+    """Seconds left before the whole-run deadline watchdog fires
+    (LIBNYQUIST_BENCH_DEADLINE_S, default 720).  Timed loops budget
+    against this so a slow device program degrades to FEWER trials,
+    not to a blown deadline and a CPU-fallback re-exec."""
+    deadline = float(os.environ.get("LIBNYQUIST_BENCH_DEADLINE_S",
+                                    "720"))
+    if deadline <= 0:
+        return float("inf")
+    return deadline - (time.time() - _T0)
+
+
+def _timed_trials(fn, n_max, budget_s, min_trials=3):
+    """Run up to n_max timing trials of fn(), stopping early when the
+    cumulative wall time exceeds budget_s (always runs min_trials).
+    Returns the list of per-trial seconds."""
+    samples = []
+    t_start = time.perf_counter()
+    for i in range(n_max):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+        if (len(samples) >= min_trials
+                and time.perf_counter() - t_start > budget_s):
+            break
+    return samples
+
+
 def _emit(result):
     """Print the headline JSON exactly once (main or watchdog)."""
     with _EMIT_LOCK:
@@ -600,12 +628,21 @@ def bench_e2e_opus_iy(K):
         # ------- device half: one batched fused program -------
         # completion barrier = a real (tiny) D2H fetch of the result:
         # block_until_ready alone under-reports on this tunnel runtime
-        _note(f"device timing trials (n={N_HEADLINE_TRIALS})")
-        dev_samples = []
-        for _ in range(N_HEADLINE_TRIALS):
-            t0 = time.perf_counter()
-            acc_h = np.asarray(stream_fn(d_iy, d_synth))
-            dev_samples.append(time.perf_counter() - t0)
+        # Budget the timed loops against the run deadline: a slow
+        # device program must degrade to FEWER trials, never to a
+        # blown deadline (which re-execs onto the CPU fallback and
+        # loses the real-chip number entirely).
+        dev_budget = max(_deadline_remaining() * 0.30, 1.0)
+        _note(f"device timing trials (n<={N_HEADLINE_TRIALS}, "
+              f"budget {dev_budget:.0f}s)")
+        box = {}
+
+        def _dev_once():
+            box["acc"] = np.asarray(stream_fn(d_iy, d_synth))
+
+        dev_samples = _timed_trials(_dev_once, N_HEADLINE_TRIALS,
+                                    dev_budget)
+        acc_h = box["acc"]
         t_dev, dev_spread, _ = _trimmed_median(dev_samples)
 
         # ------- pipelined steady state: device(batch k) overlaps ----
@@ -613,14 +650,18 @@ def bench_e2e_opus_iy(K):
         # the next batch's K streams, fetch the batch result.  Trimmed
         # median over N_HEADLINE_TRIALS iterations (reference
         # run_benchmark.py calculate_average methodology).
-        _note(f"pipelined timing trials (n={N_HEADLINE_TRIALS})")
-        pipe_samples = []
-        for _ in range(N_HEADLINE_TRIALS):
-            t0 = time.perf_counter()
+        pipe_budget = max(_deadline_remaining() * 0.45, 1.0)
+        _note(f"pipelined timing trials (n<={N_HEADLINE_TRIALS}, "
+              f"budget {pipe_budget:.0f}s)")
+
+        def _pipe_once():
             acc = stream_fn(d_iy, d_synth)        # device batch (async)
             _timed_host_pass_iy(data, K)          # host batch k+1
-            acc_h = np.asarray(acc)               # fetch barrier
-            pipe_samples.append(time.perf_counter() - t0)
+            box["acc"] = np.asarray(acc)          # fetch barrier
+
+        pipe_samples = _timed_trials(_pipe_once, N_HEADLINE_TRIALS,
+                                     pipe_budget)
+        acc_h = box["acc"]
         t_pipe, spread, pipe_samples = _trimmed_median(pipe_samples)
 
     # Oracle: per-stream sample sums (reference Main.cpp:146), checked
@@ -658,7 +699,8 @@ def bench_e2e_opus_iy(K):
                  "import sys; sys.path.insert(0, %r); import bench, jax, "
                  "jax.numpy as jnp; bench._jax_setup(); "
                  "bench._comb_parity_check(jax, jnp)" % str(HERE)],
-                capture_output=True, text=True, timeout=600)
+                capture_output=True, text=True,
+                timeout=min(600, max(_deadline_remaining() / 3, 30)))
         except subprocess.TimeoutExpired:
             # a tunnel stall is not a mismatch: warn, don't zero the
             # headline (the oracle above already validated the output)
@@ -1380,6 +1422,10 @@ def _opus_with_escalation(K, use_iy):
         if not (use_iy and result and result["value"] < TARGET
                 and cfg.get("dev_s", 0) > cfg.get("host_s", 1e9)):
             break
+        if _deadline_remaining() < 420:
+            _note("escalation skipped: not enough deadline budget for "
+                  "a fresh compile + trials")
+            break
         K *= 2
         _note(f"pipelined {result['value']}x is device-bound; "
               f"retrying at streams={K}")
@@ -1394,8 +1440,10 @@ def _opus_with_escalation(K, use_iy):
         result = r2
         _BEST["result"] = dict(result)
     if (use_iy and result and not CPU_FALLBACK
-            and os.environ.get("LIBNYQUIST_BENCH_SPLIT", "1") != "0"):
-        # on-chip diagnosis at the final batch size (VERDICT r3 #2)
+            and os.environ.get("LIBNYQUIST_BENCH_SPLIT", "1") != "0"
+            and _deadline_remaining() > 900):
+        # on-chip diagnosis at the final batch size (VERDICT r3 #2);
+        # needs 3 extra compiles — only with generous budget left
         try:
             split = _opus_stage_split(
                 result.get("config", {}).get("streams", K))

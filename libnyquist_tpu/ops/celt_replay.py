@@ -75,52 +75,75 @@ def pvq_u_table_u32():
     return tab
 
 
-def cwrsi_kernel(jnp, lax, utab, n_v, k_v, i_v, Lb):
+def cwrsi_kernel(jnp, lax, utab, n_v, k_v, i_v, Lb, W=UMAX):
     """Vectorized PVQ index -> pulse-vector expansion (cwrs.c cwrsi) as
-    a lax.scan over positions, all leaves in a bucket advancing in
-    lockstep.  Per position the two host branches (k>=n / k<n) unify to
+    a lax.scan over the DIMENSION COUNTER n descending Lb..1, all
+    leaves in a bucket advancing in lockstep.  A leaf of dimension n_v
+    is active for the last n_v steps (n <= n_v), so every active leaf
+    reads the SAME U-table row U(n, .) each step — the row rides the
+    scan as a dense [W] xs slice and the per-leaf lookups become
+    broadcast compare/reduce ops instead of gathers (the gather form
+    was measured at ~25 s of a 34 s K=8 batch on v5e: TPUs have no
+    per-lane random access, so XLA serializes table gathers).
+
+    Per step the two host branches (k>=n / k<n) unify to
 
         q = U(n, k+1); s = i >= q; i -= s ? q : 0
-        k' = max { t <= k : U(n, t) <= i }   (binary search, U(n,0)=0)
+        k' = max { t <= k : U(n, t) <= i }
         i -= U(n, k');  y = +-(k - k');  k = k'
 
-    with the n==2 tail a special case of the same rule and the n==1
-    tail emitting all remaining pulses (y = +-k).  The U table is
-    saturated u32 (pvq_u_table_u32).
+    U(n, .) is nondecreasing in its second argument, so with the row
+    broadcast the search collapses to a prefix count
+    (k' = min(#{t : U(n,t) <= i} - 1, k), U(n,0)=0 guarantees
+    existence) and the value lookups to masked reductions:
+    U(n,k') = min(max{row[t] : row[t] <= i}, row[k]).  The n==1 tail
+    (last step for every leaf) emits all remaining pulses (y = +-k).
+    The U table is saturated u32 (pvq_u_table_u32); saturated cells
+    only ever lose comparisons against a codable index, so they are
+    never subtracted.
 
-    Returns (iy [lanes, Lb] float32, Ryy [lanes] float32).
+    W bounds the row width actually read: any W > max(k_v) + 1 is
+    exact (k only decreases).  Returns (iy [lanes, Lb] float32, Ryy
+    [lanes] float32) in TAIL-ALIGNED column order: leaf position j
+    lives in column Lb - n_v + j (callers fold the shift into their
+    scatter indices; realigning on device would reintroduce a
+    per-lane gather).
     """
-    lanes = n_v.shape[0]
-    uflat = utab.reshape(-1)
+    W = min(int(W), UMAX)
+    tW = jnp.arange(W, dtype=jnp.int32)[None, :]          # [1, W]
+    # the scan consumes (m, U(m, :W)) pairs, m descending Lb..1; the
+    # row stack is a static slice of the table, reversed host-side of
+    # the loop, so the loop body does no table addressing at all
+    ms = jnp.arange(Lb, 0, -1, dtype=jnp.int32)           # [Lb]
+    rows = utab[1 : Lb + 1, :W][::-1]                     # [Lb, W]
 
-    def step(carry, j):
-        k, i = carry                       # int32 [lanes], uint32 [lanes]
-        n = jnp.maximum(n_v - j, 1)
-        active = j < n_v
-        last = j == n_v - 1
-        q = uflat[n * UMAX + k + 1]
+    def step(carry, x):
+        k, i = carry                      # int32 [lanes], uint32 [lanes]
+        m, row = x
+        rowb = row[None, :]                                # [1, W]
+        active = m <= n_v
+        last = m == 1
+        q = jnp.sum(jnp.where(tW == (k + 1)[:, None], rowb,
+                              jnp.uint32(0)), axis=1)
         s = active & (i >= q)
         i = jnp.where(s, i - q, i)
-        # largest t <= k with U(n, t) <= i  (8 steps cover k <= 242)
-        lo = jnp.zeros_like(k)
-        hi = k
-        for _ in range(8):
-            mid = (lo + hi + 1) >> 1
-            v = uflat[n * UMAX + mid]
-            take = (v <= i) & (mid <= hi)
-            lo = jnp.where(take, mid, lo)
-            hi = jnp.where(take, hi, mid - 1)
-        kp = jnp.where(last, 0, lo)
+        le = rowb <= i[:, None]                            # prefix mask
+        cnt = jnp.sum(le.astype(jnp.int32), axis=1)
+        kp = jnp.minimum(cnt - 1, k)
+        kp = jnp.where(last, 0, kp)
+        maxle = jnp.max(jnp.where(le, rowb, jnp.uint32(0)), axis=1)
+        rowk = jnp.sum(jnp.where(tW == k[:, None], rowb,
+                                 jnp.uint32(0)), axis=1)
         y = (k - kp).astype(jnp.int32)
         i = jnp.where(last | ~active, i,
-                      i - uflat[n * UMAX + kp])
+                      i - jnp.minimum(maxle, rowk))
         y = jnp.where(active, jnp.where(s, -y, y), 0)
         return (jnp.where(active, kp, k), i), y
 
     (kf, _if), ys = lax.scan(
         step, (k_v.astype(jnp.int32), i_v.astype(jnp.uint32)),
-        jnp.arange(Lb, dtype=jnp.int32))
-    iy = jnp.transpose(ys).astype(jnp.float32)        # [lanes, Lb]
+        (ms, rows))
+    iy = jnp.transpose(ys).astype(jnp.float32)   # [lanes, Lb] tail-aligned
     ryy = jnp.sum(iy * iy, axis=1)
     return iy, ryy
 
@@ -302,7 +325,6 @@ def build_replay_arrays(tr: CeltTrace):
             assert tag == LF_PVQ_IDX
             assert counts[len(PVQ_LEN_BUCKETS)] == 0, \
                 "leaf exceeds buckets"
-            spec = []
             bucket_base = np.zeros(len(PVQ_LEN_BUCKETS) + 1, np.int64)
             spans = []
             slot0 = 0
@@ -312,8 +334,7 @@ def build_replay_arrays(tr: CeltTrace):
                 if not cnt:
                     continue
                 lanes = _bucket(cnt, 256)
-                spec.append((int(ub), lanes))
-                spans.append((slot0, cnt, lanes))
+                spans.append((slot0, cnt, lanes, int(ub)))
                 slot0 += lanes
             total = slot0
             out_n = np.zeros(total, np.int32)
@@ -340,12 +361,18 @@ def build_replay_arrays(tr: CeltTrace):
                 out_i.ctypes.data_as(u32p),
                 out_tgt.ctypes.data_as(i32p),
                 rs_slot.ctypes.data_as(i64p))
-            for j, (base, _cnt, lanes) in enumerate(spans):
+            spec = []
+            for j, (base, _cnt, lanes, ub) in enumerate(spans):
                 pre = f"pvq{j}"
                 pvq_arrs[pre + "_n"] = out_n[base : base + lanes]
                 pvq_arrs[pre + "_k"] = out_k[base : base + lanes]
                 pvq_arrs[pre + "_i"] = out_i[base : base + lanes]
                 pvq_arrs[pre + "_tgt"] = out_tgt[base : base + lanes]
+                # row width the kernel reads: > max(k)+1 is exact;
+                # bucketed to bound compile-cache churn across traces
+                kmax = int(out_k[base : base + lanes].max(initial=0))
+                spec.append((ub, lanes, min(_bucket(kmax + 2, 32),
+                                            UMAX)))
         else:
             # pure-NumPy fallback (bit-identical ordering: stable sort
             # on the bucket id keeps leaves in decode order)
@@ -386,7 +413,9 @@ def build_replay_arrays(tr: CeltTrace):
                 pvq_arrs[pre + "_i"] = padv(seed_i[sel], 0, np.uint32)
                 pvq_arrs[pre + "_tgt"] = padv(tgt_i[sel], 2 * F * nmax,
                                               np.int32)
-                spec.append((int(ub), lanes))
+                kmax = int(k_i[sel].max(initial=0))
+                spec.append((int(ub), lanes,
+                             min(_bucket(kmax + 2, 32), UMAX)))
                 rs_slot[ii[sel]] = slot0 + np.arange(cnt)
                 slot0 += lanes
         pvq_arrs["utab"] = pvq_u_table_u32()
@@ -441,6 +470,8 @@ def build_replay_arrays(tr: CeltTrace):
         (tr.lf_type == LF_FOLD) | (tr.lf_type == LF_NOISE))[0]
     fills_band = tr.lf_band[fills_idx]
     bkey_all = (B_f * 16)[:, None] + (tr.bd_tf.astype(np.int64) + 8)
+    norm_offset = int(band_off[start])
+    norm_len = max(int(band_off[nb - 1]) - norm_offset, 1)
     for i in range(start, nb):
         N = int(band_off[i + 1] - band_off[i])
         fkey = bkey_all[:, i]
@@ -467,7 +498,24 @@ def build_replay_arrays(tr: CeltTrace):
             arrs[pre + "_fs"] = pad(tr.lf_seed[li])
             arrs[pre + "_ft"] = pad(
                 (tr.lf_type[li] == LF_FOLD).astype(np.int32))
-        band_spec.append((i, N, ni_pad, classes))
+        # distinct lowband-fetch offsets (in practice 1-2 per band):
+        # the fetch becomes V_pad full-plane dynamic slices + per-row
+        # selects instead of a per-row windowed gather (XLA compiled
+        # the vmapped dynamic_slice into a SERIAL while over all
+        # K*2F rows — measured ~4.5 s of the K=8 batch on v5e)
+        eff_i = tr.bd_eff_lb[:, i]
+        act = eff_i >= 0
+        uoffs = np.unique(np.clip(eff_i[act], 0,
+                                  max(norm_len - N, 0)))
+        if len(uoffs) == 0 or len(uoffs) > 16:
+            v_pad = 0                     # gather fallback
+            lbo = np.zeros(1, np.int32)
+        else:
+            v_pad = _bucket(len(uoffs), 1)
+            lbo = np.full(v_pad, uoffs[0], np.int32)
+            lbo[: len(uoffs)] = uoffs
+        arrs[pre + "_lbo"] = lbo
+        band_spec.append((i, N, ni_pad, classes, v_pad))
 
     # ---- band-level records ----
     arrs["eff_lb"] = tr.bd_eff_lb.astype(np.int32)
@@ -513,11 +561,8 @@ def build_replay_arrays(tr: CeltTrace):
         arrs["ren_f"][:nren] = (ug // 64).astype(np.int32)
         arrs["ren_c"] = np.zeros(nren_pad, np.int32)
         arrs["ren_c"][:nren] = (ug % 2).astype(np.int32)
-        arrs["ren_base"] = np.zeros(nren_pad, np.int32)
-        arrs["ren_base"][:nren] = band_off[rb].astype(np.int32)
-        arrs["ren_n"] = np.zeros(nren_pad, np.int32)
-        arrs["ren_n"][:nren] = ((eB[rb + 1] - eB[rb]) << LM).astype(
-            np.int32)
+        arrs["ren_b"] = np.zeros(nren_pad, np.int32)
+        arrs["ren_b"][:nren] = rb.astype(np.int32)
         arrs["ren_on"] = np.zeros(nren_pad, bool)
         arrs["ren_on"][:nren] = True
     else:
@@ -815,7 +860,7 @@ def _replay_builder(static_key):
 
     # static chain step lists per band per class
     chain_sets = {}
-    for (i, N, ni_pad, classes) in band_spec:
+    for (i, N, ni_pad, classes, _v_pad) in band_spec:
         chain_sets[i] = [
             _chain(N, int(b), int(t), structural=True) for b, t in classes
         ]
@@ -846,15 +891,21 @@ def _replay_builder(static_key):
                 # plane, and fix up pre-gain markers by rsqrt(Ryy)
                 buckets, _total = pvq_spec
                 rss = []
-                for bi, (Lb, lanes) in enumerate(buckets):
+                for bi, bspec in enumerate(buckets):
+                    Lb, lanes, Wk = (bspec if len(bspec) == 3
+                                     else (*bspec, UMAX))
                     pre = f"pvq{bi}"
+                    nv = arrs[pre + "_n"]
                     iy, ryy = cwrsi_kernel(
-                        jnp, lax, arrs["utab"], arrs[pre + "_n"],
-                        arrs[pre + "_k"], arrs[pre + "_i"], Lb)
+                        jnp, lax, arrs["utab"], nv,
+                        arrs[pre + "_k"], arrs[pre + "_i"], Lb, Wk)
+                    # iy columns are tail-aligned (position j at column
+                    # Lb - n + j); fold the shift into the scatter
                     jj = jnp.arange(Lb, dtype=jnp.int32)[None, :]
                     t2 = jnp.where(
-                        jj < arrs[pre + "_n"][:, None],
-                        arrs[pre + "_tgt"][:, None] + jj, BIG)
+                        jj >= (Lb - nv)[:, None],
+                        arrs[pre + "_tgt"][:, None] + nv[:, None]
+                        - Lb + jj, BIG)
                     Xf = Xf.at[t2.reshape(-1)].set(
                         iy.reshape(-1), mode="drop",
                         unique_indices=True)
@@ -887,7 +938,7 @@ def _replay_builder(static_key):
             spec_parts.append(jnp.zeros((2 * F, int(band_off[start])),
                                         jnp.float32))
 
-        for (i, N, ni_pad, classes) in band_spec:
+        for (i, N, ni_pad, classes, v_pad) in band_spec:
             off = int(band_off[i])
             pre = f"b{i}"
             mode_b = arrs["mode_b"][:, i]
@@ -907,13 +958,27 @@ def _replay_builder(static_key):
                 norm = norm.at[:F, :upto].set(
                     jnp.where(avg, mixed, norm[:F, :upto]))
 
-            # lowband fetch (windowed slice-gather) + pre chain
+            # lowband fetch + pre chain.  The offset takes only
+            # V_pad distinct values (host-counted, usually 1), so the
+            # fetch is V_pad whole-plane dynamic slices + per-row
+            # selects — dense lane-parallel work, where the vmapped
+            # per-row dynamic_slice compiled to a serial row loop
             eff = arrs["eff_lb"][:, i]
             has_lb = eff >= 0
             offs_c = two(jnp.clip(eff, 0, max(norm_len - N, 0)))
-            lb = jax.vmap(
-                lambda nrm, o: lax.dynamic_slice(nrm, (o,), (N,))
-            )(norm, offs_c)
+            if v_pad:
+                lbo = arrs[pre + "_lbo"]
+                lb = lax.dynamic_slice(
+                    norm, (0, lbo[0]), (2 * F, N))
+                for v in range(1, v_pad):
+                    cand = lax.dynamic_slice(
+                        norm, (0, lbo[v]), (2 * F, N))
+                    lb = jnp.where((offs_c == lbo[v])[:, None],
+                                   cand, lb)
+            else:
+                lb = jax.vmap(
+                    lambda nrm, o: lax.dynamic_slice(nrm, (o,), (N,))
+                )(norm, offs_c)
             lb = jnp.where(two(has_lb)[:, None], lb, 0.0)
             if any_pre:
                 variants = [
@@ -1038,20 +1103,34 @@ def _replay_builder(static_key):
             spec = spec.at[ac_r[:, None],
                            jnp.where(m, cols, nmax)].set(
                 vals, mode="drop")
-            rmax = 176
-            ren_r = arrs["ren_c"] * F + arrs["ren_f"]
-            jj = jnp.arange(rmax)[None, :]
-            m = jj < arrs["ren_n"][:, None]
-            cols = arrs["ren_base"][:, None] + jj
-            seg = spec[ren_r[:, None], jnp.where(m, cols, 0)]
-            seg = jnp.where(m, seg, 0.0)
-            g = 1.0 / jnp.sqrt(jnp.float32(EPSILON)
-                               + jnp.sum(seg * seg, axis=1))
-            g = jnp.where(arrs["ren_on"], g, 1.0)
-            seg = seg * g[:, None]
-            spec = spec.at[ren_r[:, None],
-                           jnp.where(m, cols, nmax)].set(
-                seg, mode="drop")
+            # renormalise_vector per flagged (row, band): dense
+            # formulation — a [2F, nb] flag plane (tiny scatter), the
+            # per-band sum of squares from STATIC band slices, and the
+            # gains broadcast back band-wise.  The previous
+            # gather/scatter of padded 176-wide segments was a
+            # measured 0.5 s+ serial gather on v5e.
+            ren_rows = arrs["ren_c"] * F + arrs["ren_f"]
+            flags = jnp.zeros((2 * F, nb), bool).at[
+                jnp.where(arrs["ren_on"], ren_rows, 2 * F),
+                arrs["ren_b"]].set(True, mode="drop")
+            rn_parts = []
+            if start > 0:
+                rn_parts.append(jnp.ones(
+                    (2 * F, int(band_off[start])), jnp.float32))
+            for i2 in range(start, nb):
+                o2 = int(band_off[i2])
+                w2 = int(band_off[i2 + 1] - band_off[i2])
+                ss = jnp.sum(jnp.square(spec[:, o2 : o2 + w2]),
+                             axis=1)
+                gb = jnp.where(
+                    flags[:, i2],
+                    1.0 / jnp.sqrt(jnp.float32(EPSILON) + ss), 1.0)
+                rn_parts.append(jnp.broadcast_to(
+                    gb[:, None], (2 * F, w2)))
+            rtail = nmax - int(band_off[nb])
+            if rtail > 0:
+                rn_parts.append(jnp.ones((2 * F, rtail), jnp.float32))
+            spec = spec * jnp.concatenate(rn_parts, axis=1)
 
         # ---- denormalise (static broadcast-concat) + mixes ----
         g2 = jnp.concatenate(

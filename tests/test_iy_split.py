@@ -277,8 +277,9 @@ def test_cwrsi_kernel_matches_spec():
     iy = np.asarray(iy)
     for r, (N, K, idx) in enumerate(cases):
         want = np.asarray(spec(N, K, idx), np.float32)
-        np.testing.assert_array_equal(iy[r, :N], want, err_msg=str(
-            (N, K, idx)))
+        # kernel columns are tail-aligned: position j at Lb - N + j
+        np.testing.assert_array_equal(iy[r, Lb - N :], want,
+                                      err_msg=str((N, K, idx)))
         assert abs(float(np.asarray(ryy)[r]) - (want ** 2).sum()) < 1e-3
 
 
